@@ -1,0 +1,40 @@
+"""Loaders for the driver-generated test tables (/root/testdata/sf*).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (mirrors the driver's
+    DuckDB-side pre-registered views so spark.sql() parity tests read
+    the same names)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
