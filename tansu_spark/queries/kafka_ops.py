@@ -1,1 +1,193 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Kafka-semantics operators exposed as oracle-checked queries.
+
+The ``events`` test table is viewed as a topic with 8 partitions: a
+deterministic (partition, offset) assignment lets DuckDB reproduce the
+exact same topic, so every operator from SURVEY.md §2.1-2.6 that acts on
+a topic becomes hash-checkable:
+
+    partition = event_id % 8          (topition)
+    offset    = event_id // 8         (contiguous per partition)
+    key       = cast(user_id as string)
+    value     = props
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tansu_spark.operators import kafka as K
+from tansu_spark.queries import query
+from tansu_spark.tables import load
+
+# Shared oracle prelude: the topic view of `events`.
+TOPIC_CTE = """
+WITH topic AS (
+  SELECT CAST(event_id % 8 AS INTEGER) AS "partition",
+         CAST(event_id // 8 AS BIGINT) AS "offset",
+         ts AS "timestamp",
+         CAST(user_id AS VARCHAR) AS "key",
+         props AS "value"
+  FROM events
+)
+"""
+
+
+def events_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side of the same topic view."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("event_id") % 8).cast("int").alias("partition"),
+        F.expr("event_id div 8").cast("bigint").alias("offset"),
+        # ts arrives as raw nanos (see tables.load); truncate to µs exactly
+        # as DuckDB's parquet reader does.
+        F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("props").alias("value"),
+    )
+
+
+@query(
+    "kafka_fetch_range",
+    oracle=TOPIC_CTE
+    + """
+    SELECT "partition", "offset", "timestamp", "key", "value"
+    FROM topic
+    WHERE "partition" = 3 AND "offset" >= 10 AND "offset" < 60
+    """,
+)
+def kafka_fetch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch: offset-range scan of one topition (record_fetch.sql:41-43)."""
+    return K.fetch(events_topic(spark, sf_dir), partition=3, offset_lo=10, offset_hi=60)
+
+
+@query(
+    "kafka_fetch_keyed",
+    oracle=TOPIC_CTE
+    + """
+    SELECT "partition", "offset", "timestamp", "key", "value"
+    FROM topic
+    WHERE "partition" = 1 AND "key" = '7'
+    """,
+)
+def kafka_fetch_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Virtual-topic keyed fetch (record_fetch_keyed.sql:44; pg.rs:1304-1332):
+    `fetch("topic/KEY")` = server-side key-equality pushdown."""
+    return K.fetch(events_topic(spark, sf_dir), partition=1, key="7")
+
+
+@query(
+    "kafka_fetch_bytecap",
+    oracle=TOPIC_CTE
+    + """
+    SELECT "partition", "offset", "timestamp", "key", "value"
+    FROM (
+      SELECT *, SUM(length("key") + length("value"))
+                  OVER (PARTITION BY "partition" ORDER BY "offset"
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+      FROM topic
+      WHERE "partition" = 0 AND "offset" >= 0
+    )
+    WHERE cum_bytes < 600
+    """,
+)
+def kafka_fetch_bytecap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch max_bytes budget: running byte sum window cut at the cap
+    (record_fetch.sql:25,44)."""
+    return K.fetch_max_bytes(events_topic(spark, sf_dir), partition=0, offset_lo=0, max_bytes=600)
+
+
+@query(
+    "kafka_list_offsets",
+    oracle=TOPIC_CTE
+    + """
+    SELECT "partition", MIN("offset") AS earliest,
+           MAX("offset") + 1 AS high_watermark,
+           COUNT(*) AS n_records
+    FROM topic GROUP BY "partition"
+    """,
+)
+def kafka_list_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListOffsets earliest/latest (list_earliest_offset.sql,
+    list_latest_offset_uncommitted.sql): per-partition frontier."""
+    return K.list_offsets(events_topic(spark, sf_dir))
+
+
+@query(
+    "kafka_offset_for_timestamp",
+    oracle=TOPIC_CTE
+    + """
+    SELECT "partition", MIN("offset") AS "offset"
+    FROM topic
+    WHERE "timestamp" >= TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY "partition"
+    """,
+)
+def kafka_offset_for_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListOffsets by timestamp (list_latest_offset_timestamp.sql): first
+    offset at-or-after a point in time, per partition."""
+    return K.offsets_for_timestamp(events_topic(spark, sf_dir), "2024-01-03 00:00:00")
+
+
+@query(
+    "kafka_log_compaction",
+    oracle=TOPIC_CTE
+    + """
+    SELECT "partition", "offset", "timestamp", "key", "value"
+    FROM topic
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY "partition", "key"
+                               ORDER BY "offset" DESC) = 1
+    """,
+)
+def kafka_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction (policy_compact.sql:18-43): keep the max-offset record
+    per (partition, key)."""
+    return K.compact(events_topic(spark, sf_dir))
+
+
+@query(
+    "kafka_retention_sweep",
+    oracle=TOPIC_CTE
+    + """
+    SELECT "partition", MIN("offset") AS log_start, COUNT(*) AS n_survivors
+    FROM topic
+    WHERE "timestamp" >= TIMESTAMP '2024-01-02 12:00:00'
+    GROUP BY "partition"
+    """,
+)
+def kafka_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention (policy_delete.sql:18-52): records surviving the cutoff and
+    the new per-partition log-start offset."""
+    survivors = K.retain(events_topic(spark, sf_dir), "2024-01-02 12:00:00")
+    return survivors.groupBy("partition").agg(
+        F.min("offset").alias("log_start"), F.count(F.lit(1)).alias("n_survivors")
+    )
+
+
+@query(
+    "kafka_meta_columns",
+    oracle=TOPIC_CTE
+    + """
+    SELECT "partition", "offset",
+           "partition" AS meta_partition,
+           "timestamp" AS meta_timestamp,
+           CAST(EXTRACT(year FROM "timestamp") AS INTEGER) AS meta_year,
+           CAST(EXTRACT(month FROM "timestamp") AS INTEGER) AS meta_month,
+           CAST(EXTRACT(day FROM "timestamp") AS INTEGER) AS meta_day
+    FROM topic
+    WHERE "offset" < 20
+    """,
+)
+def kafka_meta_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broker-injected lake `meta` struct (meta.avsc; avro/arrow.rs:1129-1183),
+    flattened for oracle comparison."""
+    df = K.with_meta(events_topic(spark, sf_dir)).filter(F.col("offset") < 20)
+    return df.select(
+        "partition",
+        "offset",
+        F.col("meta.partition").alias("meta_partition"),
+        F.col("meta.timestamp").alias("meta_timestamp"),
+        F.col("meta.year").alias("meta_year"),
+        F.col("meta.month").alias("meta_month"),
+        F.col("meta.day").alias("meta_day"),
+    )
