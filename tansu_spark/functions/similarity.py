@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a production vector pipeline would have:
+- brute-force cosine top-k: exact baseline; broadcast the (small) query
+  set against the full corpus — a map-side crossJoin, no shuffle of the
+  corpus, linear scan per query.
+- LSH-bucketed ANN: sign-random-projection buckets (hyperplanes derived
+  deterministically from md5 so a SQL oracle reproduces them); candidates
+  are an equi-join on bucket id — the 100 TB path where a full scan per
+  query is off the table. Recall/latency trades with n_planes.
+
+Float determinism: dot products fold left over the array after casting
+each f32 element to f64 — both Spark's ``aggregate`` and DuckDB's
+``list_reduce`` evaluate sequentially, so results are bit-identical and
+hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Output: (query_id, vec_id, cosine), k rows per query, ties broken by
+    corpus id. The query side is broadcast — corpus never shuffles.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine("q_vec", vec_col), round_digits).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _hyperplane_component(plane: int, dim: int) -> int:
+    """±1 hyperplane entries derived from md5 — reproducible anywhere."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()[0] >= "8" else -1
+
+
+def hyperplanes(n_planes: int, n_dims: int) -> list[list[int]]:
+    return [
+        [_hyperplane_component(p, d) for d in range(n_dims)] for p in range(n_planes)
+    ]
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    n_planes: int = 4,
+    n_dims: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append `bucket`: sign-random-projection LSH bucket id in
+    [0, 2^n_planes). Computed as fixed ±1 dot products — pure column
+    arithmetic, no UDF, no shuffle."""
+    planes = hyperplanes(n_planes, n_dims)
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(c)) for c in plane]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 10,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket
+    (equi-join on bucket), exact cosine re-rank within the bucket."""
+    cb = with_lsh_bucket(corpus, n_planes, n_dims, vec_col)
+    qb = with_lsh_bucket(queries, n_planes, n_dims, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine("q_vec", vec_col), round_digits).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 10,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: only vectors in
+    the same bucket are compared (near-identical vectors agree on all sign
+    projections with high probability)."""
+    b = with_lsh_bucket(df, n_planes, n_dims, vec_col)
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine("v_a", "v_b"), round_digits).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

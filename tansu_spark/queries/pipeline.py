@@ -1,1 +1,240 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Training-data pipeline queries over `documents`: text analysis and
+deduplication, each with an exact DuckDB oracle.
+
+The oracle SQL mirrors the Spark expressions term-for-term (md5-based
+hashing, identical regexes, identical fold order) so the driver's
+value-hash matches bit-for-bit. DuckDB gotcha handled throughout:
+regexp_replace needs the 'g' flag to match Spark's replace-all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tansu_spark.functions import dedup as D
+from tansu_spark.functions import text as T
+from tansu_spark.queries import query
+from tansu_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments
+# ---------------------------------------------------------------------------
+
+_TOK = r"string_split_regex(trim(text), '\s+')"
+
+_TOK_CTE = f"WITH tok AS (SELECT doc_id, text, lang, n_chars, {_TOK} AS t FROM documents)"
+
+_SHINGLE_EXPR = (
+    "list_distinct(CASE WHEN len(t) >= 3 "
+    "THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+    "ELSE [array_to_string(t, ' ')] END)"
+)
+
+_SH_CTE = f"{_TOK_CTE}, sh AS (SELECT doc_id, {_SHINGLE_EXPR} AS shingles FROM tok)"
+
+_LSH_CTES = (
+    _SH_CTE
+    + """,
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
+            FROM e CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     string_agg(mh, '|' ORDER BY seed) AS band_sig
+              FROM sig GROUP BY doc_id, seed // 2),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id)
+"""
+)
+
+_PUNCT = "(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+_DIGIT = "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
+_EN = "['the','a','of','and','to','in','is','that']"
+_STOP_EN = f"(len(list_filter(t, x -> list_contains({_EN}, x))) / greatest(len(t), 1))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=_TOK_CTE
+    + f"""
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           length(text) AS n_chars_actual,
+           round(list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1), 6)
+             AS mean_token_len,
+           round({_PUNCT} / greatest(length(text), 1), 6) AS punct_ratio,
+           round({_DIGIT} / greatest(length(text), 1), 6) AS digit_ratio,
+           round({_STOP_EN}, 6) AS stopword_ratio_en
+    FROM tok
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + surface statistics (whitespace + ratio features);
+    the per-document feature extraction stage of a data-quality pipeline."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(T.mean_token_len("text"), 6).alias("mean_token_len"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.digit_ratio("text"), 6).alias("digit_ratio"),
+        F.round(T.stopword_ratio("text", "en"), 6).alias("stopword_ratio_en"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=_TOK_CTE
+    + f"""
+    SELECT doc_id,
+           round(0.4 * least(len(t) / 100.0, 1.0)
+                 + 0.2 * (1.0 - {_PUNCT} / greatest(length(text), 1))
+                 + 0.2 * (1.0 - {_DIGIT} / greatest(length(text), 1))
+                 + 0.2 * {_STOP_EN}, 6) AS quality
+    FROM tok
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length/punct/digit/stopword mix)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(T.quality_score("text"), 6).alias("quality")
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = "[" + ",".join(f"'{w}'" for w in T.STOPWORDS[lang]) + "]"
+    return f"len(list_intersect(list_distinct(t), {words}))"
+
+
+@query(
+    "text_lang_id",
+    oracle=_TOK_CTE
+    + f""",
+    scored AS (
+      SELECT doc_id, lang,
+             {_lang_hits_sql("en")} AS s_en, {_lang_hits_sql("de")} AS s_de,
+             {_lang_hits_sql("es")} AS s_es, {_lang_hits_sql("fr")} AS s_fr,
+             {_lang_hits_sql("zh")} AS s_zh
+      FROM tok)
+    SELECT doc_id, lang,
+           CASE WHEN s_en > 0 AND s_en >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_de > 0 AND s_de >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                WHEN s_zh > 0 AND s_zh >= greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+                ELSE 'und' END AS lang_pred
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-list language ID next to the labeled lang column."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", T.lang_id("text").alias("lang_pred")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercased text."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.fingerprint("text").alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content digest, deterministic keeper."""
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_LSH_CTES + "SELECT doc_a, doc_b FROM pairs",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 hashes)+LSH(4 bands of 2) near-duplicate candidate pairs —
+    shingle → signature → band equi-join, never an all-pairs comparison."""
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_LSH_CTES
+    + """
+    SELECT p.doc_a, p.doc_b,
+           round(len(list_intersect(sa.shingles, sb.shingles))
+                 / greatest(len(sa.shingles) + len(sb.shingles)
+                            - len(list_intersect(sa.shingles, sb.shingles)), 1), 6)
+             AS jaccard
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.doc_a
+    JOIN sh sb ON sb.doc_id = p.doc_b
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+                / greatest(len(sa.shingles) + len(sb.shingles)
+                           - len(list_intersect(sa.shingles, sb.shingles)), 1), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard verification over the LSH candidates
+    (the verify stage of the MinHash pipeline)."""
+    docs = _docs(spark, sf_dir)
+    sh = D.with_shingles(docs)
+    pairs = D.minhash_lsh_pairs(docs)
+    return D.jaccard_verify(pairs, sh, threshold=0.5)
+
+
+def _simhash_oracle() -> str:
+    cnt_cols = ",\n         ".join(
+        f"SUM(CASE WHEN substring(h, {p + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS c{p}"
+        for p in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN c{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(16))
+    return (
+        _TOK_CTE
+        + f""",
+    tokx AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+    hx AS (SELECT doc_id, md5(tok) AS h FROM tokx),
+    cnt AS (SELECT doc_id, {cnt_cols} FROM hx GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS INTEGER) AS simhash FROM cnt
+    """
+    )
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (sign-of-weighted-sum over md5 nibbles)."""
+    return D.simhash16(_docs(spark, sf_dir))

@@ -1,1 +1,108 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Similarity-search queries over `embeddings` (64-dim array<float>),
+each with an exact DuckDB oracle.
+
+Bit-exact float parity: both engines fold the dot product left-to-right
+over f64-cast elements (Spark `aggregate` / DuckDB `list_reduce`), so
+cosine values are identical doubles before the (cosmetic) round."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tansu_spark.functions import similarity as S
+from tansu_spark.queries import query
+from tansu_spark.tables import load
+
+N_DIMS = 64
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {N_DIMS + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"round({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 10)"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings")
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding AS ce FROM embeddings)
+    SELECT query_id, vec_id, {_cos_sql("qe", "ce")} AS cosine
+    FROM c CROSS JOIN q
+    WHERE vec_id != query_id
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY {_cos_sql("qe", "ce")} DESC, vec_id) <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors — the exact ANN
+    baseline. Queries broadcast; corpus scanned once, never shuffled."""
+    emb = _emb(spark, sf_dir)
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def _bucket_sql(vec: str) -> str:
+    planes = S.hyperplanes(4, N_DIMS)
+    terms = []
+    for p, plane in enumerate(planes):
+        lits = "[" + ",".join(f"{float(c):.1f}" for c in plane) + "]"
+        proj = (
+            f"list_reduce(list_transform(range(1, {N_DIMS + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lits})[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+@query(
+    "sim_lsh_ann_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                      {_bucket_sql("embedding")} AS bucket
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding AS ce,
+                      {_bucket_sql("embedding")} AS bucket
+               FROM embeddings)
+    SELECT query_id, vec_id, {_cos_sql("qe", "ce")} AS cosine
+    FROM c JOIN q USING (bucket)
+    WHERE vec_id != query_id
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY {_cos_sql("qe", "ce")} DESC, vec_id) <= 5
+    """,
+)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5: sign-random-projection buckets
+    (md5-derived ±1 hyperplanes), candidates equi-joined on bucket id —
+    the scale path where per-query full scans are off the table."""
+    emb = _emb(spark, sf_dir)
+    return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           {_cos_sql("a.embedding", "c.embedding")} AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_cos_sql("a.embedding", "c.embedding")} >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked (same-bucket
+    comparisons only). Threshold 0.35 — the synthetic embeddings have no
+    planted near-dups (max pairwise cosine ≈ 0.6), so a production-style
+    0.9 threshold would make the check vacuous; 0.35 exercises the full
+    block→score→filter path with non-empty output at every SF."""
+    return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
