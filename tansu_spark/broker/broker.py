@@ -1,0 +1,422 @@
+"""The broker: schema-enforced partitioned topics with Kafka-equivalent
+semantics, backed by immutable parquet segments + small JSON state.
+
+Reference parity map (SURVEY.md §2.1, §2.9):
+- create/delete/describe topic   ← Storage::create_topic (lib.rs:1349)
+- produce: contiguous per-partition offsets, watermark bump, idempotence
+                                  ← pg.rs:760-991 produce_in_tx
+- fetch: offset-range scan, keyed "virtual topic" filter, byte budget,
+  read_committed isolation        ← pg.rs:1799-2059, record_fetch*.sql
+- list_offsets earliest/latest/timestamp ← pg.rs:2274-2330
+- consumer-group offset commit/fetch ← pg.rs:2104-2186
+- transactions: begin/commit/abort with last-stable-offset gating and
+  aborted-range exclusion         ← pg.rs:3187-3647, watermark_select_stable.sql
+
+Storage layout (one directory per topic):
+    <root>/topics/<name>/topic.json          config + partitions
+    <root>/topics/<name>/watermarks.json     {partition: {low, high}}
+    <root>/topics/<name>/producers.json      idempotence fences
+    <root>/topics/<name>/txns.json           open/committed/aborted txns
+    <root>/topics/<name>/data/partition=N/*.parquet   immutable segments
+    <root>/groups/<group>.json               committed consumer offsets
+
+Scale design:
+- The data plane is pure parquet: fetch is a partition-pruned
+  (`partition=N` directory), predicate-pushed scan; Spark never lists
+  more than the target topition's directory.
+- Offsets are assigned per partition from the watermark document — no
+  global coordination, no shuffle; a 1000-partition topic takes 1000
+  independent produce streams.
+- Visibility = the watermark document, not directory listing: a reader
+  never sees offsets above `high`, so half-written batches are invisible
+  (files land before the watermark bump — same ordering the reference
+  uses: COPY rows, then watermark_update, pg.rs:971-985).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from tansu_spark.broker.state import file_lock, read_json, write_json_atomic
+from tansu_spark.operators import kafka as K
+
+# Wire-record envelope (FIXTURES.md; inflated.rs:66-109).
+RECORD_SCHEMA = StructType(
+    [
+        StructField("partition", IntegerType(), False),
+        StructField("offset", LongType(), False),
+        StructField("timestamp", TimestampType(), False),
+        StructField("key", BinaryType(), True),
+        StructField("value", BinaryType(), True),
+        StructField(
+            "headers",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("key", StringType(), False),
+                        StructField("value", BinaryType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        StructField("txn_id", StringType(), True),
+        StructField("control", IntegerType(), False),
+    ]
+)
+
+
+@dataclass
+class TopicConfig:
+    """Topic configuration — the `tansu.*` config surface (FIXTURES.md §10)."""
+
+    partitions: int = 1
+    config: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def cleanup_policy(self) -> str:
+        return self.config.get("cleanup.policy", "delete")
+
+    @property
+    def retention_ms(self) -> int:
+        # 7-day default, mirroring pg.rs:1288.
+        return int(self.config.get("retention.ms", 7 * 24 * 3600 * 1000))
+
+    @property
+    def virtual(self) -> bool:
+        return self.config.get("tansu.virtual", "false") == "true"
+
+
+class Broker:
+    """A stateless-broker-equivalent: all state lives in the store root."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "topics"), exist_ok=True)
+        os.makedirs(os.path.join(root, "groups"), exist_ok=True)
+
+    # ------------------------------------------------------------------ paths
+    def _topic_dir(self, topic: str) -> str:
+        return os.path.join(self.root, "topics", topic)
+
+    def _data_dir(self, topic: str) -> str:
+        return os.path.join(self._topic_dir(topic), "data")
+
+    def _state(self, topic: str, name: str) -> str:
+        return os.path.join(self._topic_dir(topic), name)
+
+    # ------------------------------------------------------------ topic admin
+    def create_topic(
+        self, topic: str, partitions: int = 1, config: dict[str, str] | None = None
+    ) -> None:
+        tdir = self._topic_dir(topic)
+        if os.path.exists(tdir):
+            raise ValueError(f"topic {topic!r} already exists")
+        os.makedirs(self._data_dir(topic))
+        write_json_atomic(
+            self._state(topic, "topic.json"),
+            {
+                "name": topic,
+                "uuid": str(uuid.uuid4()),
+                "partitions": partitions,
+                "config": config or {},
+            },
+        )
+        write_json_atomic(
+            self._state(topic, "watermarks.json"),
+            {str(p): {"low": 0, "high": 0} for p in range(partitions)},
+        )
+
+    def delete_topic(self, topic: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._topic_dir(topic))
+
+    def topics(self) -> list[str]:
+        return sorted(os.listdir(os.path.join(self.root, "topics")))
+
+    def describe_topic(self, topic: str) -> TopicConfig:
+        doc = read_json(self._state(topic, "topic.json"), None)
+        if doc is None:
+            raise KeyError(f"no such topic {topic!r}")
+        return TopicConfig(partitions=doc["partitions"], config=doc.get("config", {}))
+
+    # --------------------------------------------------------------- producing
+    def produce(
+        self,
+        topic: str,
+        df: DataFrame,
+        producer_id: int | None = None,
+        producer_epoch: int = 0,
+        base_sequence: int | None = None,
+        txn_id: str | None = None,
+    ) -> dict[int, int]:
+        """Append a batch. Input columns: key, value (+optional headers,
+        timestamp, partition). Missing partition → hash(key) % partitions
+        (null keys land on partition 0, deterministically).
+
+        Returns {partition: base_offset} for the appended rows.
+
+        Exactly-once: (producer_id, epoch, base_sequence) duplicates are
+        rejected against the producer fence (idempotent_message_check,
+        pg.rs:257-338). Offsets are contiguous per partition; the watermark
+        bump is the commit point.
+        """
+        cfg = self.describe_topic(topic)
+        cols = set(df.columns)
+        out = df
+        if "timestamp" not in cols:
+            out = out.withColumn("timestamp", F.current_timestamp())
+        if "headers" not in cols:
+            out = out.withColumn("headers", F.lit(None).cast(RECORD_SCHEMA["headers"].dataType))
+        if "partition" not in cols:
+            out = out.withColumn(
+                "partition",
+                F.coalesce(
+                    F.pmod(F.hash(F.col("key")), F.lit(cfg.partitions)), F.lit(0)
+                ).cast("int"),
+            )
+        out = out.withColumn("key", F.col("key").cast("binary")).withColumn(
+            "value", F.col("value").cast("binary")
+        )
+
+        with file_lock(self._state(topic, ".lock")):
+            # Idempotence fence.
+            if producer_id is not None and base_sequence is not None:
+                fences = read_json(self._state(topic, "producers.json"), {})
+                fence = fences.get(str(producer_id), {"epoch": -1, "last_sequence": -1})
+                if producer_epoch < fence["epoch"]:
+                    raise ValueError(
+                        f"fenced: producer epoch {producer_epoch} < {fence['epoch']}"
+                    )
+                if (
+                    producer_epoch == fence["epoch"]
+                    and base_sequence <= fence["last_sequence"]
+                ):
+                    return {}  # duplicate batch — dropped, like the reference
+                fences[str(producer_id)] = {
+                    "epoch": producer_epoch,
+                    "last_sequence": base_sequence,
+                }
+                write_json_atomic(self._state(topic, "producers.json"), fences)
+
+            marks = read_json(self._state(topic, "watermarks.json"), {})
+
+            # Contiguous offset assignment: row_number within partition
+            # (input order within a partition preserved via a monotonic id),
+            # based at the current high watermark.
+            base = F.create_map(
+                *[
+                    x
+                    for p, m in marks.items()
+                    for x in (F.lit(int(p)), F.lit(int(m["high"])))
+                ]
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("partition").orderBy("_seq")
+            staged = (
+                out.withColumn("_seq", F.monotonically_increasing_id())
+                .withColumn(
+                    "offset",
+                    (base[F.col("partition")] + F.row_number().over(w) - 1).cast("long"),
+                )
+                .withColumn("txn_id", F.lit(txn_id).cast("string"))
+                .withColumn("control", F.lit(0))
+                .select([f.name for f in RECORD_SCHEMA.fields])
+            )
+
+            # Per-partition row counts once, up front (recomputing from the
+            # written plan would re-run the whole job).
+            counts = {
+                int(r["partition"]): r["n"]
+                for r in out.groupBy("partition").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+
+            # Land files first, bump watermarks second (visibility order).
+            staged.write.mode("append").partitionBy("partition").parquet(
+                self._data_dir(topic)
+            )
+            result: dict[int, int] = {}
+            for p, n in counts.items():
+                m = marks.setdefault(str(p), {"low": 0, "high": 0})
+                result[p] = int(m["high"])
+                m["high"] = int(m["high"]) + int(n)
+            write_json_atomic(self._state(topic, "watermarks.json"), marks)
+
+            if txn_id is not None:
+                txns = read_json(self._state(topic, "txns.json"), {})
+                t = txns.setdefault(
+                    txn_id, {"state": "open", "ranges": {}}
+                )
+                for p, n in counts.items():
+                    lo, _ = t["ranges"].get(str(p), [result[p], result[p]])
+                    t["ranges"][str(p)] = [min(lo, result[p]), result[p] + n]
+                write_json_atomic(self._state(topic, "txns.json"), txns)
+        return result
+
+    def produce_rows(self, topic: str, rows: list[dict[str, Any]], **kw) -> dict[int, int]:
+        """Convenience: produce a small batch of {key, value, ...} dicts
+        (the `cat produce` path, nisshi-cat/src/produce.rs)."""
+        import datetime
+
+        def enc(v):
+            return v.encode() if isinstance(v, str) else v
+
+        schema = StructType(
+            [
+                StructField("key", BinaryType(), True),
+                StructField("value", BinaryType(), True),
+                StructField("timestamp", TimestampType(), True),
+            ]
+        )
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        data = [
+            (enc(r.get("key")), enc(r.get("value")), r.get("timestamp", now)) for r in rows
+        ]
+        return self.produce(topic, self.spark.createDataFrame(data, schema), **kw)
+
+    # ---------------------------------------------------------------- fetching
+    def _parse_topic_key(self, topic: str) -> tuple[str, bytes | None]:
+        """`orders/KEY-1` → keyed fetch on virtual topics (pg.rs:1304-1332)."""
+        if "/" in topic:
+            name, key = topic.split("/", 1)
+            if not self.describe_topic(name).virtual:
+                raise ValueError(f"topic {name!r} is not virtual (tansu.virtual=true)")
+            return name, key.encode()
+        return topic, None
+
+    def records(self, topic: str) -> DataFrame:
+        """The raw topic DataFrame (all partitions, uncommitted included)."""
+        self.describe_topic(topic)  # clean KeyError for unknown topics
+        data = self._data_dir(topic)
+        if not any(e.startswith("partition=") for e in os.listdir(data)):
+            return self.spark.createDataFrame([], RECORD_SCHEMA)
+        df = self.spark.read.schema(RECORD_SCHEMA).parquet(data)
+        return df
+
+    def _aborted_ranges(self, topic: str) -> dict[str, list[list[int]]]:
+        txns = read_json(self._state(topic, "txns.json"), {})
+        out: dict[str, list[list[int]]] = {}
+        for t in txns.values():
+            if t["state"] == "aborted":
+                for p, rng in t["ranges"].items():
+                    out.setdefault(p, []).append(rng)
+        return out
+
+    def last_stable_offsets(self, topic: str) -> dict[int, int]:
+        """LSO per partition = min(open txn start) else high watermark
+        (watermark_select_stable.sql; pg.rs:1821-1827)."""
+        marks = read_json(self._state(topic, "watermarks.json"), {})
+        lso = {int(p): int(m["high"]) for p, m in marks.items()}
+        txns = read_json(self._state(topic, "txns.json"), {})
+        for t in txns.values():
+            if t["state"] == "open":
+                for p, (lo, _hi) in t["ranges"].items():
+                    lso[int(p)] = min(lso[int(p)], int(lo))
+        return lso
+
+    def fetch(
+        self,
+        topic: str,
+        partition: int | None = None,
+        offset: int = 0,
+        max_bytes: int | None = None,
+        isolation: str = "read_uncommitted",
+    ) -> DataFrame:
+        """Offset-range scan bounded by the isolation frontier; supports
+        `topic/KEY` virtual-topic syntax and the max_bytes running budget."""
+        name, key = self._parse_topic_key(topic)
+        marks = read_json(self._state(name, "watermarks.json"), {})
+        df = self.records(name)
+
+        # Frontier: map partition → exclusive upper bound.
+        if isolation == "read_committed":
+            bounds = self.last_stable_offsets(name)
+        else:
+            bounds = {int(p): int(m["high"]) for p, m in marks.items()}
+        hi = F.create_map(
+            *[x for p, b in bounds.items() for x in (F.lit(p), F.lit(b))]
+        )
+        df = df.filter(F.col("offset") < hi[F.col("partition")])
+
+        if isolation == "read_committed":
+            # Exclude aborted ranges (fetch surfaces aborted txns, lib.rs:1527).
+            for p, ranges in self._aborted_ranges(name).items():
+                for lo, hi_ex in ranges:
+                    df = df.filter(
+                        ~(
+                            (F.col("partition") == int(p))
+                            & (F.col("offset") >= lo)
+                            & (F.col("offset") < hi_ex)
+                        )
+                    )
+
+        df = df.filter(F.col("control") == 0)
+        if max_bytes is not None:
+            if partition is None:
+                raise ValueError("max_bytes fetch requires a partition")
+            return K.fetch_max_bytes(
+                K.fetch(df, key=key) if key is not None else df,
+                partition=partition,
+                offset_lo=offset,
+                max_bytes=max_bytes,
+            )
+        return K.fetch(df, partition=partition, offset_lo=offset, key=key)
+
+    # ----------------------------------------------------------- offset lookup
+    def list_offsets(self, topic: str, spec: str | Any = "latest") -> dict[int, int]:
+        """'earliest' | 'latest' | a timestamp → {partition: offset}."""
+        marks = read_json(self._state(topic, "watermarks.json"), {})
+        if spec == "earliest":
+            return {int(p): int(m["low"]) for p, m in marks.items()}
+        if spec == "latest":
+            return {int(p): int(m["high"]) for p, m in marks.items()}
+        rows = K.offsets_for_timestamp(self.records(topic), spec).collect()
+        return {int(r["partition"]): int(r["offset"]) for r in rows}
+
+    # ---------------------------------------------------------- consumer groups
+    def commit_offsets(self, group: str, offsets: dict[tuple[str, int], int]) -> None:
+        """Persist a group cursor (offset_commit, pg.rs:2104-2186). Spark's
+    own streaming checkpoints supersede this; kept for API parity."""
+        path = os.path.join(self.root, "groups", f"{group}.json")
+        with file_lock(path + ".lock"):
+            doc = read_json(path, {})
+            for (topic, partition), off in offsets.items():
+                doc.setdefault(topic, {})[str(partition)] = int(off)
+            write_json_atomic(path, doc)
+
+    def fetch_offsets(self, group: str, topic: str) -> dict[int, int]:
+        doc = read_json(os.path.join(self.root, "groups", f"{group}.json"), {})
+        return {int(p): int(o) for p, o in doc.get(topic, {}).items()}
+
+    # ------------------------------------------------------------- transactions
+    def end_txn(self, topic: str, txn_id: str, commit: bool) -> None:
+        """EndTxn (pg.rs:3187-3647 simplified): flip the txn state; committed
+        ranges become visible to read_committed, aborted ranges are excluded
+        forever. Single-topic scope — multi-table atomicity is out of Spark's
+        commit model (SURVEY §7 hard part d) and documented as such."""
+        with file_lock(self._state(topic, ".lock")):
+            txns = read_json(self._state(topic, "txns.json"), {})
+            if txn_id not in txns:
+                raise KeyError(f"unknown txn {txn_id!r}")
+            txns[txn_id]["state"] = "committed" if commit else "aborted"
+            write_json_atomic(self._state(topic, "txns.json"), txns)
