@@ -107,9 +107,13 @@ class TopicConfig:
 class Broker:
     """A stateless-broker-equivalent: all state lives in the store root."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, registry=None):
+        """``registry``: optional SchemaRegistry; when set, produced batches
+        to schema-backed topics are validated (reject-whole-batch) unless
+        the topic sets tansu.schema.validation=false."""
         self.spark = spark
         self.root = root
+        self.registry = registry
         os.makedirs(os.path.join(root, "topics"), exist_ok=True)
         os.makedirs(os.path.join(root, "groups"), exist_ok=True)
 
@@ -197,6 +201,14 @@ class Broker:
         out = out.withColumn("key", F.col("key").cast("binary")).withColumn(
             "value", F.col("value").cast("binary")
         )
+
+        # Schema validation before taking the write lock (pg.rs:801-823;
+        # bypass via tansu.schema.validation=false, FIXTURES.md §10).
+        if (
+            self.registry is not None
+            and cfg.config.get("tansu.schema.validation", "true") != "false"
+        ):
+            self.registry.validate(topic, out)
 
         with file_lock(self._state(topic, ".lock")):
             # Idempotence fence.
@@ -312,6 +324,15 @@ class Broker:
             return self.spark.createDataFrame([], RECORD_SCHEMA)
         df = self.spark.read.schema(RECORD_SCHEMA).parquet(data)
         return df
+
+    def typed_records(self, topic: str) -> DataFrame:
+        """Schema-decoded topic view with the broker `meta` struct — the
+        DataFrame the lake sink materializes (Registry::as_arrow + meta
+        injection, avro/arrow.rs:1104-1199)."""
+        df = self.records(topic)
+        if self.registry is not None:
+            df = self.registry.decode(topic, df)
+        return K.with_meta(df)
 
     def _aborted_ranges(self, topic: str) -> dict[str, list[list[int]]]:
         txns = read_json(self._state(topic, "txns.json"), {})

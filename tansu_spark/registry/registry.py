@@ -1,0 +1,165 @@
+"""Schema registry: topic → (key, value) schemas with produce-time
+validation and typed decode.
+
+Mirrors the reference's embedded registry (nisshi-schema/src/lib.rs:353-600):
+an object store of `{topic}.avsc/.json/.proto` files, TTL-cached
+(lib.rs:491-569), validating every produced batch (lib.rs:571-599 — any
+invalid record rejects the whole batch) and converting batches to typed
+columnar data for the lake (AsArrow, lib.rs:237-245).
+
+Spark-first shape: values travel as JSON bytes (the reference's own CLI
+produce path takes JSON and encodes per schema — nisshi-cat/src/produce.rs);
+decode = from_json into the schema-derived StructType; validation = a
+compiled JVM-side predicate (parse success + constraint subset). Avro/proto
+*wire* decoding would use the spark-avro / spark-protobuf runtimes — gated
+out here, the typed-column surface is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, StructType
+
+from tansu_spark.registry.types import (
+    avro_to_spark,
+    compile_constraints,
+    json_schema_to_spark,
+    load_schema_file,
+)
+
+
+class ValidationError(ValueError):
+    """A produced batch failed schema validation (whole batch rejected,
+    per Registry::validate)."""
+
+
+class TopicSchema:
+    def __init__(self, dialect: str, raw: Any):
+        self.dialect = dialect
+        self.raw = raw
+
+    def _part(self, which: str):  # "key" | "value"
+        if self.dialect == "avro":
+            # .avsc: record with optional key/value fields (avro.rs:55-64)
+            for f in self.raw.get("fields", []):
+                if f["name"] == which:
+                    return f["type"]
+            return None
+        if self.dialect == "json":
+            return self.raw.get("properties", {}).get(which)
+        if self.dialect == "proto":
+            name = {"key": "Key", "value": "Value"}[which]
+            return self.raw.get(name)
+        return None
+
+    def spark_type(self, which: str) -> DataType | None:
+        part = self._part(which)
+        if part is None:
+            return None
+        if self.dialect == "avro":
+            return avro_to_spark(part)
+        if self.dialect == "json":
+            return json_schema_to_spark(part)
+        return part  # proto parser already returns StructType
+
+    def constraint(self, which: str, col: Column) -> Column:
+        """Constraint predicate beyond structural parse (JSON Schema only —
+        Avro/proto validity is structural)."""
+        if self.dialect == "json":
+            part = self._part(which)
+            if part is not None:
+                return compile_constraints(part, col)
+        return F.lit(True)
+
+
+class SchemaRegistry:
+    """Directory-backed registry with a TTL cache (lib.rs:491-569)."""
+
+    EXTENSIONS = (".json", ".avsc", ".proto")
+
+    def __init__(self, root: str, ttl_seconds: float = 300.0):
+        self.root = root
+        self.ttl = ttl_seconds
+        self._cache: dict[str, tuple[float, TopicSchema | None]] = {}
+
+    def schema_for(self, topic: str) -> TopicSchema | None:
+        hit = self._cache.get(topic)
+        if hit and (time.monotonic() - hit[0]) < self.ttl:
+            return hit[1]
+        found: TopicSchema | None = None
+        for ext in self.EXTENSIONS:
+            path = os.path.join(self.root, f"{topic}{ext}")
+            if os.path.exists(path):
+                dialect, raw = load_schema_file(path)
+                found = TopicSchema(dialect, raw)
+                break
+        self._cache[topic] = (time.monotonic(), found)
+        return found
+
+    # ------------------------------------------------------------- validation
+    def _valid_predicate(self, ts: TopicSchema, df: DataFrame) -> Column:
+        """True iff the record passes: each schema'd part must parse into
+        the expected type (nulls allowed only for absent parts) and satisfy
+        compiled constraints."""
+        preds = []
+        for which in ("key", "value"):
+            st = ts.spark_type(which)
+            if st is None:
+                continue
+            raw = F.col(which).cast("string")
+            if isinstance(st, StructType):
+                # PERMISSIVE from_json yields null for unparseable input —
+                # the null check below is the parse-validity test.
+                parsed = F.from_json(raw, st)
+                ok = F.col(which).isNull() | (
+                    parsed.isNotNull() & ts.constraint(which, parsed)
+                )
+            else:
+                value = raw.cast(st)
+                ok = F.col(which).isNull() | (
+                    value.isNotNull() & ts.constraint(which, value)
+                )
+            preds.append(ok)
+        if not preds:
+            return F.lit(True)
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+
+    def validate(self, topic: str, df: DataFrame) -> None:
+        """Reject the batch if ANY record is invalid (lib.rs:571-599).
+        One aggregate over the batch — no row-at-a-time Python."""
+        ts = self.schema_for(topic)
+        if ts is None:
+            return
+        n_bad = df.filter(~self._valid_predicate(ts, df)).count()
+        if n_bad:
+            raise ValidationError(
+                f"batch rejected: {n_bad} record(s) fail the {ts.dialect} "
+                f"schema for topic {topic!r}"
+            )
+
+    # ----------------------------------------------------------------- decode
+    def decode(self, topic: str, df: DataFrame) -> DataFrame:
+        """Typed view of a topic DataFrame: key/value bytes → schema'd
+        columns (the AsArrow equivalent, feeding the lake sink)."""
+        ts = self.schema_for(topic)
+        if ts is None:
+            return df
+        out = df
+        for which in ("key", "value"):
+            st = ts.spark_type(which)
+            if st is None:
+                continue
+            raw = F.col(which).cast("string")
+            decoded = (
+                F.from_json(raw, st) if isinstance(st, StructType) else raw.cast(st)
+            )
+            out = out.withColumn(which, decoded)
+        return out

@@ -1,0 +1,324 @@
+"""Schema-dialect → Spark StructType converters.
+
+Implements the reference's type matrix (SURVEY.md §1.3):
+- Avro (.avsc)      ← nisshi-schema/src/avro/arrow.rs:111-247
+- JSON Schema (.json) ← nisshi-schema/src/json/arrow.rs:87-148
+- Protobuf (.proto) ← nisshi-schema/src/proto/arrow.rs:152-262
+
+Divergences from the Arrow mapping, forced by Spark's type system and
+documented per SURVEY §7 hard parts:
+- Avro time-millis/micros → LongType (Spark has no time-of-day type).
+- Avro general unions → struct of nullable branches + `_tag` int
+  (Spark has no dense union).
+- Avro duration → struct<months,days,milliseconds>.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DataType,
+    DecimalType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    NullType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+# --------------------------------------------------------------------- Avro
+
+_AVRO_PRIMITIVES: dict[str, DataType] = {
+    "null": NullType(),
+    "boolean": BooleanType(),
+    "int": IntegerType(),
+    "long": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+    "bytes": BinaryType(),
+    "string": StringType(),
+}
+
+_AVRO_LOGICAL: dict[str, DataType] = {
+    "uuid": StringType(),
+    "date": DateType(),
+    "time-millis": LongType(),
+    "time-micros": LongType(),
+    "timestamp-millis": TimestampType(),
+    "timestamp-micros": TimestampType(),
+    "timestamp-nanos": TimestampType(),
+    "local-timestamp-millis": TimestampNTZType(),
+    "local-timestamp-micros": TimestampNTZType(),
+}
+
+
+def avro_to_spark(schema: Any) -> DataType:
+    """Avro schema (parsed JSON) → Spark type, per avro/arrow.rs:111-247."""
+    if isinstance(schema, str):
+        return _AVRO_PRIMITIVES[schema]
+    if isinstance(schema, list):  # union
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) == 1:
+            return avro_to_spark(non_null[0])  # nullable [null, T]
+        # dense union → struct-of-nullable-branches + tag (no Spark union)
+        fields = [StructField("_tag", IntegerType(), False)] + [
+            StructField(f"u{i}", avro_to_spark(s), True) for i, s in enumerate(non_null)
+        ]
+        return StructType(fields)
+    if not isinstance(schema, dict):
+        raise ValueError(f"bad avro schema node: {schema!r}")
+
+    logical = schema.get("logicalType")
+    if logical:
+        if logical == "decimal":
+            return DecimalType(schema.get("precision", 10), schema.get("scale", 0))
+        if logical == "duration":
+            return StructType(
+                [
+                    StructField("months", IntegerType(), False),
+                    StructField("days", IntegerType(), False),
+                    StructField("milliseconds", IntegerType(), False),
+                ]
+            )
+        if logical in _AVRO_LOGICAL:
+            return _AVRO_LOGICAL[logical]
+
+    t = schema["type"]
+    if t == "record":
+        return StructType(
+            [
+                StructField(f["name"], avro_to_spark(f["type"]), _avro_nullable(f["type"]))
+                for f in schema["fields"]
+            ]
+        )
+    if t == "enum":
+        return StringType()  # arrow.rs:122 enum → Utf8
+    if t == "array":
+        return ArrayType(avro_to_spark(schema["items"]))
+    if t == "map":
+        return MapType(StringType(), avro_to_spark(schema["values"]))
+    if t == "fixed":
+        return BinaryType()  # arrow.rs:205 FixedSizeBinary → no Spark fixed
+    return avro_to_spark(t)
+
+
+def _avro_nullable(schema: Any) -> bool:
+    return isinstance(schema, list) and "null" in schema
+
+
+# -------------------------------------------------------------- JSON Schema
+
+
+def json_schema_to_spark(schema: dict[str, Any]) -> DataType:
+    """JSON Schema → Spark type.
+
+    The reference infers Arrow types from instance values (json/arrow.rs:
+    87-148: integral Number → Int64 else Float64); we map the declared
+    schema the same way: integer → Long, number → Double.
+    """
+    t = schema.get("type")
+    if t == "object" or (t is None and "properties" in schema):
+        props = schema.get("properties", {})
+        req = set(schema.get("required", []))
+        return StructType(
+            [
+                StructField(name, json_schema_to_spark(sub), name not in req)
+                for name, sub in props.items()
+            ]
+        )
+    if t == "array":
+        return ArrayType(json_schema_to_spark(schema.get("items", {"type": "string"})))
+    return {
+        "string": StringType(),
+        "integer": LongType(),
+        "number": DoubleType(),
+        "boolean": BooleanType(),
+        "null": NullType(),
+    }.get(t, StringType())
+
+
+# ----------------------------------------------------------------- Protobuf
+
+_PROTO_SCALARS: dict[str, DataType] = {
+    # proto/arrow.rs:152-165
+    "int32": IntegerType(),
+    "sint32": IntegerType(),
+    "sfixed32": IntegerType(),
+    "uint32": IntegerType(),
+    "fixed32": IntegerType(),
+    "int64": LongType(),
+    "sint64": LongType(),
+    "sfixed64": LongType(),
+    "uint64": LongType(),
+    "fixed64": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+    "bool": BooleanType(),
+    "string": StringType(),
+    "bytes": BinaryType(),
+}
+
+_MSG_RE = re.compile(r"message\s+(\w+)\s*\{")
+_FIELD_RE = re.compile(
+    r"^\s*(repeated\s+|optional\s+)?([\w.<>, ]+?)\s+(\w+)\s*=\s*\d+\s*(\[[^\]]*\])?\s*;"
+)
+_ENUM_RE = re.compile(r"enum\s+(\w+)\s*\{")
+_MAP_RE = re.compile(r"map\s*<\s*(\w+)\s*,\s*(\w+)\s*>")
+
+
+def _block(text: str, open_idx: int) -> tuple[str, int]:
+    """Return the {...} block body starting at the brace at open_idx."""
+    depth = 0
+    for i in range(open_idx, len(text)):
+        if text[i] == "{":
+            depth += 1
+        elif text[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return text[open_idx + 1 : i], i
+    raise ValueError("unbalanced braces in .proto")
+
+
+def parse_proto(text: str) -> dict[str, StructType]:
+    """Minimal .proto (proto3) parser: messages, scalar fields, repeated,
+    maps, enums (→ Int32 per proto/arrow.rs:152), nested messages.
+
+    Covers the reference's fixture surface (etc/schema/*.proto: employee,
+    search, taxi, customer with nested Address + repeated). Wire-format
+    binary decode needs the spark-protobuf runtime — out of scope; the
+    produce path carries JSON-encoded values, as nisshi-cat does.
+    """
+    # strip comments
+    text = re.sub(r"//[^\n]*", "", text)
+    messages: dict[str, str] = {}
+    enums: set[str] = set()
+
+    def walk(body: str, prefix: str = ""):
+        pos = 0
+        while True:
+            m_msg = _MSG_RE.search(body, pos)
+            m_enum = _ENUM_RE.search(body, pos)
+            cands = [m for m in (m_msg, m_enum) if m]
+            if not cands:
+                break
+            m = min(cands, key=lambda x: x.start())
+            inner, end = _block(body, m.end() - 1)
+            name = m.group(1)
+            if m.re is _MSG_RE:
+                messages[name] = inner
+                walk(inner, prefix + name + ".")
+            else:
+                enums.add(name)
+            pos = end + 1
+
+    walk(text)
+
+    def field_type(tname: str) -> DataType:
+        tname = tname.strip()
+        mm = _MAP_RE.match(tname)
+        if mm:
+            return MapType(_PROTO_SCALARS[mm.group(1)], field_type(mm.group(2)))
+        if tname in _PROTO_SCALARS:
+            return _PROTO_SCALARS[tname]
+        if tname in enums:
+            return IntegerType()  # proto enum → Int32
+        if tname in ("google.protobuf.Timestamp",):
+            return TimestampType()  # proto/arrow.rs:159-161
+        if tname in messages:
+            return build(tname)
+        raise ValueError(f"unknown proto type {tname!r}")
+
+    def build(msg: str) -> StructType:
+        fields = []
+        body = messages[msg]
+        # remove nested blocks so the field regex only sees this level
+        flat = []
+        depth = 0
+        for line in body.splitlines():
+            depth_delta = line.count("{") - line.count("}")
+            if depth == 0 and "{" not in line:
+                flat.append(line)
+            depth += depth_delta
+            if depth < 0:
+                depth = 0
+        for line in flat:
+            fm = _FIELD_RE.match(line)
+            if not fm:
+                continue
+            label, tname, fname = fm.group(1), fm.group(2), fm.group(3)
+            dt = field_type(tname)
+            if label and label.strip() == "repeated":
+                dt = ArrayType(dt)
+            fields.append(StructField(fname, dt, True))
+        return StructType(fields)
+
+    return {name: build(name) for name in messages}
+
+
+# --------------------------------------------------- constraint compilation
+
+
+def compile_constraints(schema: dict[str, Any], col):
+    """Compile the JSON-Schema constraint subset the fixtures use into a
+    Column predicate (JVM-side — validation without Python row loops):
+    type presence, required, pattern, minimum/maximum, enum.
+
+    Returns a boolean Column that is True iff the value satisfies the
+    schema. Mirrors Registry::validate semantics (lib.rs:571-599): any
+    failing record fails the batch.
+    """
+    from pyspark.sql import functions as F
+
+    preds = []
+    t = schema.get("type")
+    if t == "object":
+        for name in schema.get("required", []):
+            preds.append(col[name].isNotNull())
+        for name, sub in schema.get("properties", {}).items():
+            sub_pred = compile_constraints(sub, col[name])
+            # absent optional fields pass
+            if name in schema.get("required", []):
+                preds.append(sub_pred)
+            else:
+                preds.append(col[name].isNull() | sub_pred)
+    if "pattern" in schema:
+        preds.append(col.rlike(schema["pattern"]))
+    if "minimum" in schema:
+        preds.append(col >= schema["minimum"])
+    if "maximum" in schema:
+        preds.append(col <= schema["maximum"])
+    if "enum" in schema:
+        preds.append(col.isin(*schema["enum"]))
+
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def load_schema_file(path: str) -> tuple[str, Any]:
+    """→ (dialect, parsed schema) for .avsc / .json / .proto files."""
+    with open(path) as f:
+        text = f.read()
+    if path.endswith(".avsc"):
+        return "avro", json.loads(text)
+    if path.endswith(".json"):
+        return "json", json.loads(text)
+    if path.endswith(".proto"):
+        return "proto", parse_proto(text)
+    raise ValueError(f"unknown schema extension: {path}")
