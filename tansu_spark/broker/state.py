@@ -27,6 +27,9 @@ def read_json(path: str, default: Any) -> Any:
 
 
 def write_json_atomic(path: str, obj: Any) -> None:
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1, sort_keys=True)

@@ -1,0 +1,181 @@
+"""Config-driven lakehouse materialization of schema-backed topics.
+
+Reference parity (SURVEY §2.1 S4-S6, §2.8 X1-X3, §1.4):
+- one lake table per topic, named `{database}.{topic}`  (lake/delta.rs:293-295)
+- `tansu.lake.partition`      → partition columns       (delta.rs:339-340)
+- `tansu.lake.generate.<col>` → SQL generated columns   (delta.rs:236-272,385-485)
+- `tansu.lake.normalize`(+`.separator`) → struct flattening (delta.rs:274-290)
+- `tansu.lake.sink=false`     → rows stored, not materialized
+- add-only schema migration   (Delta::migrate_schema, delta.rs:624-667)
+- incremental store: only offsets above the last materialized watermark
+  are appended per call (the reference stores per produced batch)
+
+Spark-first: the "DataFusion pass" for generated columns is just
+``withColumn(name, expr(sql))`` — Catalyst IS the expression engine; the
+format is plain partitioned parquet (the reference's raw-Parquet sink,
+lake/quet.rs), with Delta/Iceberg as drop-in upgrades where those
+runtimes exist (import-gated, not assumed).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from tansu_spark.broker.state import file_lock, read_json, write_json_atomic
+
+
+def flatten_structs(df: DataFrame, separator: str = ".") -> DataFrame:
+    """Normalize: recursively expand struct columns to top-level columns
+    named parent<sep>child (Arrow RecordBatch::normalize equivalent)."""
+    cols = []
+
+    def walk(prefix: str, schema: StructType, path: str):
+        for f in schema.fields:
+            name = f"{prefix}{separator}{f.name}" if prefix else f.name
+            ref = f"{path}.{f.name}" if path else f.name
+            if isinstance(f.dataType, StructType):
+                walk(name, f.dataType, ref)
+            else:
+                cols.append(F.col(f"`{ref}`" if "." not in ref else ref).alias(name))
+
+    walk("", df.schema, "")
+    return df.select(*cols)
+
+
+class LakeSink:
+    def __init__(self, broker, lake_root: str, database: str = "tansu"):
+        self.broker = broker
+        self.spark = broker.spark
+        self.root = lake_root
+        self.database = database
+        os.makedirs(self.root, exist_ok=True)
+
+    # -------------------------------------------------------------- locations
+    def table_dir(self, topic: str) -> str:
+        return os.path.join(self.root, self.database, topic)
+
+    def _state_path(self) -> str:
+        return os.path.join(self.root, f"{self.database}.state.json")
+
+    # ----------------------------------------------------------------- config
+    def _lake_config(self, topic: str) -> dict[str, Any]:
+        cfg = self.broker.describe_topic(topic).config
+        generated = {
+            k[len("tansu.lake.generate.") :]: v
+            for k, v in cfg.items()
+            if k.startswith("tansu.lake.generate.")
+        }
+        return {
+            "sink": cfg.get("tansu.lake.sink", "true") != "false",
+            "partition": [
+                c.strip()
+                for c in cfg.get("tansu.lake.partition", "").split(",")
+                if c.strip()
+            ],
+            "generate": generated,
+            "normalize": cfg.get("tansu.lake.normalize", "false") == "true",
+            "separator": cfg.get("tansu.lake.normalize.separator", "."),
+            "z_order": [
+                c.strip()
+                for c in cfg.get("tansu.lake.z_order", "").split(",")
+                if c.strip()
+            ],
+        }
+
+    # ------------------------------------------------------------- transforms
+    def _apply(self, df: DataFrame, cfg: dict[str, Any]) -> tuple[DataFrame, list[str]]:
+        # 1. generated columns (before normalize, so exprs can see structs —
+        #    matching write_with_datafusion which runs on the raw batch).
+        for name, sql in cfg["generate"].items():
+            df = df.withColumn(name, F.expr(sql))
+        # 2. normalize
+        if cfg["normalize"]:
+            df = flatten_structs(df, cfg["separator"])
+        # 3. resolve partition columns: post-normalize names first, then
+        #    nested refs materialized under a flattened alias.
+        part_cols: list[str] = []
+        for spec in cfg["partition"]:
+            flat = spec.replace(".", cfg["separator"]) if cfg["normalize"] else None
+            if spec in df.columns:
+                part_cols.append(spec)
+            elif flat and flat in df.columns:
+                part_cols.append(flat)  # nested ref already flattened
+            else:
+                alias = spec.replace(".", "_")
+                df = df.withColumn(alias, F.expr(spec))
+                part_cols.append(alias)
+        return df, part_cols
+
+    # -------------------------------------------------------- schema migration
+    def _migrate_schema(self, topic: str, incoming: StructType) -> None:
+        """Add-only column evolution (delta.rs:624-667): new fields append,
+        type changes are rejected."""
+        path = os.path.join(self.table_dir(topic), "_schema.json")
+        old = read_json(path, None)
+        new = {f.name: f.dataType.simpleString() for f in incoming.fields}
+        if old is not None:
+            for name, t in new.items():
+                if name in old and old[name] != t:
+                    raise ValueError(
+                        f"schema migration rejected for {topic!r}: column "
+                        f"{name!r} changes {old[name]} -> {t} (add-only)"
+                    )
+            merged = {**old, **new}
+        else:
+            merged = new
+        write_json_atomic(path, merged)
+
+    # ------------------------------------------------------------------ store
+    def store(self, topic: str) -> int:
+        """Materialize newly produced records to the lake table; returns the
+        number of rows appended. Incremental on the per-partition offset
+        frontier, so repeated calls are cheap and exactly-once."""
+        cfg = self._lake_config(topic)
+        if not cfg["sink"]:
+            return 0
+        highs = self.broker.list_offsets(topic, "latest")
+
+        state_key = f"{self.database}.{topic}"
+        with file_lock(self._state_path() + ".lock"):
+            state = read_json(self._state_path(), {})
+            done = {int(p): o for p, o in state.get(state_key, {}).items()}
+
+            df = self.broker.typed_records(topic)
+            lo = F.create_map(
+                *[
+                    x
+                    for p in highs
+                    for x in (F.lit(p), F.lit(done.get(p, 0)))
+                ]
+            )
+            hi = F.create_map(
+                *[x for p, h in highs.items() for x in (F.lit(p), F.lit(h))]
+            )
+            fresh = df.filter(
+                (F.col("offset") >= lo[F.col("partition")])
+                & (F.col("offset") < hi[F.col("partition")])
+            ).drop("txn_id", "control")
+
+            out, part_cols = self._apply(fresh, cfg)
+            n = out.count()
+            if n:
+                self._migrate_schema(topic, out.schema)
+                writer = out.write.mode("append").option("mergeSchema", "true")
+                if part_cols:
+                    writer = writer.partitionBy(*part_cols)
+                writer.parquet(self.table_dir(topic))
+
+            state[state_key] = {str(p): h for p, h in highs.items()}
+            write_json_atomic(self._state_path(), state)
+        return n
+
+    def read(self, topic: str) -> DataFrame:
+        """The lake table, schema-merged across file generations."""
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self.table_dir(topic)
+        )

@@ -1,1 +1,151 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Lake-materialization operators as oracle-checked queries: SQL generated
+columns, struct normalization, partition layout stats, and the Z-order
+bucket/interleave math — the table-management surface of SURVEY §2.8/§2.6
+expressed over the shared test tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tansu_spark.queries import query
+from tansu_spark.queries.kafka_ops import TOPIC_CTE, events_topic
+from tansu_spark.tables import load
+
+
+@query(
+    "lake_generated_columns",
+    oracle=TOPIC_CTE
+    + """
+    SELECT "partition", "offset",
+           CAST("timestamp" AS DATE) AS event_date,
+           CAST(EXTRACT(hour FROM "timestamp") AS INTEGER) AS event_hour,
+           upper("key") AS key_upper
+    FROM topic WHERE "offset" < 50
+    """,
+)
+def lake_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (tansu.lake.generate.<col>=<expr>, delta.rs:236-272):
+    arbitrary SQL expressions evaluated at write time — withColumn(expr)
+    is the whole 'DataFusion pass'."""
+    df = events_topic(spark, sf_dir).filter(F.col("offset") < 50)
+    return (
+        df.withColumn("event_date", F.expr("cast(timestamp as date)"))
+        .withColumn("event_hour", F.expr("cast(extract(hour from timestamp) as int)"))
+        .withColumn("key_upper", F.expr("upper(key)"))
+        .select("partition", "offset", "event_date", "event_hour", "key_upper")
+    )
+
+
+@query(
+    "lake_normalize_flatten",
+    oracle=TOPIC_CTE
+    + """
+    SELECT "partition", "offset",
+           CAST(json_extract("value", '$.k') AS BIGINT) AS "value.k"
+    FROM topic WHERE "offset" < 50
+    """,
+)
+def lake_normalize_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize (tansu.lake.normalize, delta.rs:274-290): nested payload
+    structs flatten to top-level `parent.child` columns. The events `props`
+    JSON plays the schema'd value; flattening yields `value.k`."""
+    from tansu_spark.lake.sink import flatten_structs
+
+    df = (
+        events_topic(spark, sf_dir)
+        .filter(F.col("offset") < 50)
+        .select(
+            "partition",
+            "offset",
+            F.from_json(F.col("value"), "k long").alias("value"),
+        )
+    )
+    return flatten_structs(df, separator=".")
+
+
+@query(
+    "lake_partition_stats",
+    oracle=TOPIC_CTE
+    + """
+    SELECT CAST(EXTRACT(year FROM "timestamp") AS INTEGER) AS year,
+           CAST(EXTRACT(month FROM "timestamp") AS INTEGER) AS month,
+           CAST(EXTRACT(day FROM "timestamp") AS INTEGER) AS day,
+           COUNT(*) AS n_rows,
+           MIN("offset") AS min_offset,
+           MAX("offset") AS max_offset
+    FROM topic GROUP BY 1, 2, 3
+    """,
+)
+def lake_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake partition layout (tansu.lake.partition=meta.year,meta.month,...):
+    row/offset stats per date partition — what the partitionBy write lays
+    on disk, and what partition pruning prunes against."""
+    from tansu_spark.operators.kafka import with_meta
+
+    return (
+        with_meta(events_topic(spark, sf_dir))
+        .groupBy(
+            F.col("meta.year").alias("year"),
+            F.col("meta.month").alias("month"),
+            F.col("meta.day").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        )
+    )
+
+
+@query(
+    "lake_zorder_key",
+    oracle="""
+    WITH rng AS (
+      SELECT min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+             min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             least(CAST(floor(16 * (l_partkey - pk_min) / (pk_max - pk_min + 1)) AS BIGINT), 15) AS r0,
+             least(CAST(floor(16 * (l_suppkey - sk_min) / (sk_max - sk_min + 1)) AS BIGINT), 15) AS r1
+      FROM lineitem, rng
+    )
+    SELECT l_orderkey, l_linenumber,
+           ((r0 & 1) * 1 + (r1 & 1) * 2
+            + ((r0 >> 1) & 1) * 4 + ((r1 >> 1) & 1) * 8
+            + ((r0 >> 2) & 1) * 16 + ((r1 >> 2) & 1) * 32
+            + ((r0 >> 3) & 1) * 64 + ((r1 >> 3) & 1) * 128) AS zkey
+    FROM b
+    """,
+)
+def lake_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (OPTIMIZE ZORDER, delta.rs:577-586): fixed-range
+    4-bit buckets per column, bits interleaved into the Morton key the
+    rewrite sorts by. (The maintenance job uses approxQuantile buckets;
+    fixed-range here keeps the oracle deterministic.)"""
+    li = load(spark, sf_dir, "lineitem")
+    rng = li.agg(
+        F.min("l_partkey").alias("pk_min"),
+        F.max("l_partkey").alias("pk_max"),
+        F.min("l_suppkey").alias("sk_min"),
+        F.max("l_suppkey").alias("sk_max"),
+    )
+    b = li.crossJoin(F.broadcast(rng)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(
+            F.floor(16 * (F.col("l_partkey") - F.col("pk_min")) / (F.col("pk_max") - F.col("pk_min") + 1)),
+            F.lit(15),
+        ).alias("r0"),
+        F.least(
+            F.floor(16 * (F.col("l_suppkey") - F.col("sk_min")) / (F.col("sk_max") - F.col("sk_min") + 1)),
+            F.lit(15),
+        ).alias("r1"),
+    )
+    z = F.lit(0)
+    for bit in range(4):
+        z = z + F.shiftright("r0", bit).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * bit))
+        z = z + F.shiftright("r1", bit).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * bit + 1))
+    return b.select("l_orderkey", "l_linenumber", z.cast("long").alias("zkey"))
