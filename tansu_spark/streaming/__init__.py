@@ -1,0 +1,18 @@
+from tansu_spark.streaming.source import (
+    sessionize,
+    stream_to_lake,
+    stream_to_topic,
+    topic_stream,
+    windowed_counts,
+)
+from tansu_spark.streaming.generator import generate_batch, generator_stream
+
+__all__ = [
+    "topic_stream",
+    "stream_to_topic",
+    "stream_to_lake",
+    "windowed_counts",
+    "sessionize",
+    "generate_batch",
+    "generator_stream",
+]

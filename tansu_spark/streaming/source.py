@@ -1,0 +1,190 @@
+"""Structured Streaming front-end: topics as live sources/sinks.
+
+Reference parity (SURVEY §2.9):
+- a topic is consumable as a stream (the Fetch long-poll loop, T6) →
+  `readStream` file source over the topic's immutable segments;
+  `maxFilesPerTrigger` is the rate limit (T9, governor delta.rs:487-508)
+- streaming produce lands through the same idempotent produce path, with
+  the micro-batch id as the producer sequence → replayed batches dedupe,
+  giving exactly-once (T3: producer_id/epoch/sequence, pg.rs:257-338)
+- event-time windows/watermarks/sessionization (T7) are EXTENSIONS: the
+  reference has no event-time operators at all; Spark gives them to us.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tansu_spark.broker.broker import RECORD_SCHEMA, Broker
+
+
+def topic_stream(
+    broker: Broker, topic: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """A topic as a streaming DataFrame (new segments appear as produced).
+    Records carry the full envelope; apply broker.registry.decode for the
+    typed view."""
+    broker.describe_topic(topic)
+    reader = broker.spark.readStream.schema(RECORD_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(broker._data_dir(topic))
+
+
+def stream_to_topic(
+    broker: Broker,
+    topic: str,
+    stream: DataFrame,
+    checkpoint: str,
+    producer_id: int = 0,
+    trigger: dict | None = None,
+):
+    """writeStream → topic with exactly-once semantics: each micro-batch is
+    produced with base_sequence = batch_id, so a replayed batch (restart
+    between produce and checkpoint commit) is dropped by the idempotence
+    fence. Returns the StreamingQuery."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        broker.produce(
+            topic, batch, producer_id=producer_id, base_sequence=batch_id
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def stream_to_lake(broker: Broker, sink, topic: str, checkpoint: str, trigger=None):
+    """Continuous lake materialization: every micro-batch of new segments
+    triggers an incremental LakeSink.store (the reference sinks per
+    produced batch, pg.rs:987)."""
+    stream = topic_stream(broker, topic)
+
+    def step(_batch: DataFrame, _batch_id: int) -> None:
+        sink.store(topic)
+
+    writer = stream.writeStream.foreachBatch(step).option(
+        "checkpointLocation", checkpoint
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+# ------------------------------------------------------- event-time extensions
+
+
+def windowed_counts(
+    records: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data watermarking —
+    works on both the streaming and batch form of a topic DataFrame."""
+    df = records.withWatermark("timestamp", watermark) if records.isStreaming else records
+    win = F.window("timestamp", window, slide) if slide else F.window("timestamp", window)
+    group = [win] + [F.col(k) for k in (keys or [])]
+    return df.groupBy(*group).agg(F.count(F.lit(1)).alias("n_records"))
+
+
+_SESSION_SCHEMA = (
+    "key string, session_start timestamp, session_end timestamp, n_events long"
+)
+
+
+def sessionize(
+    records: DataFrame,
+    gap_seconds: int = 300,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessionization.
+
+    Streaming: applyInPandasWithState custom stateful operator (timeout-
+    driven session close). Batch: the classic window trick — a session id
+    is the running count of gap-breaks per key — same output schema, used
+    by tests to cross-check the stateful path.
+    """
+    if not records.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key").orderBy("timestamp")
+        gap_break = (
+            F.col("timestamp").cast("long")
+            - F.lag(F.col("timestamp").cast("long"), 1, 0).over(w)
+            > gap_seconds
+        ).cast("long")
+        return (
+            records.select(F.col("key").cast("string").alias("key"), "timestamp")
+            .withColumn("_brk", gap_break)
+            .withColumn("_sid", F.sum("_brk").over(w))
+            .groupBy("key", "_sid")
+            .agg(
+                F.min("timestamp").alias("session_start"),
+                F.max("timestamp").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .drop("_sid")
+            .select("key", "session_start", "session_end", "n_events")
+        )
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (k,) = key
+        rows = pd.concat(list(pdfs))
+        ts = pd.to_datetime(rows["timestamp"]).sort_values()
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [k],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        closed = []
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = int(ts.iloc[0].value // 1000)
+            n = 0
+        for t in ts:
+            t_us = int(t.value // 1000)
+            if n and t_us - end > gap_seconds * 1_000_000:
+                closed.append((start, end, n))
+                start, n = t_us, 0
+            end = t_us
+            n += 1
+        state.update((start, end, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [k] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return (
+        records.select(F.col("key").cast("string").alias("key"), "timestamp")
+        .withWatermark("timestamp", watermark)
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType="start long, end long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,146 @@
+"""Streaming front-end tests: topic as stream source, exactly-once stream
+produce (batch-id idempotence), windowed aggregation, sessionization
+(stateful vs batch cross-check), generator determinism."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tansu_spark.broker import Broker
+from tansu_spark.streaming import (
+    generate_batch,
+    sessionize,
+    stream_to_topic,
+    topic_stream,
+    windowed_counts,
+)
+from tansu_spark.streaming.generator import TAXI_FIELDS
+
+
+@pytest.fixture()
+def broker(spark, tmp_path):
+    return Broker(spark, str(tmp_path / "store"))
+
+
+def test_topic_stream_reads_produced_segments(broker, tmp_path):
+    broker.create_topic("t", partitions=1)
+    broker.produce_rows("t", [{"key": f"k{i}", "value": f"v{i}"} for i in range(9)])
+    q = (
+        topic_stream(broker, "t")
+        .writeStream.format("memory")
+        .queryName("t_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert broker.spark.sql("select count(*) n from t_mem").first().n == 9
+
+
+def test_stream_to_topic_exactly_once_on_replay(broker, tmp_path):
+    """Replaying the same micro-batch id must not duplicate records —
+    the batch-id-as-sequence idempotence fence."""
+    broker.create_topic("dst", partitions=1)
+    batch = broker.spark.createDataFrame(
+        [(b"a", b"1"), (b"b", b"2")], "key binary, value binary"
+    )
+    broker.produce("dst", batch, producer_id=7, base_sequence=0)
+    # replay of batch 0 (restart-before-checkpoint scenario)
+    broker.produce("dst", batch, producer_id=7, base_sequence=0)
+    broker.produce("dst", batch, producer_id=7, base_sequence=1)
+    assert broker.fetch("dst").count() == 4  # 2 batches, not 3
+
+
+def test_stream_to_topic_end_to_end(broker, tmp_path):
+    broker.create_topic("src", partitions=1)
+    broker.create_topic("mirror", partitions=1)
+    broker.produce_rows("src", [{"key": f"k{i}", "value": f"v{i}"} for i in range(5)])
+    q = stream_to_topic(
+        broker,
+        "mirror",
+        topic_stream(broker, "src").select("key", "value", "timestamp"),
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    assert broker.fetch("mirror").count() == 5
+
+
+def test_windowed_counts_batch_form(broker):
+    broker.create_topic("w", partitions=1)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 30)
+    broker.produce_rows(
+        "w",
+        [
+            {"key": "a", "value": "1", "timestamp": t0},
+            {"key": "a", "value": "2", "timestamp": t0 + datetime.timedelta(seconds=10)},
+            {"key": "a", "value": "3", "timestamp": t0 + datetime.timedelta(seconds=70)},
+        ],
+    )
+    rows = windowed_counts(broker.records("w"), window="1 minute").collect()
+    got = sorted((r.window.start.minute, r.n_records) for r in rows)
+    assert got == [(0, 2), (1, 1)]
+
+
+def test_sessionize_batch_and_stream_agree(broker, tmp_path):
+    broker.create_topic("s", partitions=1)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for k, offsets in {"u1": [0, 60, 120, 1000, 1030], "u2": [5, 700]}.items():
+        rows += [
+            {"key": k, "value": "x", "timestamp": t0 + datetime.timedelta(seconds=s)}
+            for s in offsets
+        ]
+    broker.produce_rows("s", rows)
+
+    batch = sessionize(broker.records("s"), gap_seconds=300)
+    got = {
+        (r.key, r.n_events)
+        for r in batch.collect()
+    }
+    # u1: [0,60,120] then [1000,1030]; u2: [5] then [700]
+    assert got == {("u1", 3), ("u1", 2), ("u2", 1), ("u2", 1)}
+
+    # streaming path: same data through applyInPandasWithState; closed
+    # sessions (those followed by a gap within the data) must match the
+    # batch result's closed set
+    stream = sessionize(
+        topic_stream(broker, "s"), gap_seconds=300
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = {
+        (r.key, r.n_events)
+        for r in broker.spark.sql("select * from sessions_mem").collect()
+    }
+    # sessions closed by in-stream gaps (final open sessions stay in state)
+    assert closed == {("u1", 3), ("u2", 1)}
+
+
+def test_generator_deterministic_and_valid(spark, broker):
+    a = generate_batch(spark, TAXI_FIELDS, 50, seed=42).collect()
+    b = generate_batch(spark, TAXI_FIELDS, 50, seed=42).collect()
+    assert a == b  # same seed → identical batch
+    c = generate_batch(spark, TAXI_FIELDS, 50, seed=43).collect()
+    assert a != c
+    import json
+
+    vals = [json.loads(bytes(r.value)) for r in a]
+    assert all(1 <= v["vendor_id"] <= 2 for v in vals)
+    assert all(1000 <= v["trip_id"] <= 2000 for v in vals)
+    assert all(0.5 <= v["trip_distance"] < 30.0 for v in vals)
+    assert {v["store_and_fwd"] for v in vals} <= {0, 1}
+    # generated batches flow through the produce path
+    broker.create_topic("taxi", partitions=2)
+    broker.produce("taxi", generate_batch(spark, TAXI_FIELDS, 20, seed=1))
+    assert sum(broker.list_offsets("taxi", "latest").values()) == 20
