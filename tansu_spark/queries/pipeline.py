@@ -212,8 +212,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-3-gram Jaccard verification over the LSH candidates
     (the verify stage of the MinHash pipeline)."""
     docs = _docs(spark, sf_dir)
-    sh = D.with_shingles(docs)
-    pairs = D.minhash_lsh_pairs(docs)
+    # One shingle computation feeds both LSH and the verify join.
+    sh = D.with_shingles(docs).cache()
+    pairs = D.minhash_lsh_pairs(docs, shingled=sh)
     return D.jaccard_verify(pairs, sh, threshold=0.5)
 
 
