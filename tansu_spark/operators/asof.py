@@ -1,0 +1,79 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+For each left row, attach the right row with the greatest right.t
+satisfying right.t <= left.t within the same key group (the semantics of
+DuckDB's ASOF JOIN, kdb aj, pandas merge_asof).
+
+Implementation is the union-tag trick, NOT a range self-join:
+  1. union right (payload) and left (probe) rows, tagged;
+  2. one window per key ordered by (t, tag) fills the last non-null
+     payload seen so far — right rows at equal t sort before left rows,
+     giving inclusive (<=) semantics;
+  3. keep probe rows (optionally only matched ones).
+
+Cost: one shuffle on the key + one sorted window — the topology of a
+sort-merge join, with no quadratic range expansion and no broadcast
+requirement. Skewed keys behave like any windowed aggregation (AQE skew
+handling applies). If multiple right rows share (key, t), pre-dedupe the
+right side to make "the" as-of row well-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    how: str = "inner",
+) -> DataFrame:
+    """left rows + columns of the latest right row with
+    right[right_time] <= left[left_time], matched per `on` key.
+
+    Right-side payload columns must not collide with left columns (alias
+    beforehand). `how`: 'inner' drops unmatched probes, 'left' keeps them
+    with null payload.
+    """
+    payload = [c for c in right.columns if c not in (on, right_time)]
+    collisions = set(payload) & set(left.columns)
+    if collisions:
+        raise ValueError(f"right payload columns collide with left: {sorted(collisions)}")
+
+    r_side = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.lit(1).alias("_hit"),
+        *[F.col(c) for c in payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left.columns],
+    )
+    l_side = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("int").alias("_hit"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fill = [F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in payload]
+    fill.append(F.last("_hit", ignorenulls=True).over(w).alias("_matched"))
+
+    filled = r_side.unionByName(l_side).select("*", *fill)
+    out = filled.filter(F.col("_tag") == 1)
+    if how == "inner":
+        out = out.filter(F.col("_matched").isNotNull())
+    return out.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"_f_{c}").alias(c) for c in payload],
+    )

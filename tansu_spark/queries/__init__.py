@@ -42,7 +42,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def _load_all() -> None:
     # Import for registration side effects.
-    from tansu_spark.queries import kafka_ops, lake_ops, pipeline, similarity, tpch  # noqa: F401
+    from tansu_spark.queries import (  # noqa: F401
+        analytics,
+        kafka_ops,
+        lake_ops,
+        pipeline,
+        similarity,
+        tpch,
+    )
 
 
 _load_all()

@@ -1,0 +1,265 @@
+"""Broader analytics operator coverage: semi/anti joins, conditional and
+distinct aggregation, set operations, rollup, rolling windows, and the
+as-of join custom operator — each oracle-checked.
+
+The reference delegates all of these shapes to its storage engine's SQL
+(SURVEY §2.3-2.7: "in Spark all of §2.3 is groupBy().agg() built-ins");
+this module is the demonstration that the Spark engine covers the full
+relational surface a reference user could reach through the lake."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tansu_spark.operators.asof import asof_join
+from tansu_spark.queries import query
+from tansu_spark.queries.kafka_ops import TOPIC_CTE
+from tansu_spark.queries.tpch import _ONE, _dec
+from tansu_spark.tables import load
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order priority checking (TPC-H Q4 shape): EXISTS → left-semi join
+    with a non-equi residual condition; aggregation after the semi join
+    touches only order rows."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * ({_ONE} - CAST(l_discount AS DECIMAL(12,2)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * ({_ONE} - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS DOUBLE) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-06-01' AND l_shipdate < DATE '1996-07-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): conditional aggregation over a
+    fact⋈dim join; part auto-broadcasts at bench scale."""
+    one = F.lit(1).cast("decimal(3,2)")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    part = load(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(zero)).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+    GROUP BY p_brand, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape): distinct aggregation
+    (two-phase distinct-then-count under the hood)."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#13")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "anti_join_unsold_parts",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    """,
+)
+def anti_join_unsold_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join with residual condition: parts never
+    sold in bulk (quantity > 45)."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(
+        li, F.col("l_partkey") == F.col("p_partkey"), "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "set_ops_users_vs_customers",
+    oracle="""
+    SELECT 'union' AS op, COUNT(*) AS n FROM (
+      SELECT user_id FROM events UNION SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'intersect', COUNT(*) FROM (
+      SELECT user_id FROM events INTERSECT SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'except', COUNT(*) FROM (
+      SELECT c_custkey FROM customer EXCEPT SELECT user_id FROM events)
+    """,
+)
+def set_ops_users_vs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.7): UNION / INTERSECT / EXCEPT between the
+    event-user and customer id domains, reported as one result."""
+    ev = load(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    cust = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+
+    def tagged(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        tagged("union", ev.union(cust).distinct())
+        .unionByName(tagged("intersect", ev.intersect(cust)))
+        .unionByName(tagged("except", cust.exceptAll(ev).distinct()))
+    )
+
+
+@query(
+    "events_rollup_counts",
+    oracle="""
+    WITH t AS (SELECT event_type, CAST(event_id % 8 AS INTEGER) AS "partition",
+                      value AS metric
+               FROM events)
+    SELECT event_type, "partition",
+           COUNT(*) AS n,
+           CAST(SUM(CAST(metric AS DECIMAL(12,2))) AS DOUBLE) AS metric_sum
+    FROM t
+    GROUP BY ROLLUP(event_type, "partition")
+    """,
+)
+def events_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (event_type → partition → grand total) —
+    grouping-sets aggregation the reference has no analog for."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 8).cast("int").alias("partition"),
+        F.col("value").alias("metric"),
+    )
+    return ev.rollup("event_type", "partition").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("metric")).cast("double").alias("metric_sum"),
+    )
+
+
+@query(
+    "events_rolling_window",
+    oracle="""
+    WITH t AS (SELECT CAST(event_id % 8 AS INTEGER) AS "partition",
+                      CAST(event_id // 8 AS BIGINT) AS "offset",
+                      value AS v
+               FROM events)
+    SELECT "partition", "offset",
+           CAST(SUM(CAST(v AS DECIMAL(12,2))) OVER w AS DOUBLE) AS rolling_sum,
+           CAST(SUM(CAST(v AS DECIMAL(12,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS rolling_avg
+    FROM t
+    WINDOW w AS (PARTITION BY "partition" ORDER BY "offset"
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling frame aggregation: 4-row trailing sum/avg of the event metric
+    per partition — decimal-exact inner sums so both engines' incremental
+    window evaluation agrees bit-for-bit."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 8).cast("int").alias("partition"),
+        F.expr("event_id div 8").cast("bigint").alias("offset"),
+        F.col("value").alias("v"),
+    )
+    w = (
+        Window.partitionBy("partition")
+        .orderBy("offset")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    s = F.sum(_dec("v")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "partition",
+        "offset",
+        s.alias("rolling_sum"),
+        (s / n).alias("rolling_avg"),
+    )
+
+
+@query(
+    "asof_join_latest_order",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, ts FROM events),
+         od AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ot,
+                       o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+                FROM orders
+                QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                           ORDER BY o_orderkey DESC) = 1)
+    SELECT ev.event_id, ev.user_id, od.o_orderkey, od.o_totalprice
+    FROM ev ASOF JOIN od ON ev.user_id = od.user_id AND ev.ts >= od.ot
+    """,
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, operators/asof.py): each event picks up
+    the customer's most recent order at event time. Right side is deduped
+    per (customer, date) so the as-of row is well-defined; oracle is
+    DuckDB's native ASOF JOIN."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+    )
+    dedup_w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ot"),
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+    return asof_join(
+        ev, orders, on="user_id", left_time="ts", right_time="ot", how="inner"
+    ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
