@@ -263,3 +263,80 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         ev, orders, on="user_id", left_time="ts", right_time="ot", how="inner"
     ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "range_join_shipments_in_window",
+    oracle="""
+    SELECT o_orderkey, COUNT(*) AS n_shipments
+    FROM orders, lineitem
+    WHERE o_orderkey < 50
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def range_join_shipments_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/range_join.py): lineitem shipments
+    falling inside each order's 30-day window — the inequality join
+    rewritten as bucket-equi-join + residual filter, linear at scale where
+    the naive form is a nested loop."""
+    from tansu_spark.operators.range_join import range_join
+
+    points = load(spark, sf_dir, "lineitem").select(
+        F.unix_date(F.col("l_shipdate").cast("date")).cast("long").alias("pd")
+    )
+    odate = F.unix_date(F.col("o_orderdate").cast("date"))
+    intervals = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 50)
+        .select(
+            "o_orderkey",
+            odate.cast("long").alias("lo"),
+            (odate + 30).cast("long").alias("hi"),
+        )
+    )
+    return (
+        range_join(points, intervals, "pd", "lo", "hi", bucket_width=16)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_shipments"))
+    )
+
+
+@query(
+    "text_tfidf_relevance",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                 FROM documents),
+         hits AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+                  WHERE tok IN ('spark', 'query', 'data') GROUP BY doc_id, tok),
+         dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY tok),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id,
+           round(SUM(tf * ln((n_docs + 1.0) / (df + 1.0))), 6) AS tfidf
+    FROM hits JOIN dfreq USING (tok) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def text_tfidf_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance of documents against a fixed query term set —
+    the search-scoring stage of a text pipeline. Term frequencies and
+    document frequencies are exact integers; only the final ln/multiply is
+    floating (rounded identically on both sides)."""
+    from tansu_spark.functions.text import tokens
+
+    terms = ["spark", "query", "data"]
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok")).filter(
+        F.col("tok").isin(terms)
+    )
+    hits = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = hits.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    return (
+        hits.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("tf") * idf), 6).alias("tfidf"))
+    )

@@ -135,3 +135,35 @@ def test_partition_pruning_in_fetch_plan(broker):
     assert "PartitionFilters" in plan and "= 2)" in plan, plan
     # offset-range frontier reaches the parquet scan too
     assert "PushedFilters" in plan and "LessThan(offset" in plan, plan
+
+def test_concurrent_producers_serialize_cleanly(broker):
+    """Two threads producing to the same topic: the per-topic lock must
+    serialize offset assignment — contiguous offsets, no loss, no dupes
+    (the SELECT FOR UPDATE equivalent, pg.rs:793)."""
+    import threading
+
+    broker.create_topic("cc", partitions=2)
+    errors = []
+
+    def worker(tag):
+        try:
+            for i in range(3):
+                broker.produce_rows(
+                    "cc", [{"key": f"{tag}-{i}-{j}", "value": "x"} for j in range(4)]
+                )
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    marks = broker.list_offsets("cc", "latest")
+    assert sum(marks.values()) == 36  # 3 threads x 3 batches x 4 rows
+    for p, hi in marks.items():
+        offs = sorted(
+            r.offset for r in broker.fetch("cc", partition=p).select("offset").collect()
+        )
+        assert offs == list(range(hi))  # contiguous, no dupes
