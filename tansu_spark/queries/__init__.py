@@ -49,6 +49,7 @@ def _load_all() -> None:
         pipeline,
         similarity,
         tpch,
+        tpch_ext,
     )
 
 
