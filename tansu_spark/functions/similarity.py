@@ -139,6 +139,101 @@ def lsh_ann_topk(
     )
 
 
+def _centroid_rows(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: the n_centroids lowest-id vectors.
+
+    A production IVF index would run k-means here; the probe/assign
+    mechanics (the part that matters for the distributed plan) are
+    identical, and a seeded quantizer keeps the result oracle-checkable.
+    Centroids are tiny model state (k x dims floats) — collecting them to
+    the driver and re-broadcasting as literals is the standard pattern.
+    """
+    rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return sorted((r[0], list(r[1])) for r in rows)
+
+
+def _score_array(vec_col: str, cents: list[tuple[int, list[float]]]):
+    """array<struct<c: cosine, nid: -centroid_id>> — argmax via array_max
+    (struct comparison: cosine first, then -id, i.e. ties -> lowest id).
+    Pure column arithmetic against literal centroid vectors: the
+    assignment is map-only, no shuffle, no UDF."""
+    return F.array(
+        *[
+            F.struct(
+                cosine(vec_col, F.array(*[F.lit(float(x)) for x in v])).alias("c"),
+                F.lit(-cid).alias("nid"),
+            )
+            for cid, v in cents
+        ]
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append `cluster`: id of the nearest (max-cosine) centroid."""
+    best = F.array_max(_score_array(vec_col, cents))
+    return corpus.withColumn("cluster", -best.getField("nid"))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 10,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are bucketed by nearest
+    coarse centroid (the inverted file); each query probes its n_probe
+    nearest centroids and re-ranks exactly within those clusters only.
+
+    Scale path: assignment is a map-only pass (literal centroid math);
+    the candidate join is an equi-join on cluster id, so the corpus
+    shuffles once by cluster — per-query work is |cluster| * n_probe,
+    not |corpus|. Recall trades with n_probe exactly as in FAISS IVF.
+    """
+    cents = _centroid_rows(corpus, n_centroids, id_col, vec_col)
+    cb = ivf_assign(corpus, cents, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col), "cluster"
+    )
+    probes = F.slice(F.sort_array(_score_array(vec_col, cents), asc=False), 1, n_probe)
+    qb = (
+        queries.withColumn("_probe", F.explode(probes))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            (-F.col("_probe.nid")).alias("cluster"),
+        )
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine("q_vec", vec_col), round_digits).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

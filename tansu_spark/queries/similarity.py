@@ -88,6 +88,47 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def _cos_raw_sql(a: str, b: str) -> str:
+    return f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+
+
+@query(
+    "sim_ivf_ann_topk",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec
+                  FROM embeddings WHERE vec_id < 16),
+         scored AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                           {_cos_raw_sql("e.embedding", "c.c_vec")} AS cs
+                    FROM embeddings e CROSS JOIN cent c),
+         assign AS (SELECT vec_id, embedding AS ce, cent_id AS cluster
+                    FROM (SELECT *, row_number() OVER (
+                              PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+                          FROM scored)
+                    WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, embedding AS qe, cent_id AS cluster
+                    FROM (SELECT *, row_number() OVER (
+                              PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+                          FROM scored WHERE vec_id < 8)
+                    WHERE rn <= 2)
+    SELECT query_id, vec_id, {_cos_sql("qe", "ce")} AS cosine
+    FROM assign JOIN probes USING (cluster)
+    WHERE vec_id != query_id
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY {_cos_sql("qe", "ce")} DESC, vec_id) <= 5
+    """,
+)
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5: corpus bucketed by nearest coarse centroid
+    (seeded quantizer — 16 lowest-id vectors), queries probe their 2
+    nearest centroids, exact re-rank within probed clusters. The FAISS-IVF
+    shape as a Spark plan: map-only assignment against literal centroids,
+    one corpus shuffle on cluster id, per-query cost |cluster|*n_probe."""
+    emb = _emb(spark, sf_dir)
+    return S.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=2
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
