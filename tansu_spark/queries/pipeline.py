@@ -239,3 +239,88 @@ def _simhash_oracle() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (sign-of-weighted-sum over md5 nibbles)."""
     return D.simhash16(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing under the oracle: assets are derived deterministically
+# from documents (payload = utf-8 text bytes) so the binary round-trip
+# through Arrow/mapInPandas is value-checked end to end.
+# ---------------------------------------------------------------------------
+
+_ASSET_SQL = """
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           encode(text) AS content,
+           n_chars
+    FROM documents
+"""
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSET_SCHEMA-shaped frame from documents: binary payload + typed
+    metadata, the exact envelope a production media table would have."""
+    d = _docs(spark, sf_dir)
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        (F.col("n_chars") % 640).cast("int").alias("width"),
+        (F.col("n_chars") % 480).cast("int").alias("height"),
+        ((F.col("n_chars") % 5000) + 1).cast("bigint").alias("duration_ms"),
+    )
+
+
+@query(
+    "multimodal_feature_digest",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_digest
+    FROM documents
+    """,
+)
+def multimodal_feature_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction through the real mapInPandas path:
+    BINARY payloads stream through Arrow batches into the Python kernel
+    (functions/multimodal.py::extract_features), which emits byte counts,
+    content digests, and the (stubbed-kernel) feature vector. The digest
+    column proves byte-exact binary fidelity across the JVM->Arrow->pandas
+    hop; the feature vector itself is covered by pytest (no SQL analog).
+
+    Scale notes: iterator-form mapInPandas never materializes a partition;
+    task sizing follows maxPartitionBytes against blob-dominated rows."""
+    from tansu_spark.functions.multimodal import extract_features
+
+    return extract_features(_assets(spark, sf_dir)).select(
+        "asset_id", "modality", "n_bytes", "content_digest"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           unnest(range(0, (n_chars % 5000) + 1, 1000)) AS frame_ts_ms
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (functions/multimodal.py::sample_frames):
+    one row per sampled timestamp, expanded JVM-side with sequence() —
+    the decode of each frame is the stubbed kernel. Spark's inclusive
+    sequence(0, d-1, step) equals DuckDB's exclusive range(0, d, step)."""
+    from tansu_spark.functions.multimodal import sample_frames
+
+    return sample_frames(_assets(spark, sf_dir), every_ms=1000).select(
+        "asset_id", "frame_ts_ms"
+    )
