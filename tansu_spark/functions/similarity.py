@@ -158,15 +158,33 @@ def _centroid_rows(
     return sorted((r[0], list(r[1])) for r in rows)
 
 
-def _score_array(vec_col: str, cents: list[tuple[int, list[float]]]):
+def _py_norm(v: list[float]) -> float:
+    """sqrt of the left-fold sum of squares in f64 — the exact arithmetic
+    DuckDB's list_reduce + sqrt performs, so the literal is bit-identical
+    to the oracle's computed centroid norm."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _score_array(vec_col: str, cents: list[tuple[int, list[float]]], vnorm):
     """array<struct<c: cosine, nid: -centroid_id>> — argmax via array_max
     (struct comparison: cosine first, then -id, i.e. ties -> lowest id).
     Pure column arithmetic against literal centroid vectors: the
-    assignment is map-only, no shuffle, no UDF."""
+    assignment is map-only, no shuffle, no UDF. Centroid norms are
+    precomputed f64 literals and the row's own norm (`vnorm`) is computed
+    once and shared — one fold per centroid instead of three, which cuts
+    plan/codegen size 3x."""
     return F.array(
         *[
             F.struct(
-                cosine(vec_col, F.array(*[F.lit(float(x)) for x in v])).alias("c"),
+                (
+                    dot(vec_col, F.array(*[F.lit(float(x)) for x in v]))
+                    / (vnorm * F.lit(_py_norm(v)))
+                ).alias("c"),
                 F.lit(-cid).alias("nid"),
             )
             for cid, v in cents
@@ -181,8 +199,9 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Append `cluster`: id of the nearest (max-cosine) centroid."""
-    best = F.array_max(_score_array(vec_col, cents))
-    return corpus.withColumn("cluster", -best.getField("nid"))
+    with_n = corpus.withColumn("_vn", norm(vec_col))
+    best = F.array_max(_score_array(vec_col, cents, F.col("_vn")))
+    return with_n.withColumn("cluster", -best.getField("nid")).drop("_vn")
 
 
 def ivf_ann_topk(
@@ -208,9 +227,12 @@ def ivf_ann_topk(
     cb = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col), F.col(vec_col), "cluster"
     )
-    probes = F.slice(F.sort_array(_score_array(vec_col, cents), asc=False), 1, n_probe)
+    probes = F.slice(
+        F.sort_array(_score_array(vec_col, cents, F.col("_vn")), asc=False), 1, n_probe
+    )
     qb = (
-        queries.withColumn("_probe", F.explode(probes))
+        queries.withColumn("_vn", norm(vec_col))
+        .withColumn("_probe", F.explode(probes))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
