@@ -437,3 +437,47 @@ def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation (operators/salt.py): events grouped by the
+    5-value event_type key — the worst-case hot-key shape — via salted
+    two-stage aggregation. The oracle is the plain GROUP BY: salting is
+    a physical rewrite, results are exactly equal (decimal sums are
+    order-insensitive; count/min/max associative).
+
+    Scale notes: stage 1 shuffles (key, salt) so no reducer sees more
+    than 1/n_salt of a hot key; stage 2 merges <= n_salt partial rows
+    per key — the straggler task AQE cannot split away for aggregations."""
+    from tansu_spark.operators.salt import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", None),
+            "value_sum": ("sum", _dec("value")),
+            "value_min": ("min", F.col("value")),
+            "value_max": ("max", F.col("value")),
+        },
+        n_salt=16,
+    ).select(
+        "event_type",
+        "n",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "value_min",
+        "value_max",
+    )
