@@ -1,5 +1,6 @@
-"""Remaining TPC-H query shapes (Q2,7,8,9,13,15,17,19,21,22), adapted to
-the driver's synthetic schema.
+"""Remaining TPC-H query shapes (Q2,7,8,9,11,12,13,15,17,19,20,21,22) —
+with queries/tpch.py and queries/analytics.py this covers all 22 TPC-H
+query shapes — adapted to the driver's synthetic schema.
 
 The test tables have no partsupp and no phone/comment/shipmode columns, so
 queries that depend on them keep their *relational shape* (the thing that
@@ -546,4 +547,153 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum("bal").cast("double").alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (SELECT SUM(qty_val) AS total FROM ps)
+    SELECT l_partkey AS p_key, CAST(SUM(qty_val) AS DOUBLE) AS stock_value
+    FROM ps, tot
+    GROUP BY l_partkey, total
+    HAVING SUM(qty_val) > total * CAST(0.001 AS DECIMAL(4,3))
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (TPC-H Q11 shape): parts whose
+    supply value from one nation exceeds a fraction of the nation's total
+    — the HAVING-against-scalar-subquery pattern. Stock value is proxied
+    by supplied quantity (no partsupp.ps_availqty in schema).
+
+    Scale notes: the (part, supplier) rollup shuffles lineitem once; the
+    grand total is a second aggregation of that small rollup broadcast
+    back as a single row (free nested-loop); the threshold comparison is
+    exact decimal.
+    """
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    li = load(spark, sf_dir, "lineitem")
+    ps = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_val"))
+    )
+    tot = ps.agg(F.sum("qty_val").alias("total"))
+    return (
+        ps.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("l_partkey").alias("p_key"), "total")
+        .agg(F.sum("qty_val").alias("sv"))
+        .filter(F.col("sv") > F.col("total") * F.lit(0.001).cast("decimal(4,3)"))
+        .select("p_key", F.col("sv").cast("double").alias("stock_value"))
+    )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+    SELECT CASE l_linenumber % 3 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+                ELSE 'TRUCK' END AS shipmode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_linenumber % 3 IN (0, 1)
+      AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    GROUP BY shipmode
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping modes and order priority (TPC-H Q12 shape): priority-class
+    conditional counts per ship mode for slow shipments. Ship mode is
+    derived from l_linenumber (no l_shipmode column); "late" is proxied
+    as shipped 60+ days after order (no commit/receipt dates).
+
+    Scale notes: the mode filter halves the scan output before the join;
+    both CASE counts come from one aggregation pass; the non-equi
+    late-shipment predicate rides the equi-join on orderkey as residual.
+    """
+    mode = (
+        F.when(F.col("l_linenumber") % 3 == 0, "MAIL")
+        .when(F.col("l_linenumber") % 3 == 1, "SHIP")
+        .otherwise("TRUCK")
+    )
+    li = load(spark, sf_dir, "lineitem").filter((F.col("l_linenumber") % 3).isin(0, 1))
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(mode.alias("shipmode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q20_part_promotion",
+    oracle="""
+    WITH agg AS (
+      SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%7%'
+        AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    ptot AS (SELECT l_partkey, SUM(sq) AS pt FROM agg GROUP BY l_partkey),
+    major AS (SELECT DISTINCT l_suppkey FROM agg JOIN ptot USING (l_partkey)
+              WHERE sq * 4 > pt)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_4'
+      AND EXISTS (SELECT 1 FROM major WHERE major.l_suppkey = s_suppkey)
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape): suppliers in one nation
+    holding a major share (>25%) of any watched part's yearly supply —
+    the nested EXISTS-over-aggregate pattern. Share-of-part replaces the
+    availqty comparison (no partsupp in schema).
+
+    Scale notes: lineitem aggregates once to (supplier, part) grain; the
+    per-part total is a second rollup of that aggregate joined back on
+    l_partkey (co-partitioned — same key, no extra shuffle under AQE);
+    the supplier filter is a broadcast semi join of the tiny survivor set.
+    """
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%7%"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime.date(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime.date(1997, 1, 1)))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
+    )
+    ptot = agg.groupBy("l_partkey").agg(F.sum("sq").alias("pt"))
+    major = (
+        agg.join(ptot, "l_partkey")
+        .filter(F.col("sq") * F.lit(4) > F.col("pt"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(major), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
     )
