@@ -481,3 +481,93 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_min",
         "value_max",
     )
+
+
+@query(
+    "events_pivot_type_counts",
+    oracle="""
+    SELECT CAST(user_id % 16 AS INTEGER) AS user_bucket,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+             AS purchase
+    FROM events
+    GROUP BY user_bucket
+    """,
+)
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): event-type counts as columns per user
+    bucket — Spark's .pivot() with an explicit value list, which the
+    oracle expresses as conditional counts (the rewrite .pivot() itself
+    performs).
+
+    Scale notes: the explicit value list avoids pivot's extra
+    distinct-values collection job; one shuffle on the bucket key."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 16).cast("int").alias("user_bucket"), "event_type"
+    )
+    return (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase"])
+    )
+
+
+@query(
+    "events_window_functions",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           rank() OVER w AS rnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 10) AS pct_rank,
+           round(cume_dist() OVER w, 10) AS cume
+    FROM events
+    WHERE user_id < 40
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/navigation window-function surface (lag, lead,
+    rank, ntile, percent_rank, cume_dist) over one per-user ordered
+    window — SURVEY §2.5's two window shapes generalized.
+
+    Scale notes: all six functions share ONE window spec, so the plan is
+    a single shuffle+sort on user_id; ties are broken by event_id so
+    every engine orders identically."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.rank().over(w).alias("rnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 10).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 10).alias("cume"),
+    )
+
+
+_SQL_INTERFACE = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+"""
+
+
+@query("sql_interface_orders_summary", oracle=_SQL_INTERFACE)
+def sql_interface_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the EXACT same ANSI query text runs on Spark
+    (spark.sql over registered views) and on DuckDB as its own oracle —
+    the reference's analytics hand-off promise ("your lake table is
+    queryable by anything", README.md:163) demonstrated literally."""
+    from tansu_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_INTERFACE)
