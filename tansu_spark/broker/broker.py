@@ -256,17 +256,37 @@ class Broker:
                 .select([f.name for f in RECORD_SCHEMA.fields])
             )
 
-            # Per-partition row counts once, up front (recomputing from the
-            # written plan would re-run the whole job).
-            counts = {
-                int(r["partition"]): r["n"]
-                for r in out.groupBy("partition").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
+            # Per-partition row counts ride the write job as observation
+            # metrics (bounded: one conditional count per partition) — a
+            # separate count action would execute the whole input twice.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = staged.observe(
+                obs,
+                F.count(F.lit(1)).alias("total"),
+                *[
+                    F.count(F.when(F.col("partition") == p, 1)).alias(f"p{p}")
+                    for p in range(cfg.partitions)
+                ],
+            )
 
             # Land files first, bump watermarks second (visibility order).
-            staged.write.mode("append").partitionBy("partition").parquet(
+            observed.write.mode("append").partitionBy("partition").parquet(
                 self._data_dir(topic)
             )
+            got = obs.get
+            counts = {
+                p: int(got[f"p{p}"])
+                for p in range(cfg.partitions)
+                if int(got[f"p{p}"]) > 0
+            }
+            if sum(counts.values()) != int(got["total"]):
+                raise ValueError(
+                    f"produce to {topic!r}: rows target partitions outside "
+                    f"[0, {cfg.partitions}) — unknown partition, like the "
+                    "reference's UNKNOWN_TOPIC_OR_PARTITION"
+                )
             result: dict[int, int] = {}
             for p, n in counts.items():
                 m = marks.setdefault(str(p), {"low": 0, "high": 0})
