@@ -571,3 +571,47 @@ def sql_interface_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_INTERFACE)
+
+
+@query(
+    "sketch_kmv_distinct_users",
+    oracle=None,  # set below — built from kmv_oracle_value_sql
+)
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (functions/sketch.py): approximate
+    distinct users per event type with an exactly-reproducible estimator
+    — unlike HLL, the k-minimum-values estimate is a pure function of
+    md5 hashes, so DuckDB computes the identical estimate (this is the
+    'novel sketch with a real oracle' extension; accuracy rse~1/sqrt(k-2)).
+
+    Scale notes: shuffle carries at most k hash values per group per map
+    partition after partial aggregation — the mergeability production
+    sketch libraries rely on, with no library dependency."""
+    from tansu_spark.functions.sketch import kmv_distinct
+
+    ev = load(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", ["event_type"], k=64)
+
+
+def _kmv_oracle() -> str:
+    from tansu_spark.functions.sketch import H_SPACE, kmv_oracle_value_sql
+
+    v = kmv_oracle_value_sql("user_id")
+    return f"""
+    WITH hv AS (SELECT DISTINCT event_type, {v} AS v FROM events),
+         r AS (SELECT event_type, v,
+                      row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+               FROM hv),
+         a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hashes,
+                      MAX(CASE WHEN rn = 64 THEN v END) AS uk
+               FROM r GROUP BY event_type)
+    SELECT event_type, n_hashes,
+           CASE WHEN n_hashes < 64 THEN CAST(n_hashes AS DOUBLE)
+                ELSE round(63.0 * {float(H_SPACE)} / uk, 6) END AS est_distinct
+    FROM a
+    """
+
+
+from tansu_spark.queries import ORACLE as _OR  # noqa: E402
+
+_OR["sketch_kmv_distinct_users"] = _kmv_oracle()
