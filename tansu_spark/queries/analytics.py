@@ -615,3 +615,58 @@ def _kmv_oracle() -> str:
 from tansu_spark.queries import ORACLE as _OR  # noqa: E402
 
 _OR["sketch_kmv_distinct_users"] = _kmv_oracle()
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_records
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming query under the oracle: the events
+    table is consumed through the streaming file source (availableNow
+    trigger), aggregated with the same windowed_counts operator the live
+    topic streams use, into a complete-mode memory sink — whose final
+    state must equal the batch answer exactly (streaming/batch unification
+    is the Spark property the engine's topic streams are built on).
+
+    Scale notes: complete mode is for the oracle check; production topic
+    streams run the same operator in update mode with a watermark so
+    state is bounded (streaming/source.py::windowed_counts)."""
+    import os
+
+    from tansu_spark.streaming.source import windowed_counts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # events.ts is TIMESTAMP(NANOS) — read as long, like tables.py::load.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # The streaming file source wants a directory: scan sf_dir with a
+    # glob filter selecting only the events file.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+            "event_type",
+        )
+    )
+    agg = windowed_counts(stream, window="1 hour", keys=["event_type"])
+    name = "stream_tumbling_oracle"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "event_type", "n_records"
+    )
