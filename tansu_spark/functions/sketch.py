@@ -74,3 +74,83 @@ def kmv_distinct(
         F.round(F.lit(float(k - 1)) * F.lit(float(H_SPACE)) / F.col("_uk"), round_digits)
     )
     return agg.select(*group_cols, "n_hashes", est.alias("est_distinct"))
+
+
+def kmv_sketch(
+    df: DataFrame, value_col: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """The sketch itself: per group, the k smallest distinct hash values
+    (columns: group_cols + v). This is the state a production pipeline
+    would persist — k longs per group — and what merge operates on."""
+    hv = df.select(*group_cols, hash_value(value_col).alias("v")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("v")
+    return hv.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop(
+        "_rn"
+    )
+
+
+def _estimate(n_col: Column, uk_col: Column, k: int, round_digits: int) -> Column:
+    return F.when(n_col < k, n_col.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(float(H_SPACE)) / uk_col, round_digits)
+    )
+
+
+def kmv_merge_pairs(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise set-cardinality estimates between groups, from merged
+    sketches: |A|, |B|, |A∪B| (k smallest of the two sketches' union —
+    the KMV merge rule), |A∩B| by inclusion-exclusion, and Jaccard.
+
+    Scale path: after kmv_sketch each group is <= k longs, so the
+    pairwise merge join touches sketch summaries, never the raw sets —
+    the reason sketches exist. Output: (g_a, g_b, est_a, est_b,
+    est_union, est_intersection, jaccard)."""
+    sk = kmv_sketch(df, value_col, [group_col], k).select(
+        F.col(group_col).alias("g"), "v"
+    )
+    per = sk.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.max("v").alias("uk")
+    )
+    a = sk.select(F.col("g").alias("g_a"), "v")
+    b = sk.select(F.col("g").alias("g_b"), "v")
+    pairs = (
+        per.select(F.col("g").alias("g_a"))
+        .crossJoin(F.broadcast(per.select(F.col("g").alias("g_b"))))
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    merged = (
+        pairs.join(a, "g_a")
+        .unionByName(pairs.join(b, "g_b").select("g_a", "g_b", "v"))
+        .distinct()
+    )
+    wp = Window.partitionBy("g_a", "g_b").orderBy("v")
+    u = (
+        merged.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= k)
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("n_u"), F.max("v").alias("uk_u"))
+    )
+    pa = per.select(F.col("g").alias("g_a"), F.col("n").alias("n_a"), F.col("uk").alias("uk_a"))
+    pb = per.select(F.col("g").alias("g_b"), F.col("n").alias("n_b"), F.col("uk").alias("uk_b"))
+    est_a = _estimate(F.col("n_a"), F.col("uk_a"), k, round_digits)
+    est_b = _estimate(F.col("n_b"), F.col("uk_b"), k, round_digits)
+    est_u = _estimate(F.col("n_u"), F.col("uk_u"), k, round_digits)
+    inter = F.greatest(F.round(est_a + est_b - est_u, round_digits), F.lit(0.0))
+    return (
+        u.join(pa, "g_a")
+        .join(pb, "g_b")
+        .select(
+            "g_a",
+            "g_b",
+            est_a.alias("est_a"),
+            est_b.alias("est_b"),
+            est_u.alias("est_union"),
+            inter.alias("est_intersection"),
+            F.round(inter / est_u, round_digits).alias("jaccard"),
+        )
+    )

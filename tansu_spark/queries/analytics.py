@@ -670,3 +670,70 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("window.start").alias("window_start"), "event_type", "n_records"
     )
+
+
+@query("kmv_supplier_overlap_by_brand", oracle=None)  # oracle built below
+def kmv_supplier_overlap_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE under the oracle: which part brands share supplier
+    bases — pairwise |A|, |B|, |A∪B|, |A∩B| and Jaccard estimated from
+    merged KMV sketches (k smallest of each pair's union, the KMV merge
+    rule). Demonstrates the property that makes sketches matter at scale:
+    after sketching, the pairwise comparison touches k longs per group,
+    never the raw sets. DuckDB reproduces every estimate exactly."""
+    from tansu_spark.functions.sketch import kmv_merge_pairs
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#4")
+    )
+    df = li.filter(F.col("l_quantity") > 49).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return kmv_merge_pairs(df, "l_suppkey", "p_brand", k=64)
+
+
+def _kmv_merge_oracle() -> str:
+    from tansu_spark.functions.sketch import H_SPACE, kmv_oracle_value_sql
+
+    v = kmv_oracle_value_sql("l_suppkey")
+    est = lambda n, uk: (
+        f"CASE WHEN {n} < 64 THEN CAST({n} AS DOUBLE) "
+        f"ELSE round(63.0 * {float(H_SPACE)} / {uk}, 6) END"
+    )
+    return f"""
+    WITH src AS (SELECT p_brand AS g, l_suppkey
+                 FROM lineitem JOIN part ON p_partkey = l_partkey
+                 WHERE p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4')
+                   AND l_quantity > 49),
+         hv AS (SELECT DISTINCT g, {v} AS v FROM src),
+         sk AS (SELECT g, v FROM (
+                  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+                  FROM hv) WHERE rn <= 64),
+         per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, MAX(v) AS uk
+                 FROM sk GROUP BY g),
+         pairs AS (SELECT a.g AS g_a, b.g AS g_b FROM per a, per b WHERE a.g < b.g),
+         merged AS (SELECT DISTINCT g_a, g_b, v FROM (
+                      SELECT p.g_a, p.g_b, s.v FROM pairs p JOIN sk s ON s.g = p.g_a
+                      UNION ALL
+                      SELECT p.g_a, p.g_b, s.v FROM pairs p JOIN sk s ON s.g = p.g_b)),
+         u AS (SELECT g_a, g_b, CAST(COUNT(*) AS BIGINT) AS n_u, MAX(v) AS uk_u
+               FROM (SELECT g_a, g_b, v,
+                            row_number() OVER (PARTITION BY g_a, g_b ORDER BY v) AS rn
+                     FROM merged) WHERE rn <= 64
+               GROUP BY g_a, g_b)
+    SELECT g_a, g_b,
+           {est("pa.n", "pa.uk")} AS est_a,
+           {est("pb.n", "pb.uk")} AS est_b,
+           {est("n_u", "uk_u")} AS est_union,
+           greatest(round(({est("pa.n", "pa.uk")}) + ({est("pb.n", "pb.uk")})
+                          - ({est("n_u", "uk_u")}), 6), 0.0) AS est_intersection,
+           round(greatest(round(({est("pa.n", "pa.uk")}) + ({est("pb.n", "pb.uk")})
+                          - ({est("n_u", "uk_u")}), 6), 0.0)
+                 / ({est("n_u", "uk_u")}), 6) AS jaccard
+    FROM u
+    JOIN per pa ON pa.g = g_a
+    JOIN per pb ON pb.g = g_b
+    """
+
+
+_OR["kmv_supplier_overlap_by_brand"] = _kmv_merge_oracle()
