@@ -110,7 +110,9 @@ def lsh_bands(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs colliding in at least one band.
 
     Shaped as ONE groupBy on (band, band_sig) + in-bucket pair expansion
@@ -118,13 +120,22 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     upstream signature pipeline twice (measured 2.5x slower), while a
     bucket groupBy runs it once. In-bucket expansion is quadratic in
     bucket size — exactly the LSH contract (buckets are tiny unless docs
-    truly collide); a pathological all-identical corpus would need a
-    bucket-size cap here."""
+    truly collide).
+
+    `max_bucket` is the 100 TB safety valve: a bucket of B docs expands to
+    B^2/2 pairs, so one boilerplate-heavy signature (empty pages, license
+    headers) can emit billions of rows from a single reducer. Buckets
+    larger than the cap are dropped entirely — their members are
+    wall-of-duplicates content that exact dedup already collapses, and
+    every dropped bucket is recoverable by rerunning with a higher cap.
+    Unset by default so small-scale results stay exact."""
     buckets = (
         bands.groupBy("band", "band_sig")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
@@ -144,14 +155,16 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingled: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-duplicate candidate pipeline. Pass a
     pre-computed (cached) `shingled` frame to share the shingle scan with
-    a downstream verify stage."""
+    a downstream verify stage. `max_bucket` caps quadratic bucket
+    expansion (see lsh_candidate_pairs)."""
     sh = shingled if shingled is not None else with_shingles(df, text_col, id_col)
     sig = minhash_signatures(sh, id_col, num_hashes)
     return lsh_candidate_pairs(
-        lsh_bands(sig, id_col, rows_per_band, num_hashes), id_col
+        lsh_bands(sig, id_col, rows_per_band, num_hashes), id_col, max_bucket
     )
 
 
@@ -207,6 +220,90 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         bit = F.when(F.col(f"c{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return counts.select(F.col(id_col), fp.cast("int").alias("simhash"))
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, emitted as four 16-bit words w0..w3.
+
+    Same sign-of-weighted-sum construction as `simhash16`, over 64 nibbles
+    drawn from md5(tok) || md5('x:' || tok). The word layout is the point:
+    each word IS one of the 4 pigeonhole blocks used for candidate
+    generation (hamming <= 3 over 64 bits guarantees at least one of 4
+    16-bit blocks matches exactly), so no bit-slicing is needed downstream
+    and every word stays a small positive int (no 64-bit sign issues in
+    either engine).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = tok.withColumn(
+        "h",
+        F.concat(
+            F.md5(F.col("tok").cast("binary")),
+            F.md5(F.concat(F.lit("x:"), F.col("tok")).cast("binary")),
+        ),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", p + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"c{p}")
+        for p in range(64)
+    ]
+    counts = h.groupBy(id_col).agg(*aggs)
+    words = []
+    for w in range(4):
+        acc = None
+        for r in range(16):
+            p = w * 16 + r
+            bit = F.when(F.col(f"c{p}") > 0, F.lit(1 << r)).otherwise(F.lit(0))
+            acc = bit if acc is None else acc + bit
+        words.append(acc.cast("int").alias(f"w{w}"))
+    return counts.select(F.col(id_col), *words)
+
+
+def simhash64_pairs(
+    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs over 64-bit SimHash fingerprints.
+
+    Candidate generation is the pigeonhole block trick: explode each doc
+    into its 4 (block, word) keys and bucket-group on them — any pair
+    within hamming <= 3 shares at least one exact block. Shaped as ONE
+    groupBy + in-bucket expansion (carrying the full fingerprint through
+    the explode) rather than a self-join: a self-join would plan and run
+    the whole upstream fingerprint pipeline twice (see lsh_candidate_pairs).
+    Exact hamming = sum of bit_count(xor(word_a, word_b)) filters the
+    candidates; distinct collapses pairs that collide in several blocks.
+    """
+    fp = F.struct(F.col(id_col).alias("id"), "w0", "w1", "w2", "w3")
+    blocks = F.array(
+        *[
+            F.struct(F.lit(b).alias("block"), F.col(f"w{b}").alias("word"))
+            for b in range(4)
+        ]
+    )
+    exploded = fps.select(fp.alias("fp"), F.explode(blocks).alias("b"))
+    buckets = (
+        exploded.groupBy("b.block", "b.word")
+        .agg(F.array_sort(F.collect_list("fp")).alias("fps"))
+        .filter(F.size("fps") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(fps, (x, i) -> "
+        "transform(slice(fps, i + 2, size(fps)), "
+        "y -> named_struct('a', x, 'b', y))))"
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"p.a.w{w}").bitwiseXOR(F.col(f"p.b.w{w}"))) for w in range(4)
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.a.id").alias("doc_a"),
+            F.col("p.b.id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def simhash_pairs(

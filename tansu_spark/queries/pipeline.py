@@ -241,6 +241,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash16(_docs(spark, sf_dir))
 
 
+def _simhash64_oracle() -> str:
+    cnt_cols = ",\n         ".join(
+        f"SUM(CASE WHEN substring(h, {p + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS c{p}"
+        for p in range(64)
+    )
+
+    def word(w: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN c{w * 16 + r} > 0 THEN {1 << r} ELSE 0 END)" for r in range(16)
+        )
+        return f"CAST({bits} AS INTEGER)"
+
+    ham = " + ".join(f"bit_count(xor(a.w{w}, b.w{w}))" for w in range(4))
+    return (
+        _TOK_CTE
+        + f""",
+    tokx AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+    hx AS (SELECT doc_id, md5(tok) || md5('x:' || tok) AS h FROM tokx),
+    cnt AS (SELECT doc_id, {cnt_cols} FROM hx GROUP BY doc_id),
+    fps AS (SELECT doc_id, {word(0)} AS w0, {word(1)} AS w1,
+                   {word(2)} AS w2, {word(3)} AS w3 FROM cnt),
+    ex AS (SELECT doc_id, w0, w1, w2, w3, b AS block,
+                  CASE b WHEN 0 THEN w0 WHEN 1 THEN w1
+                         WHEN 2 THEN w2 ELSE w3 END AS word
+           FROM fps CROSS JOIN (SELECT unnest(range(4)) AS b)),
+    pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST({ham} AS INTEGER) AS hamming
+           FROM ex a JOIN ex b
+             ON a.block = b.block AND a.word = b.word AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 3
+    """
+    )
+
+
+@query("dedup_simhash64_pairs", oracle=_simhash64_oracle())
+def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs: 4-block pigeonhole candidate
+    generation (hamming <= 3 implies an exact 16-bit block match) +
+    exact bit_count(xor) hamming verification. The production-scale
+    SimHash design — candidates come from 4 equi-bucket lookups, never
+    a fingerprint self-join."""
+    return D.simhash64_pairs(D.simhash64(_docs(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing under the oracle: assets are derived deterministically
 # from documents (payload = utf-8 text bytes) so the binary round-trip

@@ -1,0 +1,54 @@
+"""Unit tests for dedup operators beyond the oracle sweep: LSH bucket-size
+cap (skew safety valve) and 64-bit SimHash block guarantees."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tansu_spark.functions import dedup as D
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_lsh_bucket_cap_drops_pathological_bucket(spark):
+    # 6 identical docs (one mega-bucket) + 2 genuine near-dups.
+    same = [(i, "common boilerplate page exactly the same words") for i in range(6)]
+    near = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = _docs(spark, same + near)
+    uncapped = D.minhash_lsh_pairs(df)
+    capped = D.minhash_lsh_pairs(df, max_bucket=4)
+    # Uncapped: the mega-bucket contributes C(6,2)=15 pairs.
+    boiler_uncapped = uncapped.filter(F.col("doc_a") < 6).count()
+    assert boiler_uncapped == 15
+    # Capped: mega-bucket dropped entirely; the near-dup pair survives.
+    assert capped.filter(F.col("doc_a") < 6).count() == 0
+    assert capped.filter((F.col("doc_a") == 10) & (F.col("doc_b") == 11)).count() == 1
+
+
+def test_simhash64_words_are_16bit(spark):
+    df = _docs(spark, [(1, "the quick brown fox"), (2, "jumps over lazy dogs")])
+    rows = D.simhash64(df).collect()
+    assert len(rows) == 2
+    for r in rows:
+        for w in ("w0", "w1", "w2", "w3"):
+            assert 0 <= r[w] < (1 << 16)
+
+
+def test_simhash64_identical_docs_hamming_zero(spark):
+    df = _docs(spark, [(1, "same exact words here"), (2, "same exact words here")])
+    pairs = D.simhash64_pairs(D.simhash64(df)).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["doc_a"] == 1 and pairs[0]["doc_b"] == 2
+    assert pairs[0]["hamming"] == 0
+
+
+def test_simhash64_pairs_distinct_across_blocks(spark):
+    # Identical docs collide in all 4 blocks; the pair must appear once.
+    df = _docs(spark, [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "zz yy xx ww vv uu")])
+    pairs = D.simhash64_pairs(D.simhash64(df))
+    assert pairs.count() == pairs.select("doc_a", "doc_b").distinct().count() == 1

@@ -70,6 +70,35 @@ def test_stream_to_topic_end_to_end(broker, tmp_path):
     assert broker.fetch("mirror").count() == 5
 
 
+def test_stream_to_lake_exactly_once(broker, tmp_path):
+    """Continuous topic→lake materialization: rows land once, and a
+    replayed/extra trigger (restart-before-checkpoint, or a trigger with
+    no new segments) appends nothing — the offset-frontier store is the
+    idempotence fence."""
+    from tansu_spark.lake import LakeSink
+    from tansu_spark.streaming import stream_to_lake
+
+    broker.create_topic("lk", partitions=2)
+    sink = LakeSink(broker, str(tmp_path / "lake"))
+    rows = [
+        {"key": f"k{i}", "value": f'{{"city": "c{i % 3}", "fare": {float(i)}}}'}
+        for i in range(12)
+    ]
+    broker.produce_rows("lk", rows)
+    q = stream_to_lake(broker, sink, "lk", checkpoint=str(tmp_path / "lckpt"))
+    q.awaitTermination(120)
+    assert sink.read("lk").count() == 12
+    # replay: a second availableNow run over the same segments
+    q2 = stream_to_lake(broker, sink, "lk", checkpoint=str(tmp_path / "lckpt2"))
+    q2.awaitTermination(120)
+    assert sink.read("lk").count() == 12
+    # new produce then another run: only the delta lands
+    broker.produce_rows("lk", rows[:3])
+    q3 = stream_to_lake(broker, sink, "lk", checkpoint=str(tmp_path / "lckpt3"))
+    q3.awaitTermination(120)
+    assert sink.read("lk").count() == 15
+
+
 def test_windowed_counts_batch_form(broker):
     broker.create_topic("w", partitions=1)
     t0 = datetime.datetime(2024, 1, 1, 0, 0, 30)
