@@ -1,0 +1,84 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+The primitive is a hash-threshold filter: a row is kept iff
+md5(seed ':' key) sorts below a hex threshold derived from the fraction.
+md5 hex is fixed-length lowercase, so lexicographic comparison equals
+numeric comparison on the underlying 128-bit value — the same filter
+expression runs in any engine (the DuckDB oracles reuse it verbatim).
+
+Why hash sampling instead of `df.sample()`:
+- reproducible across runs, engines, partitionings and retries (rand()
+  is none of those) — a training-data pipeline must be able to re-derive
+  exactly which rows it trained on;
+- key-consistent: sampling on a join/dedup key keeps or drops every row
+  with that key together, so downstream joins of two independently
+  sampled tables still line up;
+- embarrassingly parallel: a codegen'd filter on the scan, no shuffle,
+  no global coordination — identical cost at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, seed: int = 0) -> Column:
+    """The 32-char md5 hex of (seed ':' key) — uniform over [0, 16^32)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(F.lit(str(seed)), F.lit(":"), k.cast("string")))
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex-string threshold such that P[md5 < threshold] = fraction
+    (8-nibble resolution, ~2.3e-10 granularity)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        return "g"  # sorts above every hex digit
+    return format(int(fraction * 16**8), "08x")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key hashes under the
+    fraction threshold. All rows sharing a key are kept or dropped
+    together."""
+    return df.filter(hash_bucket(key_col, seed) < F.lit(fraction_threshold(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample by language to
+    rebalance a corpus). Strata not listed get `default_fraction`.
+    One codegen'd CASE over the scan — no shuffle, no per-stratum jobs."""
+    th = F.lit(fraction_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        th = F.when(
+            F.col(strata_col) == stratum, F.lit(fraction_threshold(frac))
+        ).otherwise(th)
+    return df.filter(hash_bucket(key_col, seed) < th)
+
+
+def uniform_k_per_group(
+    df: DataFrame, group_col: str, k: int, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Exactly-k uniform sample per group (deterministic reservoir
+    equivalent): rank rows within each group by their key hash and keep
+    the first k. One shuffle on the group column; the hash order is
+    computed map-side and ties break on the key itself so the result is
+    a total order regardless of partitioning."""
+    h = hash_bucket(key_col, seed)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

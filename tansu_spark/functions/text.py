@@ -25,6 +25,22 @@ def token_count(c: Column | str) -> Column:
     return F.size(tokens(c))
 
 
+# BPE-ish subword segmentation: alphabetic runs, digit runs, and single
+# non-space symbols — the pre-tokenization split every BPE/GPT-style
+# tokenizer applies before merges. Pure char-classes, so Java regex
+# (Spark) and RE2 (DuckDB) agree exactly.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    return F.size(bpe_tokens(c))
+
+
 def fingerprint(c: Column | str) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text. Stable across engines (md5 hex is canonical)."""

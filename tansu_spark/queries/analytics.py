@@ -440,6 +440,34 @@ def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           quantile_cont(value, 0.90) AS p90,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark `percentile`
+    == DuckDB `quantile_cont`, verified bit-for-bit). One percentile agg
+    computes the whole vector in a single pass; the per-group sort is
+    in-reducer, no extra shuffle beyond the groupBy."""
+    ev = load(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.lit([0.25, 0.5, 0.75, 0.9]))
+    return ev.groupBy("event_type").agg(
+        pcts.getItem(0).alias("p25"),
+        pcts.getItem(1).alias("p50"),
+        pcts.getItem(2).alias("p75"),
+        pcts.getItem(3).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "skew_salted_agg",
     oracle="""
     SELECT event_type,

@@ -96,6 +96,59 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS n_subtokens,
+           len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_runs,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs
+    FROM documents
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts (alpha runs / digit runs / single
+    symbols) — the token-budget estimator for an LLM data pipeline. Pure
+    regex char-classes so Java and RE2 engines agree; single codegen'd
+    scan, no shuffle."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.bpe_token_count("text").alias("n_subtokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0)).alias(
+            "n_alpha_runs"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias(
+            "n_digit_runs"
+        ),
+    )
+
+
+@query(
+    "text_top_tokens",
+    oracle=_TOK_CTE
+    + """,
+    tx AS (SELECT unnest(t) AS token FROM tok)
+    SELECT token, count(*) AS n_occurrences
+    FROM tx GROUP BY token
+    ORDER BY n_occurrences DESC, token LIMIT 50
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-50 tokens by occurrence with a
+    deterministic tie-break. Partial aggregation absorbs the explode
+    map-side; the ordered limit is a TakeOrdered, never a global sort."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(50)
+    )
+
+
+@query(
     "text_quality_score",
     oracle=_TOK_CTE
     + f"""
@@ -239,6 +292,80 @@ def _simhash_oracle() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (sign-of-weighted-sum over md5 nibbles)."""
     return D.simhash16(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (functions/sampling.py): the hash-threshold filter
+# is the same expression in both engines, so the oracle reuses it verbatim.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_documents_hash",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE md5('42:' || doc_id::VARCHAR) < '33333333'
+    """,
+)
+def sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% Bernoulli sample by doc_id hash — reproducible
+    across engines/retries/partitionings, shuffle-free (codegen'd filter
+    on the scan)."""
+    from tansu_spark.functions.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), "doc_id", 0.2, seed=42).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "sample_stratified_by_lang",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled
+    FROM documents
+    WHERE md5('7:' || doc_id::VARCHAR) <
+          CASE lang WHEN 'en' THEN '19999999' WHEN 'zh' THEN '80000000'
+                    ELSE 'g' END
+    GROUP BY lang
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: downsample over-represented languages (en to
+    10%, zh to 50%, keep the rest) with one codegen'd CASE — no shuffle,
+    no per-stratum jobs."""
+    from tansu_spark.functions.sampling import stratified_hash_sample
+
+    sampled = stratified_hash_sample(
+        _docs(spark, sf_dir),
+        "lang",
+        {"en": 0.1, "zh": 0.5},
+        key_col="doc_id",
+        seed=7,
+        default_fraction=1.0,
+    )
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "sample_uniform_k_per_source",
+    oracle="""
+    SELECT source, doc_id
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5('3:' || doc_id::VARCHAR), doc_id) <= 5
+    """,
+)
+def sample_uniform_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5 uniform docs per source (deterministic reservoir sample):
+    rank by key hash within each source, keep the first 5. One shuffle on
+    the group key; hash order is partition-independent."""
+    from tansu_spark.functions.sampling import uniform_k_per_group
+
+    return uniform_k_per_group(
+        _docs(spark, sf_dir), "source", 5, key_col="doc_id", seed=3
+    ).select("source", "doc_id")
 
 
 def _simhash64_oracle() -> str:
