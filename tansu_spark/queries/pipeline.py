@@ -271,6 +271,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_verify(pairs, sh, threshold=0.5)
 
 
+# Jaccard-verified near-dup pairs, as a reusable oracle fragment (the same
+# expression dedup_ngram_jaccard filters on), then symmetrized into edges.
+_JACC = (
+    "round(len(list_intersect(sa.shingles, sb.shingles))"
+    " / greatest(len(sa.shingles) + len(sb.shingles)"
+    " - len(list_intersect(sa.shingles, sb.shingles)), 1), 6)"
+)
+
+_EDGE_CTES = (
+    _LSH_CTES
+    + f""",
+    jp AS (SELECT p.doc_a, p.doc_b
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.doc_a
+           JOIN sh sb ON sb.doc_id = p.doc_b
+           WHERE {_JACC} >= 0.5),
+    ed AS (SELECT doc_a AS a, doc_b AS b FROM jp
+           UNION SELECT doc_b, doc_a FROM jp)"""
+)
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_EDGE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    walk AS (SELECT a AS node, a AS lbl FROM ed
+             UNION
+             SELECT e2.b, w.lbl FROM walk w JOIN ed e2 ON e2.a = w.node),
+    comp AS (SELECT node, min(lbl) AS component_id FROM walk GROUP BY node)
+    SELECT node AS doc_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS component_size,
+           (node = component_id) AS is_canonical
+    FROM comp
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup PAIRS: hash-min label propagation
+    over the Jaccard-verified MinHash-LSH pair graph (operators/graph.py).
+    Emits one row per clustered doc with its component's canonical id
+    (min doc_id), the cluster size, and the keep/drop flag a dedup
+    pipeline acts on. The DuckDB oracle recomputes the same components
+    with a recursive CTE — topology-independent agreement, not just
+    row counts."""
+    from pyspark.sql import Window
+
+    from tansu_spark.operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    sh = D.with_shingles(docs).cache()
+    pairs = D.minhash_lsh_pairs(docs, shingled=sh)
+    edges = D.jaccard_verify(pairs, sh, threshold=0.5).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    w = Window.partitionBy("component_id")
+    return (
+        cc.select(F.col("node").alias("doc_id"), "component_id")
+        .withColumn("component_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component_id"))
+    )
+
+
 def _simhash_oracle() -> str:
     cnt_cols = ",\n         ".join(
         f"SUM(CASE WHEN substring(h, {p + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS c{p}"

@@ -52,3 +52,36 @@ def test_simhash64_pairs_distinct_across_blocks(spark):
     df = _docs(spark, [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "zz yy xx ww vv uu")])
     pairs = D.simhash64_pairs(D.simhash64(df))
     assert pairs.count() == pairs.select("doc_a", "doc_b").distinct().count() == 1
+
+
+# --- connected components (operators/graph.py) -----------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_cc_chain_needs_multiple_rounds(spark):
+    """A 6-node path graph has diameter 5 — the min label must propagate
+    end to end, proving the loop iterates past round one."""
+    from tansu_spark.operators.graph import connected_components
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    got = {r["node"]: r["component_id"] for r in connected_components(e).collect()}
+    assert got == {n: 1 for n in range(1, 7)}
+
+
+def test_cc_disjoint_components_and_direction_independence(spark):
+    from tansu_spark.operators.graph import connected_components
+
+    # Edges given in mixed direction; two separate components.
+    e = _edges(spark, [(9, 7), (7, 8), (20, 30), (40, 30)])
+    got = {r["node"]: r["component_id"] for r in connected_components(e).collect()}
+    assert got == {7: 7, 8: 7, 9: 7, 20: 20, 30: 20, 40: 20}
+
+
+def test_cc_empty_edges(spark):
+    from tansu_spark.operators.graph import connected_components
+
+    e = _edges(spark, [])
+    assert connected_components(e).count() == 0
