@@ -67,6 +67,39 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(key_col, seed) < th)
 
 
+def weighted_upsample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Corpus mixing: emit each row `weight` times in expectation — the
+    "epochs per source" knob of an LLM data-mixing pipeline. A weight of
+    2.5 yields 2 copies of every row plus a 3rd for the deterministic
+    50% of keys whose hash falls under the fractional threshold; weights
+    < 1 downsample. Adds an `epoch` column (0-based copy index) so
+    downstream shuffles can spread copies across the corpus.
+
+    Map-only: one codegen'd CASE pair + array_repeat/posexplode, no
+    shuffle, no RNG — the mix is reproducible row-for-row at any scale
+    and any partitioning."""
+    floor_w = F.lit(int(default_weight))
+    th = F.lit(fraction_threshold(default_weight - int(default_weight)))
+    for stratum, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"weight must be >= 0, got {w} for {stratum!r}")
+        is_s = F.col(strata_col) == stratum
+        floor_w = F.when(is_s, F.lit(int(w))).otherwise(floor_w)
+        th = F.when(is_s, F.lit(fraction_threshold(w - int(w)))).otherwise(th)
+    extra = (hash_bucket(key_col, seed) < th).cast("int")
+    n_copies = floor_w + extra
+    return df.select(
+        df["*"], F.posexplode(F.array_repeat(F.lit(1), n_copies)).alias("epoch", "_one")
+    ).drop("_one")
+
+
 def uniform_k_per_group(
     df: DataFrame, group_col: str, k: int, key_col: str, seed: int = 0
 ) -> DataFrame:

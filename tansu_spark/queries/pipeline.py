@@ -271,6 +271,107 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_verify(pairs, sh, threshold=0.5)
 
 
+@query(
+    "text_type_token_ratio",
+    oracle=_TOK_CTE
+    + """,
+    tokx AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+    c AS (SELECT doc_id, tok, count(*) AS n FROM tokx GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct_tokens,
+           round(count(*) / CAST(sum(n) AS DOUBLE), 6) AS ttr,
+           round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top_token_share
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate signal: type-token ratio and the share of
+    the single most frequent token per document (low TTR or a dominant
+    token ⇒ templated/repetitive text — a standard pretraining quality
+    filter). Two hash aggregations, both with map-side partials; the
+    (doc_id, tok) key is high-cardinality and uniform, so it scales
+    linearly with corpus size."""
+    d = _docs(spark, sf_dir)
+    cnt = (
+        d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.round(F.count(F.lit(1)) / F.sum("n"), 6).alias("ttr"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_token_share"),
+    )
+
+
+@query(
+    "text_vocab_prune",
+    oracle=_TOK_CTE
+    + f""",
+    pruned AS (SELECT doc_id,
+                      list_filter(t, x -> NOT list_contains({_EN}, x)) AS kept
+               FROM tok)
+    SELECT doc_id, len(kept) AS n_kept,
+           md5(array_to_string(kept, ' ')) AS cleaned_digest
+    FROM pruned
+    """,
+)
+def text_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pruning (stopword removal) with an md5 digest of the
+    cleaned text proving both engines rebuilt the identical document.
+    Map-only array filter — no shuffle."""
+    stop = ["the", "a", "of", "and", "to", "in", "is", "that"]
+    d = _docs(spark, sf_dir)
+    kept = F.filter(T.tokens("text"), lambda x: ~F.array_contains(F.array(*[F.lit(s) for s in stop]), x))
+    return d.select(
+        "doc_id",
+        F.size(kept).alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("cleaned_digest"),
+    )
+
+
+@query(
+    "corpus_mix_upsample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                         WHEN 'src2' THEN 3 ELSE 1 END
+             + CASE WHEN md5('11:' || doc_id::VARCHAR) <
+                         CASE source WHEN 'src0' THEN '80000000'
+                                     WHEN 'src1' THEN '4ccccccc'
+                                     ELSE '00000000' END
+                    THEN 1 ELSE 0 END AS n
+      FROM documents),
+    ex AS (SELECT source, doc_id, unnest(generate_series(1, n)) AS i FROM w)
+    SELECT source,
+           count(*) AS n_rows_out,
+           count(DISTINCT doc_id) AS n_unique_docs
+    FROM ex GROUP BY source
+    """,
+)
+def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: src0 at 2.5 epochs, src1 downsampled
+    to 0.3, src2 at exactly 3, everything else at 1.0 — then audit the
+    mix per source. The upsample itself is map-only (no shuffle, no
+    RNG); only the audit aggregates."""
+    from tansu_spark.functions.sampling import weighted_upsample
+
+    mixed = weighted_upsample(
+        _docs(spark, sf_dir),
+        "source",
+        {"src0": 2.5, "src1": 0.3, "src2": 3.0},
+        key_col="doc_id",
+        seed=11,
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows_out"),
+        F.countDistinct("doc_id").alias("n_unique_docs"),
+    )
+
+
 # Jaccard-verified near-dup pairs, as a reusable oracle fragment (the same
 # expression dedup_ngram_jaccard filters on), then symmetrized into edges.
 _JACC = (
