@@ -468,6 +468,44 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    first AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id)
+    SELECT f.cohort_wk,
+           CAST(date_diff('day', f.cohort_wk, a.wk) // 7 AS BIGINT) AS week_offset,
+           count(*) AS n_active_users
+    FROM act a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted in
+    each later week they return — the standard product-analytics rollup.
+    One distinct (user, week) pass feeds both the cohort assignment and
+    the activity join; the join key is user_id (uniform), and the final
+    agg is low-cardinality (weeks x offsets). `act` is tiny relative to
+    raw events, so the self-use is cheap at any scale."""
+    ev = load(spark, sf_dir, "events")
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    act = ev.select("user_id", F.date_trunc("week", ts).alias("wk")).distinct()
+    first = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(first, "user_id")
+        .select(
+            "cohort_wk",
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@query(
     "skew_salted_agg",
     oracle="""
     SELECT event_type,
