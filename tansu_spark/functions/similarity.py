@@ -204,6 +204,42 @@ def ivf_assign(
     return with_n.withColumn("cluster", -best.getField("nid")).drop("_vn")
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over the corpus — the trained coarse quantizer a
+    production IVF index uses (vs. `_centroid_rows`' seeded one).
+
+    Each iteration is one map-only assignment pass (literal centroid
+    arithmetic, no UDF) + one groupBy(cluster) computing per-dimension
+    means. Means are aggregated in DECIMAL: float addition is not
+    associative, so a double-sum would make the trained model depend on
+    partitioning and retry order — decimal sums are exact, making the
+    model bit-reproducible on any cluster layout. k x dims model state
+    collects to the driver per round (tiny), exactly like broadcast-side
+    model updates in a distributed k-means.
+
+    Empty clusters keep their previous centroid. Cluster ids stay the
+    seed ids, so assignments are comparable across iterations.
+    """
+    cents = _centroid_rows(corpus, n_centroids, id_col, vec_col)
+    mean_aggs = [
+        F.avg(F.col(vec_col)[i].cast("decimal(28,12)")).alias(f"m{i}")
+        for i in range(n_dims)
+    ]
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        rows = assigned.groupBy("cluster").agg(*mean_aggs).collect()
+        new = {r["cluster"]: [float(r[f"m{i}"]) for i in range(n_dims)] for r in rows}
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -213,6 +249,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 10,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are bucketed by nearest
     coarse centroid (the inverted file); each query probes its n_probe
@@ -222,8 +259,11 @@ def ivf_ann_topk(
     the candidate join is an equi-join on cluster id, so the corpus
     shuffles once by cluster — per-query work is |cluster| * n_probe,
     not |corpus|. Recall trades with n_probe exactly as in FAISS IVF.
+    Pass `cents` (e.g. from `kmeans_centroids`) to use a trained
+    quantizer instead of the seeded one.
     """
-    cents = _centroid_rows(corpus, n_centroids, id_col, vec_col)
+    if cents is None:
+        cents = _centroid_rows(corpus, n_centroids, id_col, vec_col)
     cb = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col), F.col(vec_col), "cluster"
     )

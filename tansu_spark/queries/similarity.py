@@ -147,3 +147,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.9 threshold would make the check vacuous; 0.35 exercises the full
     block→score→filter path with non-empty output at every SF."""
     return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+@query("sim_ivf_kmeans_topk")  # rows-only: float k-means training is not
+# hash-reproducible across engines (the per-cluster means are data-derived
+# model state, not SQL-expressible deterministically) — invariants are
+# pytest-checked in tests/test_similarity.py instead.
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: 2 Lloyd iterations of
+    k-means (decimal-exact means, so the model is identical on any
+    partitioning), then the same probe/re-rank plan as sim_ivf_ann_topk.
+    The iterative training is the part the reference engine cannot
+    express; the serving plan stays one corpus shuffle on cluster id."""
+    emb = _emb(spark, sf_dir)
+    cents = S.kmeans_centroids(emb, n_centroids=16, n_iter=2)
+    return S.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_probe=2, cents=cents
+    )

@@ -1,0 +1,60 @@
+"""Unit tests for k-means IVF training (the rows-only query's invariants):
+assignment optimality, partition independence, and objective improvement."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tansu_spark.functions import similarity as S
+from tansu_spark.tables import load
+
+
+def _cos(a, b):
+    d = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = math.sqrt(sum(float(x) * float(x) for x in a))
+    nb = math.sqrt(sum(float(y) * float(y) for y in b))
+    return d / (na * nb)
+
+
+def test_kmeans_assignment_is_argmax_and_partition_independent(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(emb, n_centroids=8, n_iter=2)
+    # Partition independence: training on a repartitioned corpus yields
+    # the bit-identical model (decimal sums are exact).
+    cents2 = S.kmeans_centroids(emb.repartition(7), n_centroids=8, n_iter=2)
+    assert cents == cents2
+    # Every vector's assigned cluster is the true argmax-cosine centroid.
+    rows = S.ivf_assign(emb, cents).select("vec_id", "embedding", "cluster").collect()
+    for r in rows[:50]:
+        best = max(cents, key=lambda c: (_cos(r["embedding"], c[1]), -c[0]))
+        assert r["cluster"] == best[0], r["vec_id"]
+
+
+def test_kmeans_training_improves_objective(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    seed = S._centroid_rows(emb, 8, "vec_id", "embedding")
+    trained = S.kmeans_centroids(emb, n_centroids=8, n_iter=2)
+
+    def objective(cents):
+        rows = S.ivf_assign(emb, cents).collect()
+        by_id = dict(cents)
+        return sum(_cos(r["embedding"], by_id[r["cluster"]]) for r in rows)
+
+    assert objective(trained) > objective(seed)
+
+
+def test_ivf_kmeans_topk_shape(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(emb, n_centroids=16, n_iter=1)
+    out = S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 4), k=5, n_probe=2, cents=cents)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
+    for r in rows:
+        assert r["vec_id"] != r["query_id"]
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["cosine"])
+    for q, cs in per_q.items():
+        assert len(cs) <= 5
