@@ -468,6 +468,59 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT user_id, min(us) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.us) AS t2, min(v.t1) AS t1
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.us) AS t3, min(c.t1) AS t1
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase,
+           (SELECT round(avg(t3 - t1), 6) FROM p) AS avg_us_view_to_purchase
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after the
+    first view, then purchased strictly after that click — plus mean
+    view→purchase latency for completers. Three per-user min-aggregations
+    chained by equi-joins on user_id (uniform key, partial aggs); no
+    window over the raw event stream, no self-join of the full table."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"), F.min("t1").alias("t1"))
+    )
+    r1 = v.agg(F.count(F.lit(1)).alias("n_view"))
+    r2 = c.agg(F.count(F.lit(1)).alias("n_click"))
+    r3 = p.agg(
+        F.count(F.lit(1)).alias("n_purchase"),
+        F.round(F.avg(F.col("t3") - F.col("t1")), 6).alias("avg_us_view_to_purchase"),
+    )
+    return r1.crossJoin(r2).crossJoin(r3)
+
+
+@query(
     "events_cohort_retention",
     oracle="""
     WITH act AS (

@@ -1,4 +1,5 @@
 from tansu_spark.streaming.source import (
+    dedup_stream,
     sessionize,
     stream_to_lake,
     stream_to_topic,
@@ -9,6 +10,7 @@ from tansu_spark.streaming.generator import generate_batch, generator_stream
 
 __all__ = [
     "topic_stream",
+    "dedup_stream",
     "stream_to_topic",
     "stream_to_lake",
     "windowed_counts",

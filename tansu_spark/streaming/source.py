@@ -91,6 +91,30 @@ def windowed_counts(
     return df.groupBy(*group).agg(F.count(F.lit(1)).alias("n_records"))
 
 
+def dedup_stream(
+    records: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Streaming exact deduplication on content keys.
+
+    Streaming form uses dropDuplicatesWithinWatermark: duplicate arrivals
+    within the watermark horizon are dropped and state is EVICTED once
+    the watermark passes — bounded memory, unlike dropDuplicates whose
+    key state grows with the whole stream (a non-starter on an unbounded
+    topic). The trade is the standard one: a duplicate arriving later
+    than the watermark is kept, which is exactly the late-data contract
+    every other watermark'd operator has. Batch twin: dropDuplicates on
+    the same keys (tests cross-check the two paths)."""
+    keys = list(key_cols or ["value"])
+    if records.isStreaming:
+        return records.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return records.dropDuplicates(keys)
+
+
 _SESSION_SCHEMA = (
     "key string, session_start timestamp, session_end timestamp, n_events long"
 )

@@ -51,7 +51,8 @@ def test_joins_never_cartesian(spark, sf_dir):
             assert name in {"tpch_q14_promo_revenue_share", "text_tfidf_relevance",
                             "lake_zorder_key", "tpch_q22_global_sales_opportunity",
                             "tpch_q11_important_stock",
-                            "kmv_supplier_overlap_by_brand"}, name
+                            "kmv_supplier_overlap_by_brand",
+                            "events_funnel_conversion"}, name
 
 
 def test_asof_join_is_single_shuffle_window(spark, sf_dir):

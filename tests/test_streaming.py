@@ -173,3 +173,30 @@ def test_generator_deterministic_and_valid(spark, broker):
     broker.create_topic("taxi", partitions=2)
     broker.produce("taxi", generate_batch(spark, TAXI_FIELDS, 20, seed=1))
     assert sum(broker.list_offsets("taxi", "latest").values()) == 20
+
+
+def test_dedup_stream_drops_duplicates_across_segments(broker, tmp_path):
+    """Duplicate payloads produced in separate batches (separate segment
+    files) must surface once in the streamed view; the batch twin agrees."""
+    from tansu_spark.streaming import dedup_stream
+
+    broker.create_topic("dup", partitions=1)
+    broker.produce_rows("dup", [{"key": f"k{i}", "value": f"v{i % 3}"} for i in range(6)])
+    broker.produce_rows("dup", [{"key": f"k{i}", "value": f"v{i % 3}"} for i in range(6, 9)])
+    q = (
+        dedup_stream(topic_stream(broker, "dup"), key_cols=["value"])
+        .writeStream.format("memory")
+        .queryName("dup_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        bytes(r["value"]).decode()
+        for r in broker.spark.sql("select value from dup_mem").collect()
+    }
+    assert got == {"v0", "v1", "v2"}
+    batch = dedup_stream(broker.fetch("dup"), key_cols=["value"])
+    assert batch.count() == 3
+    assert {bytes(r["value"]).decode() for r in batch.collect()} == got
