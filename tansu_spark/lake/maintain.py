@@ -258,6 +258,20 @@ class Maintainer:
                                     self.broker.spark, table, lake_cfg["z_order"]
                                 )
                             vacuum(table)
+                            # Refresh the data-skipping manifest if this
+                            # table keeps one: the rewrites above changed
+                            # file boundaries.
+                            from tansu_spark.lake.stats import (
+                                collect_stats,
+                                load_stats,
+                            )
+
+                            stats = load_stats(table)
+                            if stats is not None:
+                                collect_stats(
+                                    self.broker.spark, table, stats["columns"]
+                                )
+                                r["stats_files"] = len(stats["files"])
                 report[topic] = r
             return report
         finally:

@@ -51,32 +51,36 @@ def connected_components(
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     e = e.distinct().localCheckpoint(eager=True)
 
+    # Round 1 fused into initialization: each node's label starts at the
+    # min over its closed neighborhood (the same groupBy that would have
+    # extracted the node set).
     labels = (
-        e.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        e.groupBy("a")
+        .agg(F.least(F.min("b"), F.col("a")).alias("comp"))
+        .select(F.col("a").alias("node"), "comp")
         .localCheckpoint(eager=True)
     )
+    comp_type = labels.schema["comp"].dataType
 
     for _ in range(max_iter):
         # Labels flow across every edge a->b; each node keeps the min of
-        # what arrives plus its own current label.
+        # what arrives plus its own current label. The old label travels
+        # through the same union (tagged via `old`), so convergence needs
+        # no compare-join afterwards — just a scan of the materialized
+        # result.
         msgs = e.join(labels, e["a"] == labels["node"]).select(
-            F.col("b").alias("node"), F.col("comp")
+            F.col("b").alias("node"),
+            F.col("comp"),
+            F.lit(None).cast(comp_type).alias("old"),
         )
         new_labels = (
-            msgs.unionByName(labels)
+            msgs.unionByName(labels.select("node", "comp", F.col("comp").alias("old")))
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        n_changed = new_labels.filter(F.col("comp") < F.col("old")).count()
+        labels = new_labels.select("node", "comp")
         if n_changed == 0:
             break
 

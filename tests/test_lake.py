@@ -176,3 +176,65 @@ def test_vacuum_removes_stale_rewrite_dirs(stack, tmp_path):
     os.utime(stale, (0, 0))
     assert vacuum(tdir) == 1
     assert not os.path.exists(stale)
+
+
+def test_stats_pruned_read_skips_files(spark, tmp_path):
+    """Range-sorted writes + stats manifest: a narrow predicate must scan
+    strictly fewer files than the table holds, with results identical to
+    the full-scan filter."""
+    from tansu_spark.lake.stats import collect_stats, pruned_read, prune_files
+
+    table = str(tmp_path / "tbl")
+    # 4 range-disjoint files on `k` (what zorder/compaction produces).
+    for lo in (0, 100, 200, 300):
+        spark.range(lo, lo + 100).selectExpr(
+            "id AS k", "id * 2 AS v"
+        ).coalesce(1).write.mode("append").parquet(table)
+    collect_stats(spark, table, ["k"])
+
+    files, skipped = prune_files(table, {"k": (120, 180)})
+    assert skipped == 3 and len(files) == 1
+
+    got = pruned_read(spark, table, {"k": (120, 180)})
+    assert len(got.inputFiles()) == 1
+    expect = spark.read.parquet(table).filter("k between 120 and 180")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in expect.collect()
+    )
+
+    # Disjoint predicate: zero files, schema-preserving empty frame.
+    empty = pruned_read(spark, table, {"k": (1000, 2000)})
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_stats_pruning_is_advisory_not_correctness(spark, tmp_path):
+    """A file missing from the manifest is always scanned — a stale
+    manifest can cost speed, never rows."""
+    from tansu_spark.lake.stats import collect_stats, pruned_read
+
+    table = str(tmp_path / "tbl2")
+    spark.range(0, 50).selectExpr("id AS k").coalesce(1).write.mode(
+        "append"
+    ).parquet(table)
+    collect_stats(spark, table, ["k"])
+    # New data lands AFTER stats collection.
+    spark.range(50, 100).selectExpr("id AS k").coalesce(1).write.mode(
+        "append"
+    ).parquet(table)
+    got = pruned_read(spark, table, {"k": (60, 70)})
+    assert sorted(r["k"] for r in got.collect()) == list(range(60, 71))
+
+
+def test_maintainer_refreshes_stats_manifest(stack):
+    from tansu_spark.lake.stats import collect_stats, load_stats
+
+    broker, sink = stack
+    broker.create_topic("person", partitions=1)
+    _produce_people(broker, 10)
+    sink.store("person")
+    table = sink.table_dir("person")
+    collect_stats(broker.spark, table, ["offset"])
+    before = load_stats(table)["created_at"]
+    Maintainer(broker, sink).tick()
+    after = load_stats(table)["created_at"]
+    assert after > before  # manifest rebuilt over the rewritten files
