@@ -63,3 +63,39 @@ def salted_agg(
         .agg(*partials)
     )
     return stage1.groupBy(*keys).agg(*merges)
+
+
+def salted_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    on: list[str] | str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: result identical to ``facts.join(dims, on, how)``.
+
+    Problem: a shuffle join hashes both sides on the key, so ALL rows of a
+    hot key land in one reducer; AQE's skew-join split helps sort-merge
+    joins but cannot help when the dim side must be replicated per key
+    group (e.g. after an upstream operator pinned the partitioning).
+
+    Shape: the fact side gets a deterministic salt from
+    ``spark_partition_id()`` (free, no rand()); the dim side is exploded
+    n_salt times so every (key, salt) bucket finds its dim row. The join
+    key becomes (key..., salt) — a hot key now spreads over n_salt
+    reducers. The dim-side blow-up is n_salt * |dims|, which is the
+    standard price and why this targets fact⋈dim shapes; for dim tables
+    small enough to broadcast, `broadcast()` is strictly better — use
+    this when the dim side exceeds broadcast limits but a few fact keys
+    are pathologically hot.
+
+    Supported `how`: inner / left (the fact side is preserved; dim-side
+    non-matches never multiply because every fact row has exactly one
+    salt value).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    f = facts.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(n_salt)))
+    d = dims.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    return f.join(d, keys + ["_salt"], how).drop("_salt")

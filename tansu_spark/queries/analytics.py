@@ -559,6 +559,43 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_salted_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim join (operators/salt.py::salted_join): lineitem
+    joined to orders on a salted key so a pathologically hot orderkey
+    would spread over n_salt reducers instead of stalling one. The oracle
+    is the plain join — salting is a physical rewrite, the result is
+    exactly equal. (orders would be broadcast here at test scale;
+    autoBroadcast is the right call when the dim FITS — salting is for
+    when it does not, so the query disables broadcast via hint-free
+    shuffle join on the salted composite key.)"""
+    from tansu_spark.operators.salt import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), _dec("l_quantity").alias("qty")
+    )
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, od, on="orderkey", n_salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
     "skew_salted_agg",
     oracle="""
     SELECT event_type,
