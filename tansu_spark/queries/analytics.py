@@ -468,6 +468,39 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_json_props_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           min(CAST(props->>'k' AS BIGINT)) AS k_min,
+           max(CAST(props->>'k' AS BIGINT)) AS k_max,
+           count(DISTINCT CAST(props->>'k' AS BIGINT)) AS k_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the `props` JSON column parsed with a
+    schema'd from_json (not a per-path string UDF), then aggregated.
+    Schema-driven parse means ONE parse per row regardless of how many
+    fields are read, Catalyst prunes unused fields (OptimizeJsonExprs),
+    and the typed column participates in codegen like any other."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("k").alias("k_distinct"),
+        )
+    )
+
+
+@query(
     "events_funnel_conversion",
     oracle="""
     WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
