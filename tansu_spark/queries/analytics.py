@@ -396,6 +396,54 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 4 HOUR AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN session_window (vs the
+    gaps-and-islands twin in events_sessionize_batch and the stateful
+    streaming operator): one groupBy with a merging session key — the
+    planner handles boundary merging, and the same expression works
+    under a watermark in streaming. Session end is last-event + gap
+    (window semantics), and a gap exactly equal to 4h starts a new
+    session (touching intervals do not overlap) — the oracle mirrors
+    both conventions."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "4 hours").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "events_tumbling_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

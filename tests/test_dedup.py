@@ -85,3 +85,45 @@ def test_cc_empty_edges(spark):
 
     e = _edges(spark, [])
     assert connected_components(e).count() == 0
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Property check: on arbitrary small graphs the distributed hash-min
+    propagation must agree with a driver-side union-find."""
+    import random
+
+    from tansu_spark.operators.graph import connected_components
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.randint(2, 40)
+        edges = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(1, 60))
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {a for a, _ in edges} | {b for _, b in edges}
+        want = {x: find(x) for x in sorted(nodes)}
+        # Canonical label = min member of the component.
+        canon = {}
+        for x, r in want.items():
+            canon.setdefault(r, x)
+        want = {x: canon[r] for x, r in want.items()}
+
+        e = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r["node"]: r["component_id"]
+            for r in connected_components(e).collect()
+        }
+        assert got == want, f"trial {trial}: {sorted(edges)}"
