@@ -372,6 +372,70 @@ def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_corpus_curation",
+    oracle=_TOK_CTE
+    + f""",
+    scored AS (
+      SELECT doc_id, lang, text,
+             round(0.4 * least(len(t) / 100.0, 1.0)
+                   + 0.2 * (1.0 - {_PUNCT} / greatest(length(text), 1))
+                   + 0.2 * (1.0 - {_DIGIT} / greatest(length(text), 1))
+                   + 0.2 * {_STOP_EN}, 6) AS quality,
+             len(t) AS n_tokens
+      FROM tok),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE md5('77:' || doc_id::VARCHAR) < 'cccccccc')
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(round(avg(CAST(quality AS DECIMAL(10,6))), 6) AS DOUBLE) AS mean_quality
+    FROM sampled GROUP BY lang
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline, composed from this package's
+    operators exactly as a training-data job would chain them:
+    quality-score filter (>= 0.5) → exact dedup on the normalized-text
+    fingerprint (keep lowest doc_id) → deterministic 80% hash sample →
+    per-language corpus accounting. Everything fuses into two shuffles
+    (the dedup window on the fingerprint, the final groupBy): scoring,
+    filtering, and sampling are map-side, and the sample filter is
+    key-consistent so reruns and engine ports keep the same corpus."""
+    from pyspark.sql import Window
+
+    from tansu_spark.functions.sampling import hash_sample
+
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.round(T.quality_score("text"), 6).alias("quality"),
+        T.token_count("text").alias("n_tokens"),
+    ).filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy(T.fingerprint("text")).orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    sampled = hash_sample(deduped, "doc_id", 0.8, seed=77)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg(F.col("quality").cast("decimal(10,6)")), 6)
+        .cast("double")
+        .alias("mean_quality"),
+    )
+
+
 # Jaccard-verified near-dup pairs, as a reusable oracle fragment (the same
 # expression dedup_ngram_jaccard filters on), then symmetrized into edges.
 _JACC = (
