@@ -515,6 +515,25 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_approx_aggregates")  # rows-only: HLL++ and KLL sketch
+# estimates are engine-specific by construction (unlike functions/sketch.py's
+# KMV, which IS cross-engine exact and carries the oracle for sketching);
+# error bounds are pytest-checked against exact values in test_queries_extra.py.
+def events_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate path for 100 TB interactive analytics: HLL++
+    distinct users (approx_count_distinct, rsd 1%) and KLL-sketch
+    quantiles (percentile_approx) per event type — single pass,
+    mergeable partials, constant memory per group; the exact twins
+    (`events_value_percentiles`, countDistinct) cost a sort or a
+    two-level shuffle."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9], 10000).alias("approx_p50_p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @query(
     "events_json_props_stats",
     oracle="""
