@@ -164,3 +164,43 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, n_probe=2, cents=cents
     )
+
+
+@query(
+    "embeddings_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(list_transform(embedding, (x, i) -> struct_pack(dim := i, x := x)),
+                    recursive := true)
+      FROM embeddings)
+    SELECT label, dim,
+           CAST(round(avg(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))), 10) AS DOUBLE)
+             AS centroid_val,
+           count(*) AS n_vectors
+    FROM ex GROUP BY label, dim
+    """,
+)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids as DATA (label x dim x mean) — the
+    corpus-management view of vector columns (class prototypes, drift
+    monitoring), not just internal ANN state. Decimal-exact means so the
+    result is partition-order independent and hash-matches the oracle;
+    dim is 1-based to match DuckDB's lambda index. posexplode + one
+    partial-agg groupBy on a uniform (label, dim) key. The f32 value is
+    widened to f64 BEFORE the decimal cast: float->decimal directly uses
+    the engine's float-to-string shortest form and differs between
+    engines at the 12th digit; float->double widening is exact binary in
+    both."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .select("label", (F.col("pos") + 1).alias("dim"), "x")
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double").cast("decimal(28,12)")), 10)
+            .cast("double")
+            .alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
