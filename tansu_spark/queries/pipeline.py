@@ -720,3 +720,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_assets(spark, sf_dir), every_ms=1000).select(
         "asset_id", "frame_ts_ms"
     )
+
+
+# ---------------------------------------------------------------------------
+# Star-algorithm connected components over a LONG-CHAIN graph. The near-dup
+# graph above has diameter <= 3-4 (hash-min's home turf); per-user event
+# chains have diameter ~ events-per-user, the regime that needs the
+# O(log^2 n)-round large/small-star variant (operators/graph.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_cc_star_user_chains",
+    oracle="""
+    SELECT event_id AS node,
+           min(event_id) OVER (PARTITION BY user_id) AS component_id,
+           count(*) OVER (PARTITION BY user_id) AS component_size
+    FROM events
+    WHERE user_id IS NOT NULL
+    """,
+)
+def graph_cc_star_user_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stitch each user's events into a path graph (successive event_ids
+    by time), then label components with alternating large/small-star CC.
+    A user's chain has diameter = n_events - 1 (hundreds at sf0.1) —
+    hash-min label propagation would need that many shuffle rounds; the
+    star variant converges in O(log^2 n). The oracle doesn't replay the
+    algorithm: connectivity of a per-user chain is provably "component =
+    min event_id over the user", a plain window — so the check is
+    topology-ground-truth, independent of either engine's iteration."""
+    from pyspark.sql import Window
+
+    from tansu_spark.operators.graph import connected_components_star
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = ev.select(
+        F.col("event_id").alias("dst"),
+        # Chain head gets a self-loop so single-event users still surface
+        # as singleton components.
+        F.coalesce(F.lag("event_id").over(w), F.col("event_id")).alias("src"),
+    )
+    cc = connected_components_star(edges)
+    wc = Window.partitionBy("component_id")
+    return cc.withColumn("component_size", F.count(F.lit(1)).over(wc))

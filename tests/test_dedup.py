@@ -87,6 +87,67 @@ def test_cc_empty_edges(spark):
     assert connected_components(e).count() == 0
 
 
+def test_cc_star_long_chain_converges_within_log_rounds(spark):
+    """A 120-node path graph has diameter 119: hash-min propagation needs
+    ~119 rounds, but alternating large/small star must finish inside 10 —
+    running it with max_iter=10 and getting the right answer proves the
+    O(log^2 n) round bound is real, not a lucky topology."""
+    from tansu_spark.operators.graph import connected_components_star
+
+    n = 120
+    e = _edges(spark, [(i, i + 1) for i in range(n - 1)])
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components_star(e, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_star_self_loops_and_singletons(spark):
+    """Self-loop-only nodes are singleton components (parity with the
+    hash-min variant's closed-neighborhood init)."""
+    from tansu_spark.operators.graph import connected_components_star
+
+    e = _edges(spark, [(5, 5), (1, 2), (2, 2)])
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components_star(e).collect()
+    }
+    assert got == {5: 5, 1: 1, 2: 1}
+
+
+def test_cc_star_empty_edges(spark):
+    from tansu_spark.operators.graph import connected_components_star
+
+    assert connected_components_star(_edges(spark, [])).count() == 0
+
+
+def test_cc_star_matches_hash_min_on_random_graphs(spark):
+    """Both CC implementations must emit identical (node, component_id)
+    sets on arbitrary graphs — same canonical min-labelling contract."""
+    import random
+
+    from tansu_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = rng.randint(2, 40)
+        edges = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(rng.randint(1, 60))
+        ]
+        e = spark.createDataFrame(edges, "src bigint, dst bigint")
+        a = {(r["node"], r["component_id"]) for r in connected_components(e).collect()}
+        b = {
+            (r["node"], r["component_id"])
+            for r in connected_components_star(e).collect()
+        }
+        assert a == b, f"trial {trial}: {sorted(edges)}"
+
+
 def test_cc_matches_union_find_on_random_graphs(spark):
     """Property check: on arbitrary small graphs the distributed hash-min
     propagation must agree with a driver-side union-find."""
