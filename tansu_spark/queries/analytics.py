@@ -993,3 +993,47 @@ def _kmv_merge_oracle() -> str:
 
 
 _OR["kmv_supplier_overlap_by_brand"] = _kmv_merge_oracle()
+
+
+@query(
+    "semi_reduced_join_urgent_orders",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2))
+                       - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 250000
+    GROUP BY o.o_orderstatus
+    """,
+)
+def semi_reduced_join_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact⋈dim join via semi-join reduction
+    (operators/prefilter.py::semi_reduced_join): the filtered orders dim
+    matches ~7% of lineitem rows, so the broadcast key-set semi filter
+    drops ~93% of the fact MAP-SIDE before any shuffle — at 100 TB that
+    is the difference between shuffling 100 TB and 7 TB. The oracle is
+    the plain join: reduction is a physical rewrite, results are exactly
+    equal."""
+    from tansu_spark.operators.prefilter import semi_reduced_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))).alias("rev"),
+    )
+    od = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 250000))
+        .select("o_orderkey", "o_orderstatus")
+    )
+    return (
+        semi_reduced_join(li, od, on="o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
