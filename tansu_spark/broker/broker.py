@@ -293,6 +293,7 @@ class Broker:
                 result[p] = int(m["high"])
                 m["high"] = int(m["high"]) + int(n)
             write_json_atomic(self._state(topic, "watermarks.json"), marks)
+            self._refresh_segment_stats(topic)
 
             if txn_id is not None:
                 txns = read_json(self._state(topic, "txns.json"), {})
@@ -345,6 +346,79 @@ class Broker:
         df = self.spark.read.schema(RECORD_SCHEMA).parquet(data)
         return df
 
+    # ----------------------------------------------------- segment offset stats
+    # Per-segment offset ranges, harvested from parquet FOOTERS (driver-side
+    # metadata read — no Spark job, no data IO) after every produce. The
+    # manifest is the broker's equivalent of Kafka's segment index / the
+    # reference's watermark-bounded fetch SQL (record_fetch*.sql): a fetch
+    # from offset N opens only segments whose [min,max] range reaches N,
+    # instead of listing-and-footer-reading every segment in the topition.
+    # Advisory only — segments missing from the manifest are always read,
+    # and the offset predicate is still applied to survivors.
+
+    def _segment_stats_path(self, topic: str) -> str:
+        return os.path.join(self._data_dir(topic), "_segment_stats.json")
+
+    def _refresh_segment_stats(self, topic: str) -> None:
+        """Footer-read segments that appeared since the last refresh; drop
+        entries for segments that vanished (compaction/retention rewrites).
+        Called under the topic lock from produce; Maintainer rewrites call
+        it too. Cost: one ~KB metadata read per NEW file only."""
+        import pyarrow.parquet as pq
+
+        data = self._data_dir(topic)
+        manifest = read_json(self._segment_stats_path(topic), {"files": {}})
+        seen = {}
+        for root, _dirs, names in os.walk(data):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, n), data)
+                if rel in manifest["files"]:
+                    seen[rel] = manifest["files"][rel]
+                    continue
+                md = pq.ParquetFile(os.path.join(data, rel)).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                lo = hi = None
+                if "offset" in idx:
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(idx["offset"]).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                seen[rel] = {"offset": [lo, hi]}
+        manifest["files"] = seen
+        write_json_atomic(self._segment_stats_path(topic), manifest)
+
+    def _pruned_records(self, topic: str, offset_lo: int) -> DataFrame | None:
+        """Records DataFrame over only the segments whose offset range
+        reaches `offset_lo`, or None when there is no manifest to prune
+        with. Unknown segments are kept; correctness never depends on the
+        manifest (fetch re-applies the offset predicate)."""
+        manifest = read_json(self._segment_stats_path(topic), None)
+        if manifest is None:
+            return None
+        data = self._data_dir(topic)
+        keep = []
+        for root, _dirs, names in os.walk(data):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, n), data)
+                st = manifest["files"].get(rel)
+                if st is None or st["offset"][1] is None or st["offset"][1] >= offset_lo:
+                    keep.append(os.path.join(data, rel))
+        if not keep:
+            return self.spark.createDataFrame([], RECORD_SCHEMA)
+        # basePath keeps partition=N directory discovery over the file list.
+        return (
+            self.spark.read.schema(RECORD_SCHEMA)
+            .option("basePath", data)
+            .parquet(*sorted(keep))
+        )
+
     def typed_records(self, topic: str) -> DataFrame:
         """Schema-decoded topic view with the broker `meta` struct — the
         DataFrame the lake sink materializes (Registry::as_arrow + meta
@@ -387,7 +461,11 @@ class Broker:
         `topic/KEY` virtual-topic syntax and the max_bytes running budget."""
         name, key = self._parse_topic_key(topic)
         marks = read_json(self._state(name, "watermarks.json"), {})
-        df = self.records(name)
+        df = self._pruned_records(name, offset) if offset > 0 else None
+        if df is None:
+            df = self.records(name)
+        else:
+            self.describe_topic(name)  # same unknown-topic contract
 
         # Frontier: map partition → exclusive upper bound.
         if isolation == "read_committed":

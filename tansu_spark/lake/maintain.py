@@ -175,6 +175,7 @@ def retention_sweep(broker, topic: str, now_ms: int | None = None) -> int:
         for p, m in marks.items():
             m["low"] = int(survivors.get(int(p), m["high"]))
         write_json_atomic(broker._state(topic, "watermarks.json"), marks)
+        broker._refresh_segment_stats(topic)
     return deleted
 
 
@@ -204,6 +205,7 @@ def compact_topic(broker, topic: str) -> int:
             if after < before:
                 _rewrite_dir(broker.spark, d, keep_latest, 1)
                 removed += before - after
+        broker._refresh_segment_stats(topic)
     return removed
 
 
