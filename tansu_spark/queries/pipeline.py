@@ -764,3 +764,49 @@ def graph_cc_star_user_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components_star(edges)
     wc = Window.partitionBy("component_id")
     return cc.withColumn("component_size", F.count(F.lit(1)).over(wc))
+
+
+@query(
+    "text_repeated_shingles",
+    oracle=_SH_CTE
+    + """,
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+    per AS (SELECT e.doc_id,
+                   count(*) AS n_shingles,
+                   count(*) FILTER (d.df >= 2) AS n_dup_shingles
+            FROM ex e JOIN dfq d ON e.s = d.s
+            GROUP BY e.doc_id)
+    SELECT doc_id, n_shingles, n_dup_shingles,
+           CAST(n_dup_shingles AS DOUBLE) / n_shingles AS dup_ratio
+    FROM per
+    """,
+)
+def text_repeated_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repetition signal (the Gopher/CCNet boilerplate
+    filter): per document, the share of its distinct 3-gram shingles that
+    also appear in at least one OTHER document. High dup_ratio = template
+    or boilerplate text a curation pipeline down-weights before training.
+
+    Scale: shingle document-frequency is a partial-agg groupBy on the
+    shingle string (map-side combine absorbs the hot common phrases);
+    the df lookup joins back on the same key, where AQE's skew-join
+    split handles stock-phrase buckets. Counts use count-FILTER, not
+    SUM(CASE), because DuckDB widens integer SUM to HUGEINT while count
+    stays BIGINT on both engines."""
+    docs = _docs(spark, sf_dir)
+    sh = D.with_shingles(docs)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    dfq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(dfq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("df") >= 2, 1)).alias("n_dup_shingles"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("n_dup_shingles").cast("double") / F.col("n_shingles"),
+        )
+    )
