@@ -204,3 +204,63 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+@query(
+    "embeddings_int8_quantize",
+    oracle="""
+    WITH w AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                          1e-30) AS scale
+          FROM w),
+    out AS (SELECT vec_id, scale,
+                   list_reduce(list_transform(v,
+                       x -> CAST(floor(x / scale + 0.5) AS BIGINT)),
+                       (a, b) -> a + b) AS q_checksum,
+                   list_max(list_transform(v,
+                       x -> abs(x - floor(x / scale + 0.5) * scale)))
+                     AS max_abs_err
+            FROM s)
+    SELECT vec_id, scale, q_checksum, max_abs_err FROM out
+    """,
+)
+def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage/
+    bandwidth scale path for ANN at 100 TB (4x smaller vectors, SIMD int8
+    dot products downstream). Per vector: scale = max|x|/127, q_i =
+    round(x_i/scale), emitted as a checksum + max reconstruction error.
+
+    Parity: f32 widened to DOUBLE before any arithmetic (the f32→decimal
+    trap applies to any cross-engine float math); rounding is the explicit
+    floor(x+0.5) — engine round() half-rule differences never enter; the
+    zero-vector guard is a branch-free greatest(scale, 1e-30), keeping
+    the higher-order functions on the codegen path (a CASE around a
+    transform() forces interpretation). Map-only: single scan, zero
+    shuffles at any scale."""
+    emb = _emb(spark, sf_dir)
+    v = F.expr("transform(embedding, x -> cast(x as double))")
+    out = (
+        emb.select("vec_id", v.alias("v"))
+        .withColumn(
+            "scale",
+            F.greatest(
+                F.array_max(F.expr("transform(v, x -> abs(x))")) / F.lit(127.0),
+                F.lit(1e-30),
+            ),
+        )
+        .select(
+            "vec_id",
+            "scale",
+            F.expr(
+                "aggregate(transform(v, x -> cast(floor(x / scale + 0.5d) as bigint)),"
+                " 0L, (a, b) -> a + b)"
+            ).alias("q_checksum"),
+            F.array_max(
+                F.expr("transform(v, x -> abs(x - floor(x / scale + 0.5d) * scale))")
+            ).alias("max_abs_err"),
+        )
+    )
+    return out
