@@ -36,10 +36,14 @@ def _data_files(d: str) -> list[str]:
 
 
 def _rewrite_dir(
-    spark: SparkSession, d: str, transform, n_files: int
+    spark: SparkSession, d: str, transform, n_files: int, table_root: str | None = None
 ) -> None:
     """Atomically replace a partition directory's parquet files with the
-    transformed, re-bucketed contents."""
+    transformed, re-bucketed contents. When `table_root` points at a table
+    with a snapshot manifest, replaced files move to its `_history/` batch
+    (older versions stay readable) instead of being deleted."""
+    from tansu_spark.lake import snapshots as snap
+
     df = spark.read.parquet(d)
     out = transform(df) if transform else df
     tmp = os.path.join(d, f"_rewrite-{uuid.uuid4().hex}")
@@ -48,8 +52,11 @@ def _rewrite_dir(
     for f in os.listdir(tmp):
         if f.endswith(".parquet"):
             os.replace(os.path.join(tmp, f), os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
-    for f in old:
-        os.unlink(os.path.join(d, f))
+    if table_root is not None and snap.load_manifest(table_root) is not None:
+        snap.relocate_for_rewrite(table_root, [os.path.join(d, f) for f in old])
+    else:
+        for f in old:
+            os.unlink(os.path.join(d, f))
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -66,8 +73,13 @@ def compact_table(
         want = max(1, math.ceil(total / target_bytes))
         if len(files) <= want:
             continue
-        _rewrite_dir(spark, d, None, want)
+        _rewrite_dir(spark, d, None, want, table_root=table_dir)
         stats[d] = len(files) - len(_data_files(d))
+    if stats:
+        from tansu_spark.lake import snapshots as snap
+
+        if snap.load_manifest(table_dir) is not None:
+            snap.commit_snapshot(table_dir, "optimize-compact")
     return stats
 
 
@@ -131,8 +143,13 @@ def zorder_table(
                 .drop("_z")
             )
 
-        _rewrite_dir(spark, d, order if want == 1 else order_multi, want)
+        _rewrite_dir(spark, d, order if want == 1 else order_multi, want, table_root=table_dir)
         n += 1
+    if n:
+        from tansu_spark.lake import snapshots as snap
+
+        if snap.load_manifest(table_dir) is not None:
+            snap.commit_snapshot(table_dir, "optimize-zorder")
     return n
 
 

@@ -169,6 +169,11 @@ class LakeSink:
                 if part_cols:
                     writer = writer.partitionBy(*part_cols)
                 writer.parquet(self.table_dir(topic))
+                # Table version per committed append (Delta-log equivalent;
+                # maintenance rewrites add their own versions).
+                from tansu_spark.lake.snapshots import commit_snapshot
+
+                commit_snapshot(self.table_dir(topic), "append")
 
             state[state_key] = {str(p): h for p, h in highs.items()}
             write_json_atomic(self._state_path(), state)

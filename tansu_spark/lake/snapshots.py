@@ -1,0 +1,164 @@
+"""Snapshot versioning (time travel) for parquet-native lake tables.
+
+Reference parity: the reference's Delta sink gets table versions, time
+travel, and VACUUM from delta-rs's transaction log
+(nisshi-schema/src/lake/delta.rs commit/checkpoint path). Neither Delta
+nor Iceberg ships in this container, so the same contract is kept with
+an explicit `_snapshots.json` manifest:
+
+- every committed write appends a VERSION: the list of live data files
+  (paths relative to the table root) at commit time;
+- maintenance rewrites RELOCATE replaced files into `_history/<batch>/`
+  instead of deleting them — Spark ignores `_`-prefixed directories, so
+  current-table reads see only live files, while older versions resolve
+  their files through the relocation map;
+- `expire_snapshots` is VACUUM: drop old versions and physically delete
+  the history files only they reference.
+
+Scale notes: the manifest holds file PATHS only (a few hundred bytes per
+file per version — the same order as a Delta log JSON entry); reads of a
+version are explicit-file-list parquet scans with `basePath` set per
+root, so partition-directory columns still resolve. Relocation is
+`os.replace` — a same-filesystem rename, O(1) per file, no data copy.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tansu_spark.broker.state import read_json, write_json_atomic
+
+SNAPSHOTS_NAME = "_snapshots.json"
+HISTORY_DIR = "_history"
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, SNAPSHOTS_NAME)
+
+
+def load_manifest(table_dir: str) -> dict[str, Any] | None:
+    return read_json(_manifest_path(table_dir), None)
+
+
+def _live_files(table_dir: str) -> list[str]:
+    out = []
+    for root, dirs, names in os.walk(table_dir):
+        # Skip metadata/history subtrees the same way Spark does.
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for n in names:
+            if n.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(root, n), table_dir))
+    return sorted(out)
+
+
+def commit_snapshot(table_dir: str, operation: str = "append") -> int:
+    """Record the current live file set as the next table version.
+    Returns the new version number. Idempotent for an unchanged file set
+    (re-commits with identical files are collapsed)."""
+    doc = read_json(_manifest_path(table_dir), {"versions": [], "relocations": {}})
+    files = _live_files(table_dir)
+    if doc["versions"] and doc["versions"][-1]["files"] == files:
+        return doc["versions"][-1]["v"]
+    v = doc["versions"][-1]["v"] + 1 if doc["versions"] else 0
+    doc["versions"].append(
+        {"v": v, "ts": time.time(), "operation": operation, "files": files}
+    )
+    write_json_atomic(_manifest_path(table_dir), doc)
+    return v
+
+
+def relocate_for_rewrite(table_dir: str, abs_files: list[str]) -> None:
+    """Move about-to-be-replaced files into `_history/<batch>/` so the
+    versions that reference them stay readable. Called by maintenance
+    rewrites when the table has a snapshot manifest; without one, the
+    caller deletes as before (no time travel, no storage growth)."""
+    doc = read_json(_manifest_path(table_dir), {"versions": [], "relocations": {}})
+    batch = uuid.uuid4().hex[:12]
+    for f in abs_files:
+        rel = os.path.relpath(f, table_dir)
+        dest_rel = os.path.join(HISTORY_DIR, batch, rel)
+        dest = os.path.join(table_dir, dest_rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(f, dest)
+        doc["relocations"][rel] = dest_rel
+    write_json_atomic(_manifest_path(table_dir), doc)
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The table AS OF `version` (default: latest). Files are resolved
+    live-first, then through the relocation map; a file gone from both is
+    an expired snapshot — a clear error, never silent partial data."""
+    doc = load_manifest(table_dir)
+    if doc is None or not doc["versions"]:
+        raise FileNotFoundError(f"no snapshots committed in {table_dir}")
+    by_v = {e["v"]: e for e in doc["versions"]}
+    if version is None:
+        version = doc["versions"][-1]["v"]
+    if version not in by_v:
+        raise KeyError(
+            f"version {version} not found in {table_dir}; have {sorted(by_v)}"
+        )
+    # Group resolved files by the basePath that makes their partition
+    # directories parse: the table root for live files, the history batch
+    # root for relocated ones.
+    groups: dict[str, list[str]] = {}
+    for rel in by_v[version]["files"]:
+        live = os.path.join(table_dir, rel)
+        if os.path.exists(live):
+            groups.setdefault(table_dir, []).append(live)
+            continue
+        hist_rel = doc["relocations"].get(rel)
+        if hist_rel is None or not os.path.exists(os.path.join(table_dir, hist_rel)):
+            raise FileNotFoundError(
+                f"version {version} of {table_dir} is expired: {rel} was vacuumed"
+            )
+        # basePath = _history/<batch>; the remainder mirrors the table layout.
+        parts = hist_rel.split(os.sep)
+        base = os.path.join(table_dir, *parts[:2])
+        groups.setdefault(base, []).append(os.path.join(table_dir, hist_rel))
+    frames = [
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", base)
+        .parquet(*sorted(fs))
+        for base, fs in sorted(groups.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> int:
+    """VACUUM: keep only the newest `keep_last` versions; physically
+    delete history files referenced solely by dropped versions. Returns
+    the number of files deleted. Live files are never touched."""
+    doc = load_manifest(table_dir)
+    if doc is None:
+        return 0
+    keep = doc["versions"][-keep_last:] if keep_last > 0 else []
+    kept_files = {f for e in keep for f in e["files"]}
+    deleted = 0
+    relocations = {}
+    for rel, hist_rel in doc["relocations"].items():
+        if rel in kept_files:
+            relocations[rel] = hist_rel
+            continue
+        p = os.path.join(table_dir, hist_rel)
+        if os.path.exists(p):
+            os.unlink(p)
+            deleted += 1
+    doc["versions"] = keep
+    doc["relocations"] = relocations
+    write_json_atomic(_manifest_path(table_dir), doc)
+    # Sweep now-empty history batch directories.
+    hist_root = os.path.join(table_dir, HISTORY_DIR)
+    if os.path.isdir(hist_root):
+        for root, _dirs, _names in os.walk(hist_root, topdown=False):
+            if root != hist_root and not os.listdir(root):
+                os.rmdir(root)
+    return deleted

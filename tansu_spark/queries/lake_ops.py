@@ -149,3 +149,53 @@ def lake_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         z = z + F.shiftright("r0", bit).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * bit))
         z = z + F.shiftright("r1", bit).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * bit + 1))
     return b.select("l_orderkey", "l_linenumber", z.cast("long").alias("zkey"))
+
+
+@query(
+    "lake_time_travel_first_batch",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) AS chars_total
+    FROM documents
+    WHERE doc_id % 3 = 0
+    GROUP BY lang
+    """,
+)
+def lake_time_travel_first_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (lake/snapshots.py — the Delta-log versioning the
+    reference gets from delta-rs, delta.rs commit path): write documents
+    in two batches committing a version each, COMPACT the table (which
+    relocates every v0 file into _history/), then read version 0 back
+    and aggregate it. The oracle recomputes batch 1 straight from the
+    source table — matching proves the snapshot resolved relocated files
+    exactly, not just that some rows survived. SUM goes through DOUBLE
+    (exact for these magnitudes) because DuckDB widens integer SUM to
+    HUGEINT."""
+    import shutil
+    import tempfile
+
+    from tansu_spark.lake.maintain import compact_table
+    from tansu_spark.lake.snapshots import commit_snapshot, read_snapshot
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    scratch = tempfile.mkdtemp(prefix="lake_tt_")
+    try:
+        d = f"{scratch}/t"
+        docs.where(F.col("doc_id") % 3 == 0).write.mode("append").parquet(d)
+        commit_snapshot(d, "append")
+        docs.where(F.col("doc_id") % 3 != 0).write.mode("append").parquet(d)
+        commit_snapshot(d, "append")
+        compact_table(spark, d, target_bytes=1 << 40)
+        v0 = read_snapshot(spark, d, 0)
+        return (
+            v0.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("double").alias("chars_total"),
+            )
+            # Materialize before the scratch dir vanishes.
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

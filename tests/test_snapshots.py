@@ -1,0 +1,105 @@
+"""Lake snapshot versioning (lake/snapshots.py): time travel across
+appends and maintenance rewrites, and VACUUM via expire_snapshots."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tansu_spark.lake.snapshots import (
+    commit_snapshot,
+    expire_snapshots,
+    read_snapshot,
+)
+
+
+def _write(spark, d, ids, part=False):
+    df = spark.createDataFrame([(i, f"r{i}", i % 2) for i in ids], "id long, s string, p int")
+    w = df.coalesce(2).write.mode("append")
+    if part:
+        w = w.partitionBy("p")
+    w.parquet(d)
+
+
+def test_time_travel_across_appends(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _write(spark, d, range(10))
+    assert commit_snapshot(d) == 0
+    _write(spark, d, range(10, 25))
+    assert commit_snapshot(d) == 1
+
+    assert read_snapshot(spark, d, 0).count() == 10
+    assert read_snapshot(spark, d, 1).count() == 25
+    assert read_snapshot(spark, d).count() == 25  # default = latest
+    # Unchanged re-commit collapses.
+    assert commit_snapshot(d) == 1
+
+
+def test_time_travel_survives_compaction(spark, tmp_path):
+    from tansu_spark.lake.maintain import compact_table
+
+    d = str(tmp_path / "t")
+    for k in range(3):
+        _write(spark, d, range(k * 10, k * 10 + 10), part=True)
+        commit_snapshot(d)
+    before_v1 = sorted(r["id"] for r in read_snapshot(spark, d, 1).collect())
+
+    stats = compact_table(spark, d, target_bytes=1 << 30)
+    assert stats  # small files merged
+    # Current read sees only live (compacted) files — no double counting.
+    assert spark.read.parquet(d).count() == 30
+    # The pre-compaction version still reads byte-identically, including
+    # its partition column, through _history.
+    v1 = read_snapshot(spark, d, 1)
+    assert sorted(r["id"] for r in v1.collect()) == before_v1
+    assert sorted(v1.columns) == ["id", "p", "s"]
+    assert v1.where(F.col("p") == 1).count() == 10
+    # Compaction committed its own version.
+    latest = read_snapshot(spark, d)
+    assert latest.count() == 30
+
+
+def test_expire_snapshots_vacuums_history(spark, tmp_path):
+    from tansu_spark.lake.maintain import compact_table
+
+    d = str(tmp_path / "t")
+    for k in range(3):
+        _write(spark, d, range(k * 10, k * 10 + 10))
+        commit_snapshot(d)
+    compact_table(spark, d, target_bytes=1 << 30)
+
+    deleted = expire_snapshots(d, keep_last=1)
+    assert deleted > 0
+    # Latest still reads; expired version errors clearly.
+    assert read_snapshot(spark, d).count() == 30
+    with pytest.raises((FileNotFoundError, KeyError)):
+        read_snapshot(spark, d, 1)
+    # History files only referenced by dropped versions are gone.
+    hist = os.path.join(d, "_history")
+    leftover = [
+        os.path.join(r, n)
+        for r, _dd, ns in os.walk(hist)
+        for n in ns
+        if n.endswith(".parquet")
+    ] if os.path.isdir(hist) else []
+    assert leftover == []
+
+
+def test_sink_store_commits_versions(spark, tmp_path):
+    """LakeSink.store → one table version per materialized batch."""
+    from tansu_spark.broker.broker import Broker
+    from tansu_spark.lake.sink import LakeSink
+
+    b = Broker(spark, str(tmp_path / "store"))
+    b.create_topic("t", partitions=1)
+    sink = LakeSink(b, str(tmp_path / "lake"))
+    b.produce_rows("t", [{"key": "a", "value": "1"}])
+    assert sink.store("t") == 1
+    b.produce_rows("t", [{"key": "b", "value": "2"}, {"key": "c", "value": "3"}])
+    assert sink.store("t") == 2
+
+    d = sink.table_dir("t")
+    assert read_snapshot(spark, d, 0).count() == 1
+    assert read_snapshot(spark, d, 1).count() == 3
