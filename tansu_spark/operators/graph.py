@@ -96,11 +96,13 @@ def _large_star(e: DataFrame) -> DataFrame:
         .agg(F.min("b").alias("mn"))
         .select("a", F.least("a", "mn").alias("m"))
     )
+    # No distinct here: small-star's orient step dedups immediately
+    # downstream, so a dedup shuffle on this (largest) intermediate would
+    # be pure overhead.
     return (
         sym.join(mins, "a")
         .where(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
-        .distinct()
     )
 
 
