@@ -40,8 +40,18 @@ def main() -> None:
     # Warm up the JVM + parquet footer cache on the smallest query.
     QUERIES[names[0]](spark, sf_dir).collect()
 
+    def release_cached() -> None:
+        # Iterative operators (connected components, k-means IVF) pin
+        # localCheckpoint blocks that outlive their query; drop them so
+        # query N+1 is not taxed by query N's leftovers.
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+
     timings: dict[str, float] = {}
     for name in names:
+        release_cached()
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
