@@ -1037,3 +1037,47 @@ def semi_reduced_join_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("rev").cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+    b AS (SELECT CAST(least(floor((value - vmin) / ((vmax - vmin) / 20.0)), 19)
+                      AS INTEGER) AS bin,
+                 vmin, vmax
+          FROM events, rng)
+    SELECT bin,
+           count(*) AS n_events,
+           vmin + bin * ((vmax - vmin) / 20.0) AS bin_lo,
+           vmin + (bin + 1) * ((vmax - vmin) / 20.0) AS bin_hi
+    FROM b GROUP BY bin, vmin, vmax
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of events.value — the data-profiling
+    primitive behind NDV/quality dashboards and skew diagnosis. Two
+    passes: a tiny min/max agg broadcast to a map-only binning pass +
+    partial-agg count (the same shape at any scale; the broadcast is two
+    doubles). Bin edges are pure IEEE double arithmetic — identical in
+    both engines; the top edge folds into the last bin via least(),
+    and the floor()ed bin is integral before the int cast, so DuckDB's
+    round-on-cast never fires."""
+    ev = load(spark, sf_dir, "events").select("value")
+    rng = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    w = (F.col("vmax") - F.col("vmin")) / F.lit(20.0)
+    b = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(F.floor((F.col("value") - F.col("vmin")) / w), F.lit(19))
+        .cast("int")
+        .alias("bin"),
+        "vmin",
+        "vmax",
+    )
+    return b.groupBy("bin", "vmin", "vmax").agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        "bin",
+        "n_events",
+        (F.col("vmin") + F.col("bin") * w).alias("bin_lo"),
+        (F.col("vmin") + (F.col("bin") + 1) * w).alias("bin_hi"),
+    )
