@@ -211,6 +211,7 @@ def kmeans_centroids(
     n_dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_frac: float | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means over the corpus — the trained coarse quantizer a
     production IVF index uses (vs. `_centroid_rows`' seeded one).
@@ -226,7 +227,18 @@ def kmeans_centroids(
 
     Empty clusters keep their previous centroid. Cluster ids stay the
     seed ids, so assignments are comparable across iterations.
+
+    `train_frac`: train on a deterministic hash-sample of the corpus —
+    THE scale move for quantizer training (billion-vector IVF indexes
+    train on 1-10%: centroid quality degrades ~not-at-all while training
+    cost drops linearly). Sampling is by id hash, so the trained model
+    stays bit-reproducible regardless of partitioning; assignment of the
+    FULL corpus downstream is unchanged.
     """
+    if train_frac is not None and train_frac < 1.0:
+        from tansu_spark.functions.sampling import hash_sample
+
+        corpus = hash_sample(corpus, id_col, train_frac)
     cents = _centroid_rows(corpus, n_centroids, id_col, vec_col)
     for _ in range(n_iter):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)

@@ -32,6 +32,21 @@ def test_kmeans_assignment_is_argmax_and_partition_independent(spark, sf_dir):
         assert r["cluster"] == best[0], r["vec_id"]
 
 
+def test_kmeans_sample_training_is_deterministic(spark, sf_dir):
+    """train_frac trains on the hash-sample: the model must equal training
+    on the explicitly-sampled corpus, independent of partitioning."""
+    from tansu_spark.functions.sampling import hash_sample
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = S.kmeans_centroids(emb, n_centroids=8, n_iter=1, train_frac=0.5)
+    b = S.kmeans_centroids(
+        hash_sample(emb, "vec_id", 0.5).repartition(5), n_centroids=8, n_iter=1
+    )
+    assert a == b
+    # The sample really is a strict subset (cheaper training).
+    assert hash_sample(emb, "vec_id", 0.5).count() < emb.count()
+
+
 def test_kmeans_training_improves_objective(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     seed = S._centroid_rows(emb, 8, "vec_id", "embedding")
