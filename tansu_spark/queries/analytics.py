@@ -1081,3 +1081,89 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vmin") + F.col("bin") * w).alias("bin_lo"),
         (F.col("vmin") + (F.col("bin") + 1) * w).alias("bin_hi"),
     )
+
+
+@query(
+    "events_sliding_window_counts",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '1 hour', ts),
+                     time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
+               AS window_start
+      FROM events)
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+    FROM e GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (size 2h, slide 1h): each event lands in
+    two overlapping hour-aligned windows — the moving-average shape
+    Structured Streaming serves with the same F.window call plus a
+    watermark. Spark expands windows JVM-side before one shuffle on
+    (window, type); the oracle expands via unnest of the two bucket
+    starts — epoch-aligned exactly like Spark's slide alignment."""
+    ev = load(spark, sf_dir, "events").select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@query(
+    "events_quality_profile",
+    oracle="""
+    WITH m AS (SELECT count(*) AS n,
+                      count(user_id) AS nn_user,
+                      count(DISTINCT user_id) AS nd_user,
+                      count(event_type) AS nn_type,
+                      count(DISTINCT event_type) AS nd_type,
+                      count(value) AS nn_value,
+                      count(DISTINCT value) AS nd_value
+               FROM events)
+    SELECT 'user_id' AS col, n, nn_user AS n_nonnull, nd_user AS n_distinct FROM m
+    UNION ALL
+    SELECT 'event_type', n, nn_type, nd_type FROM m
+    UNION ALL
+    SELECT 'value', n, nn_value, nd_value FROM m
+    """,
+)
+def events_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile (null rates + exact NDV) — the
+    audit a pipeline runs before training ingestion. ONE aggregate pass
+    computes every metric (Spark plans multi-distinct via Expand — still
+    a single scan of the fact), then the row-per-column shape is a
+    literal 3-row stack, not three scans."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("user_id").alias("nn_user"),
+        F.countDistinct("user_id").alias("nd_user"),
+        F.count("event_type").alias("nn_type"),
+        F.countDistinct("event_type").alias("nd_type"),
+        F.count("value").alias("nn_value"),
+        F.countDistinct("value").alias("nd_value"),
+    )
+    return m.select(
+        F.expr(
+            "stack(3, 'user_id', nn_user, nd_user,"
+            " 'event_type', nn_type, nd_type,"
+            " 'value', nn_value, nd_value) AS (col, n_nonnull, n_distinct)"
+        ),
+        "n",
+    ).select("col", "n", "n_nonnull", "n_distinct")
