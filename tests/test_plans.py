@@ -52,7 +52,9 @@ def test_joins_never_cartesian(spark, sf_dir):
                             "lake_zorder_key", "tpch_q22_global_sales_opportunity",
                             "tpch_q11_important_stock",
                             "kmv_supplier_overlap_by_brand",
-                            "events_funnel_conversion"}, name
+                            "events_funnel_conversion",
+                            # broadcasts the single-row min/max frame
+                            "events_value_histogram"}, name
 
 
 def test_asof_join_is_single_shuffle_window(spark, sf_dir):
