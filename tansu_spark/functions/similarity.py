@@ -150,9 +150,12 @@ def _centroid_rows(
     Centroids are tiny model state (k x dims floats) — collecting them to
     the driver and re-broadcasting as literals is the standard pattern.
     """
+    # Lowest-id rows of the given corpus (NOT `id < n`: when the caller
+    # trains on a hash-sample, an absolute-id filter under-seeds).
     rows = (
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
         .collect()
     )
     return sorted((r[0], list(r[1])) for r in rows)

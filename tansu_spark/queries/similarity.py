@@ -266,3 +266,26 @@ def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query("sim_pq_topk")  # rows-only: float codebook training is model
+# state, not SQL-reproducible across engines — recall and determinism
+# invariants are pytest-checked in tests/test_pq.py.
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (functions/pq.py): 8 subspace codebooks
+    trained on a 50% hash-sample, corpus encoded to 8 one-byte codes +
+    a stored norm (32x smaller than raw f32), then asymmetric-distance
+    top-5 for 8 queries via literal lookup tables — the scan reads codes,
+    never the original vectors. The compression half of a billion-vector
+    IVF-PQ index; compose with ivf_assign for the pruning half."""
+    from tansu_spark.functions import pq as P
+
+    emb = _emb(spark, sf_dir)
+    books = P.train_codebooks(
+        emb, n_sub=8, n_codes=16, n_iter=1, train_frac=0.5
+    )
+    # The encoded index is built once and served many times in production;
+    # checkpointing mirrors that (and avoids re-running the assignment
+    # shuffles inside the scoring scan).
+    enc = P.pq_encode(emb, books).localCheckpoint(eager=True)
+    return P.pq_topk(enc, emb.filter(F.col("vec_id") < 8), books, k=5)
