@@ -289,3 +289,52 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles inside the scoring scan).
     enc = P.pq_encode(emb, books).localCheckpoint(eager=True)
     return P.pq_topk(enc, emb.filter(F.col("vec_id") < 8), books, k=5)
+
+
+@query(
+    "sim_pq_encode_seeded",
+    oracle=f"""
+    WITH seeds AS (SELECT vec_id AS code, embedding AS cv
+                   FROM embeddings ORDER BY vec_id LIMIT 16),
+    subs AS (SELECT unnest(range(8)) AS sub),
+    scored AS (
+      SELECT e.vec_id, s.sub, sd.code,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(e.embedding[s.sub * 8 + i] AS DOUBLE)
+                    * CAST(sd.cv[s.sub * 8 + i] AS DOUBLE)), (x, y) -> x + y)
+             - 0.5 * list_reduce(list_transform(range(1, 9),
+               i -> CAST(sd.cv[s.sub * 8 + i] AS DOUBLE)
+                    * CAST(sd.cv[s.sub * 8 + i] AS DOUBLE)), (x, y) -> x + y)
+               AS sc
+      FROM embeddings e CROSS JOIN subs s CROSS JOIN seeds sd),
+    best AS (
+      SELECT vec_id, sub, code,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY sc DESC, code) AS rn
+      FROM scored)
+    SELECT b.vec_id,
+           string_agg(b.code, '-' ORDER BY b.sub) AS codes,
+           sqrt({_dot_sql("e.embedding", "e.embedding")}) AS vnorm
+    FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
+    WHERE b.rn = 1
+    GROUP BY b.vec_id, e.embedding
+    """,
+)
+def sim_pq_encode_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ENCODE under the exact-value gate: with seeded (untrained)
+    codebooks the argmin-L2 assignment is pure arithmetic both engines
+    can reproduce — the oracle recomputes every (vector, subspace, code)
+    score as the same f64 left-fold dot minus half the codeword's squared
+    norm, picks the same argmax-with-lowest-id tiebreak, and must match
+    the broadcast-join encode bit-for-bit (codes joined to a string;
+    array string forms differ across engines). Training stays rows-only
+    in sim_pq_topk; this pins the serving-side assignment math."""
+    from tansu_spark.functions import pq as P
+
+    emb = _emb(spark, sf_dir)
+    books = P.train_codebooks(emb, n_sub=8, n_codes=16, n_iter=0)
+    return P.pq_encode(emb, books).select(
+        "vec_id",
+        F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes"),
+        "vnorm",
+    )
