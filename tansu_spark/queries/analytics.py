@@ -1167,3 +1167,76 @@ def events_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     ).select("col", "n", "n_nonnull", "n_distinct")
+
+
+@query(
+    "events_top_spenders_per_week",
+    oracle="""
+    WITH wk AS (SELECT user_id,
+                       date_trunc('week', ts) AS week_start,
+                       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                         AS spend
+                FROM events GROUP BY user_id, date_trunc('week', ts))
+    SELECT week_start, user_id, spend, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY week_start
+                                        ORDER BY spend DESC, user_id)
+                     AS INTEGER) AS rnk
+      FROM wk)
+    WHERE rnk <= 3
+    """,
+)
+def events_top_spenders_per_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (top-3 spenders per ISO week) — the leaderboard
+    shape. One partial-agg shuffle to (user, week) totals, then a rank
+    window partitioned by week over the already-tiny aggregate — the
+    window never sees raw events, so its state is O(users x weeks), not
+    O(events). Decimal spend sums; ties broken by user_id; identical
+    rank arithmetic both engines."""
+    ev = load(spark, sf_dir, "events")
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    wk = (
+        ev.select("user_id", F.date_trunc("week", ts).alias("week_start"), "value")
+        .groupBy("user_id", "week_start")
+        .agg(F.sum(_dec("value")).cast("double").alias("spend"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("week_start").orderBy(F.desc("spend"), F.asc("user_id"))
+    return (
+        wk.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("week_start", "user_id", "spend", "rnk")
+    )
+
+
+@query(
+    "events_cube_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(EXTRACT(dow FROM ts) AS INTEGER) AS weekday,
+           count(*) AS n,
+           CAST(GROUPING(event_type) * 2 + GROUPING(weekday) AS INTEGER)
+             AS gid
+    FROM (SELECT event_type, ts FROM events)
+    GROUP BY CUBE (event_type, weekday)
+    """,
+)
+def events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, weekday) with the grouping id — all four
+    aggregation levels (detail, per-type, per-weekday, grand total) in
+    ONE shuffle via Expand, exactly like the ROLLUP query but with the
+    full lattice. Spark's grouping_id() bit order matches GROUPING(a)*2
+    + GROUPING(b). DuckDB's dow (0=Sunday) equals Spark's dayofweek - 1."""
+    ev = load(spark, sf_dir, "events")
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        ev.select(
+            "event_type", (F.dayofweek(ts) - 1).cast("int").alias("weekday")
+        )
+        .cube("event_type", "weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select("event_type", "weekday", "n", "gid")
+    )
