@@ -338,3 +338,90 @@ def sim_pq_encode_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes"),
         "vnorm",
     )
+
+
+@query(
+    "sim_ivfpq_topk_seeded",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec
+                  FROM embeddings WHERE vec_id < 16),
+    cscored AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                       {_cos_raw_sql("e.embedding", "c.c_vec")} AS cs
+                FROM embeddings e CROSS JOIN cent c),
+    assign AS (SELECT vec_id, cent_id AS cluster
+               FROM (SELECT *, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+                     FROM cscored)
+               WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, embedding AS qe, cent_id AS cluster
+               FROM (SELECT *, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+                     FROM cscored WHERE vec_id < 8)
+               WHERE rn <= 2),
+    seeds AS (SELECT vec_id AS code, embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+    subs AS (SELECT unnest(range(8)) AS sub),
+    qscored AS (
+      SELECT e.vec_id, s.sub, sd.code,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(e.embedding[s.sub * 8 + i] AS DOUBLE)
+                    * CAST(sd.cv[s.sub * 8 + i] AS DOUBLE)), (x, y) -> x + y)
+             - 0.5 * list_reduce(list_transform(range(1, 9),
+               i -> CAST(sd.cv[s.sub * 8 + i] AS DOUBLE)
+                    * CAST(sd.cv[s.sub * 8 + i] AS DOUBLE)), (x, y) -> x + y)
+               AS sc
+      FROM embeddings e CROSS JOIN subs s CROSS JOIN seeds sd),
+    best AS (SELECT vec_id, sub, code FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                            ORDER BY sc DESC, code) AS rn
+               FROM qscored) WHERE rn = 1),
+    cand AS (SELECT p.query_id, p.qe, a.vec_id
+             FROM probes p JOIN assign a USING (cluster)
+             WHERE a.vec_id != p.query_id),
+    persub AS (
+      SELECT c.query_id, c.vec_id, b.sub,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(c.qe[b.sub * 8 + i] AS DOUBLE)
+                    * CAST(sd.cv[b.sub * 8 + i] AS DOUBLE)), (x, y) -> x + y)
+               AS sc
+      FROM cand c
+      JOIN best b ON b.vec_id = c.vec_id
+      JOIN seeds sd ON sd.code = b.code),
+    adc AS (SELECT query_id, vec_id,
+                   list_reduce(list_prepend(0.0, list(sc ORDER BY sub)),
+                               (x, y) -> x + y) AS num
+            FROM persub GROUP BY query_id, vec_id),
+    final AS (
+      SELECT a.query_id, a.vec_id,
+             a.num / (sqrt({_dot_sql("q.embedding", "q.embedding")})
+                      * sqrt({_dot_sql("e.embedding", "e.embedding")}))
+               AS raw
+      FROM adc a
+      JOIN embeddings q ON q.vec_id = a.query_id
+      JOIN embeddings e ON e.vec_id = a.vec_id)
+    SELECT query_id, vec_id, round(raw, 10) AS approx_cosine
+    FROM final
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY raw DESC, vec_id) <= 5
+    """,
+)
+def sim_ivfpq_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE IVF-PQ serving path under the exact-value gate:
+    seeded coarse quantizer prunes each query to its 2 nearest clusters,
+    seeded PQ codebooks score the survivors through lookup tables
+    (functions/pq.py::ivf_pq_topk). The oracle replays every stage —
+    cluster assignment, probe selection, per-subspace code choice, and
+    the ADC score as the SAME ordered fold (list(sc ORDER BY sub) with a
+    prepended 0.0 reproduces Spark's left-to-right lookup additions) —
+    so the approximate scores match bit-for-bit before the cosmetic
+    round. At a billion vectors: IVF reads 1/8th of the corpus, PQ reads
+    8 B/vector instead of 256 B."""
+    from tansu_spark.functions import pq as P
+
+    emb = _emb(spark, sf_dir)
+    cents = S._centroid_rows(emb, 16, "vec_id", "embedding")
+    books = P.train_codebooks(emb, n_sub=8, n_codes=16, n_iter=0)
+    out = P.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), cents, books, k=5, n_probe=2
+    )
+    return out.withColumn("approx_cosine", F.round("approx_cosine", 10))
