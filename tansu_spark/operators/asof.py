@@ -31,14 +31,22 @@ def asof_join(
     left_time: str,
     right_time: str,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """left rows + columns of the latest right row with
-    right[right_time] <= left[left_time], matched per `on` key.
+    """left rows + columns of the nearest right row per `on` key:
+    direction='backward' (default) takes the LATEST right with
+    right[right_time] <= left[left_time] (lookup of prevailing state);
+    direction='forward' takes the EARLIEST right with right[right_time]
+    >= left[left_time] (time-to-next-event joins). Forward is the same
+    one-shuffle window plan with the time order reversed — right rows
+    still sort before probes at equal times, keeping inclusive bounds.
 
     Right-side payload columns must not collide with left columns (alias
     beforehand). `how`: 'inner' drops unmatched probes, 'left' keeps them
     with null payload.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = [c for c in right.columns if c not in (on, right_time)]
     collisions = set(payload) & set(left.columns)
     if collisions:
@@ -61,9 +69,10 @@ def asof_join(
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
 
+    t_order = F.asc("_t") if direction == "backward" else F.desc("_t")
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_tag")
+        .orderBy(t_order, F.asc("_tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fill = [F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in payload]

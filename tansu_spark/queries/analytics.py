@@ -1240,3 +1240,49 @@ def events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "weekday", "n", "gid")
     )
+
+
+@query(
+    "asof_join_next_order",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, ts FROM events),
+         od AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ot,
+                       o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+                FROM orders
+                QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                           ORDER BY o_orderkey DESC) = 1)
+    SELECT ev.event_id, ev.user_id, od.o_orderkey, od.o_totalprice
+    FROM ev ASOF JOIN od ON ev.user_id = od.user_id AND ev.ts <= od.ot
+    """,
+)
+def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py direction='forward'): each
+    event picks up the customer's NEXT order at/after event time — the
+    time-to-conversion shape. Same one-shuffle union+window plan as the
+    backward variant with the time order reversed; the oracle is
+    DuckDB's native forward ASOF JOIN (l.ts <= r.ot)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+    )
+    dedup_w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ot"),
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+    from tansu_spark.operators.asof import asof_join
+
+    return asof_join(
+        ev, orders, on="user_id", left_time="ts", right_time="ot",
+        how="inner", direction="forward",
+    ).select("event_id", "user_id", "o_orderkey", "o_totalprice")

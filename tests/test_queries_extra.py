@@ -34,3 +34,30 @@ def test_approx_aggregates_within_bounds(spark, sf_dir):
         for a, x in zip(g["approx_p50_p90"], e["pcts"]):
             assert e["lo"] <= a <= e["hi"], et
             assert abs(a - x) <= 0.05 * spread + 1e-9, et
+
+
+def test_asof_forward_inclusive_and_unmatched(spark):
+    """Forward as-of: earliest right at/after the probe time; equal
+    timestamps match (inclusive); probes after the last right row are
+    dropped on inner / null-extended on left."""
+    from tansu_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00"), (2, "2026-01-01 12:00:00"),
+         (3, "2026-01-01 23:00:00")],
+        "eid int, ts string",
+    ).selectExpr("eid", "CAST(ts AS TIMESTAMP) AS ts", "1 AS k")
+    right = spark.createDataFrame(
+        [("2026-01-01 12:00:00", "noon"), ("2026-01-01 18:00:00", "evening")],
+        "rt string, tag string",
+    ).selectExpr("CAST(rt AS TIMESTAMP) AS rt", "tag", "1 AS k")
+
+    inner = asof_join(left, right, on="k", left_time="ts", right_time="rt",
+                      how="inner", direction="forward")
+    got = {r["eid"]: r["tag"] for r in inner.collect()}
+    assert got == {1: "noon", 2: "noon"}  # eid 3 has no later order
+
+    outer = asof_join(left, right, on="k", left_time="ts", right_time="rt",
+                      how="left", direction="forward")
+    got = {r["eid"]: r["tag"] for r in outer.collect()}
+    assert got == {1: "noon", 2: "noon", 3: None}
