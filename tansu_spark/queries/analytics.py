@@ -1286,3 +1286,108 @@ def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, orders, on="user_id", left_time="ts", right_time="ot",
         how="inner", direction="forward",
     ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "mv_incremental_event_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def mv_incremental_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view under the exact-value gate
+    (streaming/mv.py::IncrementalView): events arrive as three
+    micro-batches (split by event_id hash), each merged into a
+    bucket-partitioned view by rewriting only touched buckets; the final
+    view must equal the from-scratch GROUP BY — the associativity
+    contract (count/sum/min/max merge losslessly) checked across
+    engines, not just within Spark. Decimal value sums keep the merge
+    order-insensitive."""
+    import shutil
+    import tempfile
+
+    from tansu_spark.streaming.mv import IncrementalView
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    scratch = tempfile.mkdtemp(prefix="mv_q_")
+    try:
+        view = IncrementalView(
+            spark,
+            f"{scratch}/v",
+            ["event_type"],
+            {
+                "n": ("count", "*"),
+                "value_sum": ("sum", "value_dec"),
+                "value_min": ("min", "value"),
+                "value_max": ("max", "value"),
+            },
+            n_buckets=8,
+        )
+        for i in range(3):
+            batch = ev.where(F.pmod(F.hash("event_id"), F.lit(3)) == i).withColumn(
+                "value_dec", _dec("value")
+            )
+            view.apply_batch(batch, i)
+        return (
+            view.read()
+            .select(
+                "event_type",
+                "n",
+                F.col("value_sum").cast("double").alias("value_sum"),
+                "value_min",
+                "value_max",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "bucketed_join_order_totals",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS qty_sum
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 4 = 0
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_join_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join under the exact-value gate
+    (operators/bucketed.py): both sides are written bucketed on the join
+    key (the shuffle paid ONCE at write time), then joined with zero
+    Exchange in the plan — the warehouse pattern for a fact⋈fact join
+    that repeats daily. test_bucketed.py pins the no-Exchange plan
+    property; this query pins the RESULT against the plain-join oracle.
+    The %4 filter keeps the scratch tables small at any SF."""
+    from tansu_spark.operators.bucketed import bucketed_join, write_bucketed
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", _dec("l_quantity").alias("qty"))
+    )
+    od = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    write_bucketed(li, "q_bkt_lineitem", ["l_orderkey"], 8)
+    write_bucketed(od, "q_bkt_orders", ["l_orderkey"], 8)
+    return (
+        bucketed_join(spark, "q_bkt_lineitem", "q_bkt_orders", "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").cast("double").alias("qty_sum"),
+        )
+    )
