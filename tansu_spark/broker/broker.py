@@ -501,6 +501,50 @@ class Broker:
             )
         return K.fetch(df, partition=partition, offset_lo=offset, key=key)
 
+    def fetch_poll(
+        self,
+        topic: str,
+        partition: int | None = None,
+        offset: int = 0,
+        min_records: int = 1,
+        max_wait_s: float = 5.0,
+        poll_interval_s: float = 0.05,
+        isolation: str = "read_uncommitted",
+        **fetch_kw: Any,
+    ) -> DataFrame:
+        """Long-poll fetch (Kafka ``fetch.max.wait.ms`` / ``min.bytes``;
+        reference nisshi-storage/src/service/fetch.rs:127-192 blocks each
+        partition until min_bytes arrive or max_wait elapses).
+
+        The wait is pure control-plane: we poll the watermark/txn state
+        JSON on the driver — ZERO Spark jobs while idle — and launch the
+        data-plane scan exactly once, only after at least ``min_records``
+        records are visible past ``offset`` under the requested isolation
+        (or the deadline passes, returning whatever is there — possibly
+        empty, Kafka's timeout contract). Like Kafka's min_bytes, the
+        threshold counts log records, not post-filter (keyed virtual
+        topic) survivors."""
+        name, _key = self._parse_topic_key(topic)
+        deadline = time.monotonic() + max_wait_s
+        while True:
+            if isolation == "read_committed":
+                bounds = self.last_stable_offsets(name)
+            else:
+                marks = read_json(self._state(name, "watermarks.json"), {})
+                bounds = {int(p): int(m["high"]) for p, m in marks.items()}
+            if partition is not None:
+                bounds = {p: b for p, b in bounds.items() if p == partition}
+            visible = sum(max(0, b - offset) for b in bounds.values())
+            if visible >= min_records or time.monotonic() >= deadline:
+                return self.fetch(
+                    topic,
+                    partition=partition,
+                    offset=offset,
+                    isolation=isolation,
+                    **fetch_kw,
+                )
+            time.sleep(min(poll_interval_s, max(0.0, deadline - time.monotonic())))
+
     # ----------------------------------------------------------- offset lookup
     def list_offsets(self, topic: str, spec: str | Any = "latest") -> dict[int, int]:
         """'earliest' | 'latest' | a timestamp → {partition: offset}."""

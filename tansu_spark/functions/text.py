@@ -41,6 +41,25 @@ def bpe_token_count(c: Column | str) -> Column:
     return F.size(bpe_tokens(c))
 
 
+def bigrams(t: Column | str) -> Column:
+    """Adjacent-token pairs of a token array, as ``'w1 w2'`` strings.
+
+    Branch-free: two slices clamped to the same length ``n-1`` are zipped
+    (equal lengths, so ``zip_with`` never null-pads); a single-token or
+    empty document yields an empty list. No ``when()`` wrapper around the
+    HOF — that would force the interpreted path (Spark 4 ANSI gotcha).
+    DuckDB equivalent:
+    ``list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])``.
+    """
+    t = F.col(t) if isinstance(t, str) else t
+    n1 = F.greatest(F.size(t) - F.lit(1), F.lit(0))
+    return F.zip_with(
+        F.slice(t, F.lit(1), n1),
+        F.slice(t, F.lit(2), n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
 def fingerprint(c: Column | str) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text. Stable across engines (md5 hex is canonical)."""

@@ -19,6 +19,9 @@ plan; that assertion IS the feature.
 
 from __future__ import annotations
 
+import pathlib
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -32,7 +35,17 @@ def write_bucketed(
     """Persist ``df`` as a bucketed managed table (overwrite).
 
     ``sort_cols`` additionally sorts within buckets, letting the
-    sort-merge join skip its sort as well (plan becomes scan->merge)."""
+    sort-merge join skip its sort as well (plan becomes scan->merge).
+
+    The in-memory catalog is per-session but the warehouse directory is
+    not: a table written by a previous session leaves its location on
+    disk with no catalog entry, and ``saveAsTable`` then raises
+    LOCATION_ALREADY_EXISTS instead of overwriting. Drop both first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = pathlib.Path(warehouse.removeprefix("file:")) / name.lower()
+    shutil.rmtree(stale, ignore_errors=True)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")

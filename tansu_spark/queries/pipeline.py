@@ -810,3 +810,101 @@ def text_repeated_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup_shingles").cast("double") / F.col("n_shingles"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring
+# ---------------------------------------------------------------------------
+
+_BI_CTES = (
+    _TOK_CTE
+    + """,
+    bi AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+           FROM tok),
+    model AS (SELECT bg, count(*) AS cnt FROM bi GROUP BY bg HAVING count(*) >= 5),
+    model2 AS (SELECT bg, cnt,
+                      CAST(sum(cnt) OVER (PARTITION BY split_part(bg, ' ', 1)) AS BIGINT) AS ctx
+               FROM model),
+    sc AS (SELECT b.doc_id,
+                  count(*) AS nb,
+                  count(m.cnt) AS nk,
+                  CAST(coalesce(sum(m.cnt), 0) AS BIGINT) AS s_cnt,
+                  CAST(coalesce(sum(m.ctx), 0) AS BIGINT) AS s_ctx
+           FROM bi b LEFT JOIN model2 m USING (bg)
+           GROUP BY b.doc_id)"""
+)
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=_BI_CTES
+    + """
+    SELECT d.doc_id,
+           coalesce(s.nb, 0) AS n_bigrams,
+           coalesce(s.nk, 0) AS n_known,
+           coalesce(s.s_cnt, 0) AS sum_bigram_cnt,
+           coalesce(s.s_ctx, 0) AS sum_context_cnt,
+           CAST(s.nk AS DOUBLE) / nullif(s.nb, 0) AS known_frac,
+           CAST(s.s_cnt AS DOUBLE) / nullif(s.s_ctx, 0) AS cond_score
+    FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring (the KenLM-filter stage of a
+    training-data pipeline, reference's quality gates in SURVEY §2.7):
+    train bigram counts on the corpus itself, prune to bigrams seen >= 5
+    times, then score every document by (a) `known_frac` — the share of
+    its bigrams the pruned model knows, and (b) `cond_score` — ratio of
+    summed bigram counts to summed first-word context counts, a smoothed
+    mean conditional probability. Fluent/boilerplate text scores high;
+    noisy or atypical text scores low.
+
+    Numeric parity: the classic formulation sums log-probabilities, but
+    ln() is not bit-identical across engines — so the score keeps every
+    per-bigram term an exact BIGINT count, aggregates integer sums, and
+    performs ONE double division at the end (IEEE-identical both sides).
+
+    Scale: train and score are two passes over the tokenized corpus
+    (inherent to self-trained LM filters). The model groupBy partial-aggs
+    map-side; the score join is model-sized on the build side (AQE
+    broadcast-converts it when pruned small, skew-splits the stock-phrase
+    hot keys when not); docs with < 2 tokens come back with NULL scores
+    through the final doc_id left join, never dropped."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", T.tokens("text").alias("t"))
+    bi = toks.select("doc_id", F.explode(T.bigrams("t")).alias("bg"))
+    model = (
+        bi.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 5)
+    )
+    w = Window.partitionBy(F.substring_index("bg", " ", 1))
+    model2 = model.withColumn("ctx", F.sum("cnt").over(w))
+    scored = (
+        bi.join(model2, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.count("cnt").alias("nk"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("s_cnt"),
+            F.coalesce(F.sum("ctx"), F.lit(0)).cast("long").alias("s_ctx"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nb", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("nk", F.lit(0)).alias("n_known"),
+            F.coalesce("s_cnt", F.lit(0)).alias("sum_bigram_cnt"),
+            F.coalesce("s_ctx", F.lit(0)).alias("sum_context_cnt"),
+            F.expr("CAST(nk AS DOUBLE) / nullif(nb, 0)").alias("known_frac"),
+            F.expr("CAST(s_cnt AS DOUBLE) / nullif(s_ctx, 0)").alias(
+                "cond_score"
+            ),
+        )
+    )

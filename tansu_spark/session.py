@@ -45,6 +45,16 @@ def get_spark(
     """
     if cpus is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Python workers (Pandas UDF paths) import this package by name; they
+    # inherit PYTHONPATH from the JVM's environment, not the driver's
+    # sys.path — export the repo root BEFORE the JVM starts so the entry
+    # point works from any cwd.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     conf = dict(_DEFAULTS)
     if extra_conf:

@@ -167,3 +167,34 @@ def test_concurrent_producers_serialize_cleanly(broker):
             r.offset for r in broker.fetch("cc", partition=p).select("offset").collect()
         )
         assert offs == list(range(hi))  # contiguous, no dupes
+
+
+def test_fetch_poll_long_poll_wakes_on_produce(broker):
+    """Long-poll: blocks while the log is empty past the offset, wakes as
+    soon as a concurrent produce bumps the watermark, and returns the new
+    records. Timeout path returns an empty frame without waiting extra."""
+    import threading
+    import time as _time
+
+    broker.create_topic("lp", partitions=1)
+    broker.produce_rows("lp", _rows(3))
+
+    def late_produce():
+        _time.sleep(0.4)
+        broker.produce_rows("lp", _rows(2, prefix="late"))
+
+    t = threading.Thread(target=late_produce)
+    t.start()
+    start = _time.monotonic()
+    out = broker.fetch_poll("lp", offset=3, min_records=2, max_wait_s=10.0)
+    rows = out.collect()
+    waited = _time.monotonic() - start
+    t.join()
+    assert {r["offset"] for r in rows} == {3, 4}
+    assert waited < 8.0  # woke on produce, not the deadline
+
+    # Deadline path: nothing past the watermark -> empty, promptly.
+    start = _time.monotonic()
+    empty = broker.fetch_poll("lp", offset=5, min_records=1, max_wait_s=0.3)
+    assert empty.count() == 0
+    assert _time.monotonic() - start < 5.0

@@ -61,3 +61,40 @@ def test_asof_forward_inclusive_and_unmatched(spark):
                       how="left", direction="forward")
     got = {r["eid"]: r["tag"] for r in outer.collect()}
     assert got == {1: "noon", 2: "noon", 3: None}
+
+
+def test_bigrams_builder_edges(spark):
+    """bigrams(): n tokens -> n-1 pairs; single-token and empty docs give
+    an empty list (never a null-padded fake pair); stays codegen-safe
+    with no conditional wrapper."""
+    from tansu_spark.functions.text import bigrams, tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "solo"), (3, ""), (4, "  x   y  ")],
+        "id int, text string",
+    ).select("id", tokens("text").alias("t"))
+    got = {r["id"]: r["bg"] for r in df.select("id", bigrams("t").alias("bg")).collect()}
+    assert got[1] == ["a b", "b c", "c d"]
+    assert got[2] == []
+    assert got[3] == []
+    assert got[4] == ["x y"]
+
+
+def test_bigram_lm_score_invariants(spark, sf_dir):
+    """Self-trained model: known_frac in [0,1], cond_score in (0,1],
+    sums consistent, every document represented exactly once."""
+    from tansu_spark.queries import QUERIES
+    from tansu_spark.tables import load
+
+    out = QUERIES["text_bigram_lm_score"](spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs
+    for r in out:
+        assert r["n_known"] <= r["n_bigrams"]
+        assert r["sum_bigram_cnt"] <= r["sum_context_cnt"]
+        if r["n_bigrams"] == 0:
+            assert r["known_frac"] is None and r["cond_score"] is None
+        else:
+            assert 0.0 <= r["known_frac"] <= 1.0
+            if r["n_known"]:
+                assert 0.0 < r["cond_score"] <= 1.0
