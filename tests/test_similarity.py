@@ -73,3 +73,31 @@ def test_ivf_kmeans_topk_shape(spark, sf_dir):
         per_q.setdefault(r["query_id"], []).append(r["cosine"])
     for q, cs in per_q.items():
         assert len(cs) <= 5
+
+
+def test_matrix_scores_agrees_with_fold(spark, sf_dir):
+    """The BLAS matmul serving path must agree with the oracled
+    zip_with/aggregate fold within float-reassociation tolerance, and
+    emit exactly Q rows per corpus vector."""
+    from tansu_spark.functions.similarity import dot, matrix_scores
+    from tansu_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(4)
+    got = {
+        (r["vec_id"], r["query_id"]): r["dot"]
+        for r in matrix_scores(emb, queries).collect()
+    }
+    n = emb.count()
+    assert len(got) == n * 4
+
+    q = queries.selectExpr("vec_id AS query_id", "embedding AS q_vec")
+    exact = {
+        (r["vec_id"], r["query_id"]): r["d"]
+        for r in emb.crossJoin(F.broadcast(q))
+        .select("vec_id", "query_id", dot("embedding", "q_vec").alias("d"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for k, v in exact.items():
+        assert abs(got[k] - v) <= 1e-6 * max(1.0, abs(v)), k
