@@ -199,3 +199,144 @@ def lake_time_travel_first_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "lake_merge_upsert",
+    oracle="""
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+                  FROM orders),
+    chg AS (
+      SELECT k, 'X' AS s, p * 2 AS p, 'U' AS op FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT k, NULL, NULL, 'D' FROM base WHERE k % 7 <> 0 AND k % 11 = 3
+      UNION ALL
+      SELECT k + 100000000, 'N', p, 'U' FROM base WHERE k % 13 = 5
+    ),
+    merged AS (
+      SELECT b.k, b.s, b.p FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.k = b.k)
+      UNION ALL
+      SELECT k, s, p FROM chg WHERE op = 'U'
+    )
+    SELECT s AS o_orderstatus,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS price_total
+    FROM merged GROUP BY s
+    """,
+)
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE INTO on a parquet table (lake/merge.py — the
+    parquet-native form of the Delta MERGE the reference's Delta sink
+    delegates to delta-rs for, nisshi-schema/src/lake/delta.rs): load
+    orders as a keyed table, apply one changeset holding updates (keys
+    % 7 = 0, price doubled, status 'X'), deletes (% 11 = 3 among the
+    rest) and inserts (fresh keys offset by 1e8), then aggregate the
+    merged table. The oracle replays the same merge declaratively
+    (anti-join survivors + upserts); matching proves row-level update,
+    delete AND insert semantics — not just appends — while the merge
+    itself rewrote only the key-hash buckets the changeset touched."""
+    import shutil
+    import tempfile
+
+    from tansu_spark.lake.merge import MergeTable
+
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = tempfile.mkdtemp(prefix="lake_mg_")
+    try:
+        t = MergeTable(spark, f"{scratch}/t", ["k"], n_buckets=8)
+        t.write_full(base)
+        chg = (
+            base.where(F.col("k") % 7 == 0)
+            .select("k", F.lit("X").alias("s"), (F.col("p") * 2).alias("p"),
+                    F.lit("U").alias("_op"))
+            .unionByName(
+                base.where((F.col("k") % 7 != 0) & (F.col("k") % 11 == 3))
+                .select("k", F.lit(None).cast("string").alias("s"),
+                        F.lit(None).cast("double").alias("p"),
+                        F.lit("D").alias("_op"))
+            )
+            .unionByName(
+                base.where(F.col("k") % 13 == 5)
+                .select((F.col("k") + 100000000).alias("k"),
+                        F.lit("N").alias("s"), "p", F.lit("U").alias("_op"))
+            )
+        )
+        t.merge(chg)
+        return (
+            t.read()
+            .groupBy(F.col("s").alias("o_orderstatus"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("p").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("price_total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "lake_merge_change_feed",
+    oracle="""
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+                  FROM orders)
+    SELECT k + 100000000 AS k, 'N' AS s, p, 'insert' AS _change_type
+    FROM base WHERE k % 13 = 5
+    UNION ALL
+    SELECT k, 'X', p * 2, 'update' FROM base WHERE k % 7 = 0
+    UNION ALL
+    SELECT k, s, p, 'delete' FROM base WHERE k % 7 <> 0 AND k % 11 = 3
+    """,
+)
+def lake_merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two table versions (lake/merge.py::
+    MergeTable.changes_between — the Delta CDF / Iceberg changelog
+    contract the reference inherits from delta-rs): run the same merge
+    as `lake_merge_upsert` on a VERSIONED table (replaced bucket files
+    relocate to _history/, each write commits a snapshot), then diff
+    v0 -> v1. The oracle is the changeset itself written declaratively —
+    matching proves the feed recovers every insert, update (new values)
+    and delete (pre-image values) exactly, with no phantom rows from the
+    untouched keys. Doubled prices stay IEEE-exact (x2 is a power of
+    two), so no decimal detour is needed."""
+    import shutil
+    import tempfile
+
+    from tansu_spark.lake.merge import MergeTable
+
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = tempfile.mkdtemp(prefix="lake_cdf_")
+    try:
+        t = MergeTable(spark, f"{scratch}/t", ["k"], n_buckets=8, versioned=True)
+        v0 = t.write_full(base)
+        chg = (
+            base.where(F.col("k") % 7 == 0)
+            .select("k", F.lit("X").alias("s"), (F.col("p") * 2).alias("p"),
+                    F.lit("U").alias("_op"))
+            .unionByName(
+                base.where((F.col("k") % 7 != 0) & (F.col("k") % 11 == 3))
+                .select("k", F.lit(None).cast("string").alias("s"),
+                        F.lit(None).cast("double").alias("p"),
+                        F.lit("D").alias("_op"))
+            )
+            .unionByName(
+                base.where(F.col("k") % 13 == 5)
+                .select((F.col("k") + 100000000).alias("k"),
+                        F.lit("N").alias("s"), "p", F.lit("U").alias("_op"))
+            )
+        )
+        v1 = t.merge(chg)
+        return t.changes_between(v0, v1).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
