@@ -245,6 +245,62 @@ class MergeTable:
             return frozenset()
         return frozenset(e for e in os.listdir(d) if not e.startswith("_"))
 
+    # ------------------------------------------------------------- streaming
+    def _meta_path(self) -> str:
+        return os.path.join(self.table_dir, "_merge_meta.json")
+
+    def last_batch_id(self) -> int:
+        from tansu_spark.broker.state import read_json
+
+        return int(
+            read_json(self._meta_path(), {"last_batch_id": -1})["last_batch_id"]
+        )
+
+    def apply_batch(
+        self,
+        changes: DataFrame,
+        batch_id: int,
+        op_col: str = OP_COL,
+        seq_col: str | None = None,
+    ) -> bool:
+        """Merge one micro-batch exactly once: a replayed batch id
+        (restart between merge and checkpoint commit) is skipped — the
+        same fence as IncrementalView / the broker's producer sequence.
+        Returns False when skipped."""
+        from tansu_spark.broker.state import write_json_atomic
+
+        if batch_id <= self.last_batch_id():
+            return False
+        self.merge(changes, op_col=op_col, seq_col=seq_col)
+        write_json_atomic(self._meta_path(), {"last_batch_id": batch_id})
+        return True
+
+    def stream_from(
+        self,
+        stream: DataFrame,
+        checkpoint: str,
+        transform=None,
+        seq_col: str | None = None,
+        trigger: dict | None = None,
+    ):
+        """Maintain the table from a streaming DataFrame via foreachBatch;
+        ``transform`` maps each raw micro-batch to a changeset (table
+        schema + op column + optional ``seq_col``). Returns the
+        StreamingQuery."""
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            self.apply_batch(
+                transform(batch) if transform else batch,
+                batch_id,
+                seq_col=seq_col,
+            )
+
+        writer = stream.writeStream.foreachBatch(sink).option(
+            "checkpointLocation", checkpoint
+        )
+        writer = writer.trigger(**(trigger or {"availableNow": True}))
+        return writer.start()
+
     def _latest_changes(
         self, changes: DataFrame, op_col: str, seq_col: str | None
     ) -> DataFrame:

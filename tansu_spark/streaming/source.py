@@ -212,3 +212,44 @@ def sessionize(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def materialize_topic(
+    broker: Broker,
+    topic: str,
+    table,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """Continuously MERGE a keyed topic into a lake table — the streaming
+    form of log compaction (reference cleanup.policy=compact,
+    pg.rs greatest-per-key semantics): each record upserts its key, a
+    null-value record is a tombstone DELETE, and the table converges to
+    exactly `compact(topic)` with tombstones dropped.
+
+    Per-key ordering rides Kafka's contract: a key lives in one
+    partition, so (offset, partition) — compared as a struct — totally
+    orders its changes; the micro-batch merge keeps only the latest
+    change per key, so a batch spanning many updates of one key writes
+    once. `table` must be a MergeTable keyed on ["key"] with columns
+    (key string, value string). Exactly-once via the merge batch fence.
+    """
+    from pyspark.sql import DataFrame
+
+    from tansu_spark.lake.merge import DELETE, UPSERT
+
+    stream = topic_stream(broker, topic)
+
+    def to_changes(batch: DataFrame) -> DataFrame:
+        return batch.where(F.col("control") == 0).select(
+            F.col("key").cast("string").alias("key"),
+            F.col("value").cast("string").alias("value"),
+            F.when(F.col("value").isNull(), F.lit(DELETE))
+            .otherwise(F.lit(UPSERT))
+            .alias("_op"),
+            F.struct("offset", "partition").alias("_seq"),
+        )
+
+    return table.stream_from(
+        stream, checkpoint, transform=to_changes, seq_col="_seq", trigger=trigger
+    )

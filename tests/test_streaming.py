@@ -200,3 +200,45 @@ def test_dedup_stream_drops_duplicates_across_segments(broker, tmp_path):
     batch = dedup_stream(broker.fetch("dup"), key_cols=["value"])
     assert batch.count() == 3
     assert {bytes(r["value"]).decode() for r in batch.collect()} == got
+
+
+def test_materialize_topic_compaction_with_tombstones(broker, tmp_path):
+    """Streaming MERGE of a keyed topic == log compaction: the table
+    converges to the latest value per key, a null-value tombstone removes
+    its key, and a second availableNow run (replay / no new data) changes
+    nothing — the merge batch fence is the idempotence guarantee."""
+    from tansu_spark.lake.merge import MergeTable
+    from tansu_spark.streaming.source import materialize_topic
+
+    broker.create_topic("kv", partitions=2)
+    broker.produce_rows(
+        "kv",
+        [
+            {"key": "a", "value": "1"},
+            {"key": "b", "value": "1"},
+            {"key": "a", "value": "2"},     # update a
+            {"key": "c", "value": "1"},
+            {"key": "b", "value": None},    # tombstone b
+            {"key": "a", "value": "3"},     # update a again, same batch
+        ],
+    )
+    table = MergeTable(broker.spark, str(tmp_path / "kv_tbl"), ["key"], n_buckets=4)
+    q = materialize_topic(broker, "kv", table, checkpoint=str(tmp_path / "kvc"))
+    q.awaitTermination(120)
+    got = {r["key"]: r["value"] for r in table.read().collect()}
+    assert got == {"a": "3", "c": "1"}
+
+    # Replay run: fence makes it a no-op.
+    q2 = materialize_topic(broker, "kv", table, checkpoint=str(tmp_path / "kvc"))
+    q2.awaitTermination(120)
+    assert {r["key"]: r["value"] for r in table.read().collect()} == got
+
+    # New segment: b revived, a tombstoned — table follows.
+    broker.produce_rows(
+        "kv", [{"key": "b", "value": "9"}, {"key": "a", "value": None}]
+    )
+    q3 = materialize_topic(broker, "kv", table, checkpoint=str(tmp_path / "kvc"))
+    q3.awaitTermination(120)
+    assert {r["key"]: r["value"] for r in table.read().collect()} == {
+        "b": "9", "c": "1",
+    }
