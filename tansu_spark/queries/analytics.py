@@ -899,19 +899,24 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tansu_spark.streaming.source import windowed_counts
 
     path = os.path.join(sf_dir, "events.parquet")
-    # events.ts is TIMESTAMP(NANOS) — read as long, like tables.py::load.
+    # events.ts has been TIMESTAMP(NANOS) (readable only as long, via the
+    # legacy conf) or TIMESTAMP(MICROS) across testdata generations — match
+    # tables.py::load and normalize either to an event-time timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
+    ts_is_long = schema["ts"].dataType.typeName() == "long"
+    ts_col = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
     # The streaming file source wants a directory: scan sf_dir with a
     # glob filter selecting only the events file.
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .select(
-            F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
-            "event_type",
-        )
+        .select(ts_col.alias("timestamp"), "event_type")
     )
     agg = windowed_counts(stream, window="1 hour", keys=["event_type"])
     name = "stream_tumbling_oracle"
@@ -1391,3 +1396,55 @@ def bucketed_join_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").cast("double").alias("qty_sum"),
         )
     )
+
+
+@query(
+    "events_zscore_outliers",
+    oracle="""
+    WITH st AS (
+      SELECT user_id, count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))
+                      * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY user_id),
+    z AS (
+      SELECT e.event_id, e.user_id, e.value,
+             (e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS z,
+             n, s2 / n - (s1 / n) * (s1 / n) AS var
+      FROM events e JOIN st USING (user_id))
+    SELECT event_id, user_id, value, round(z, 6) AS z
+    FROM z WHERE n >= 5 AND var > 0 AND abs(z) > 2.5
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier detection — the anomaly/spam filter stage
+    of a data-curation pipeline: events whose value sits more than 2.5
+    population standard deviations from that user's mean.
+
+    Numeric parity: per-user moments (Σv, Σv²) aggregate through DECIMAL
+    (exact, order-independent), cast to DOUBLE once; mean/variance/sqrt
+    then run the IDENTICAL expression string in both engines (sqrt is
+    correctly rounded under IEEE-754, so it is safe cross-engine —
+    unlike ln()). Users with n < 5 or zero variance are excluded before
+    the division.
+
+    Scale: one partial-agg shuffle to per-user moments (state O(users)),
+    then a fact⋈stats equi-join that AQE broadcast-converts when the
+    user dimension is small — the raw stream is never shuffled twice."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    st = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).cast("double").alias("s1"),
+        F.sum(_dec("value") * _dec("value")).cast("double").alias("s2"),
+    )
+    z = ev.join(st, "user_id").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr("(value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))").alias("z"),
+        F.col("n"),
+        F.expr("s2 / n - (s1 / n) * (s1 / n)").alias("var"),
+    )
+    return z.filter(
+        (F.col("n") >= 5) & (F.col("var") > 0) & (F.abs(F.col("z")) > 2.5)
+    ).select("event_id", "user_id", "value", F.round("z", 6).alias("z"))

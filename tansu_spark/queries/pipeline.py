@@ -908,3 +908,187 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination, BM25 retrieval, inverted index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_decontaminate",
+    oracle=_SH_CTE
+    + """,
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ev AS (SELECT DISTINCT s FROM e WHERE doc_id % 50 = 0),
+    tr AS (SELECT e.doc_id, CASE WHEN ev.s IS NULL THEN 0 ELSE 1 END AS hit
+           FROM e LEFT JOIN ev ON e.s = ev.s
+           WHERE e.doc_id % 50 <> 0)
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(hit) AS BIGINT) AS n_contaminated,
+           round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS contamination,
+           CAST(CASE WHEN sum(hit) * 5 >= count(*) THEN 1 ELSE 0 END
+                AS INTEGER) AS flagged
+    FROM tr GROUP BY doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the eval-overlap gate of a training-data
+    pipeline): every 50th document is the held-out eval split; a training
+    document is flagged when >= 20% of its distinct 3-gram shingles occur
+    anywhere in the eval split — the n-gram-overlap rule used to scrub
+    test-set leakage from pretraining corpora.
+
+    Scale: the eval shingle set is ~2% of the corpus and deduplicated, so
+    it broadcasts; the probe side is a map-side left join on the exploded
+    training shingles — no all-pairs comparison, no shuffle of the corpus
+    (one partial-agg shuffle on doc_id for the counts). The flag is pure
+    integer math (hits*5 >= shingles), so no float threshold crosses the
+    engines."""
+    from tansu_spark.functions.dedup import with_shingles
+
+    sh = with_shingles(_docs(spark, sf_dir))
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ev = (
+        e.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    ).withColumn("_hit", F.lit(1))
+    tr = e.filter(F.col("doc_id") % 50 != 0).join(F.broadcast(ev), "s", "left")
+    return tr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_hit").cast("long").alias("n_contaminated"),
+        F.round(
+            F.count("_hit").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("contamination"),
+        (F.count("_hit") * 5 >= F.count(F.lit(1))).cast("int").alias("flagged"),
+    )
+
+
+# BM25 parameters and the fixed query-term list (literal in both engines).
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _term_eq(term: str):
+    return lambda x: x == F.lit(term)
+
+
+def _bm25_score_sql(n: str = "n_docs") -> str:
+    """The per-document BM25 score as one SQL expression string — used
+    VERBATIM by both the Spark side (F.expr) and the DuckDB oracle, so
+    every double op runs in the same order. idf is the ln-free rational
+    form (N - df + 0.5)/(df + 0.5): ln() is not bit-identical across
+    engines, and rank order is preserved without it."""
+    terms = []
+    for i in range(len(_BM25_TERMS)):
+        idf = f"(({n} - df{i} + 0.5) / (df{i} + 0.5))"
+        tf_part = (
+            f"((tf{i} * {_BM25_K1 + 1}) / "
+            f"(tf{i} + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * "
+            f"(CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / {n})))))"
+        )
+        terms.append(f"{idf} * {tf_part}")
+    return " + ".join(terms)
+
+
+@query(
+    "text_bm25_search",
+    oracle=_TOK_CTE
+    + f""",
+    base AS (SELECT doc_id, len(t) AS dl,
+                    {", ".join(f"len(list_filter(t, x -> x = '{t_}')) AS tf{i}" for i, t_ in enumerate(_BM25_TERMS))}
+             FROM tok),
+    st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                  {", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+           FROM base),
+    scored AS (SELECT doc_id, dl, {_bm25_score_sql()} AS bm25
+               FROM base, st)
+    SELECT doc_id, dl, round(bm25, 6) AS bm25
+    FROM scored WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for the fixed query
+    ``spark merge window`` — the relevance-search primitive over a
+    document corpus, with the idf in ln-free rational form so both
+    engines compute bit-identical doubles (see _bm25_score_sql).
+
+    Scale: one tokenizing scan computes per-doc term frequencies
+    map-side; corpus statistics (N, Σdl, df per term) are ONE single-row
+    aggregate broadcast back over the scan (the histogram pattern), so
+    scoring is map-only and the only ordering work is TakeOrdered(20).
+    The allowed BroadcastNestedLoopJoin is that single-row stats frame."""
+    toks = _docs(spark, sf_dir).select("doc_id", T.tokens("text").alias("t"))
+    base = toks.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        # NB: the predicate must be built by a one-arg factory — a
+        # two-parameter lambda makes the higher-order filter() pass the
+        # ELEMENT INDEX as the second argument.
+        *[
+            F.size(F.filter("t", _term_eq(t_))).alias(f"tf{i}")
+            for i, t_ in enumerate(_BM25_TERMS)
+        ],
+    )
+    st = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(st)).withColumn(
+        "bm25", F.expr(_bm25_score_sql())
+    )
+    return (
+        scored.filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "dl", F.round("bm25", 6).alias("bm25"))
+    )
+
+
+@query(
+    "text_inverted_index",
+    oracle=_TOK_CTE
+    + """,
+    occ AS (SELECT doc_id, unnest(t) AS token FROM tok),
+    per AS (SELECT token, doc_id, count(*) AS n FROM occ GROUP BY token, doc_id)
+    SELECT token,
+           count(*) AS df,
+           CAST(sum(n) AS BIGINT) AS cf,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM per GROUP BY token
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> document frequency, corpus
+    frequency, and the full sorted posting list (comma-joined so the
+    value-hash is order-canonical). The index behind any corpus search /
+    decontamination service.
+
+    Scale: two partial-agg shuffles — (token, doc_id) occurrence counts,
+    then token postings. Both keys are near-uniform (natural-language
+    token distribution is zipfian but the heavy head is exactly what
+    partial aggregation absorbs map-side). Posting lists are bounded by
+    document frequency; for web-scale corpora the same plan shards
+    postings by (token, doc_id bucket) — the groupBy key just gains a
+    bucket column."""
+    toks = _docs(spark, sf_dir).select("doc_id", T.tokens("text").alias("t"))
+    occ = toks.select("doc_id", F.explode("t").alias("token"))
+    per = occ.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("n").cast("long").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )

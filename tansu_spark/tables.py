@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -30,12 +31,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default; read as long (set here, not only in our session factory,
-        # because the driver passes its own SparkSession). Consumers convert
-        # with `ts div 1000` → timestamp_micros (exact integer division —
-        # float division would be off-by-one-µs at ns magnitudes).
+        # events.ts contract: BIGINT nanoseconds since epoch, whatever the
+        # parquet physical type is. Generations of the testdata have used
+        # TIMESTAMP(NANOS) (Spark reads it only as long, via the legacy
+        # conf — set here, not only in our session factory, because the
+        # driver passes its own SparkSession) and TIMESTAMP(MICROS)
+        # (read natively as timestamp_ntz, converted below; exact under
+        # the UTC session timezone). Consumers convert with
+        # `ts div 1000` → timestamp_micros (exact integer division).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes)["ts"] != "bigint":
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -53,6 +53,8 @@ def test_joins_never_cartesian(spark, sf_dir):
                             "tpch_q11_important_stock",
                             "kmv_supplier_overlap_by_brand",
                             "events_funnel_conversion",
+                            # broadcasts the single-row corpus-stats frame
+                            "text_bm25_search",
                             # broadcasts the single-row min/max frame
                             "events_value_histogram"}, name
 
