@@ -16,8 +16,11 @@ Storage layout (one directory per topic):
     <root>/topics/<name>/topic.json          config + partitions
     <root>/topics/<name>/watermarks.json     {partition: {low, high}}
     <root>/topics/<name>/producers.json      idempotence fences
-    <root>/topics/<name>/txns.json           open/committed/aborted txns
     <root>/topics/<name>/data/partition=N/*.parquet   immutable segments
+    <root>/txns.json                         open/committed/aborted txns
+                                             (store-global: one txn spans
+                                             topics, like the reference's
+                                             txn_topition tables)
     <root>/groups/<group>.json               committed consumer offsets
 
 Scale design:
@@ -296,14 +299,18 @@ class Broker:
             self._refresh_segment_stats(topic)
 
             if txn_id is not None:
-                txns = read_json(self._state(topic, "txns.json"), {})
-                t = txns.setdefault(
-                    txn_id, {"state": "open", "ranges": {}}
-                )
-                for p, n in counts.items():
-                    lo, _ = t["ranges"].get(str(p), [result[p], result[p]])
-                    t["ranges"][str(p)] = [min(lo, result[p]), result[p] + n]
-                write_json_atomic(self._state(topic, "txns.json"), txns)
+                # AddPartitionsToTxn (lib.rs:1480-1517): register this
+                # topic's produced ranges under the STORE-GLOBAL txn —
+                # one transaction spans topics, like the reference's
+                # txn_topition/txn_produce_offset tables.
+                with file_lock(self._txn_lock_path()):
+                    txns = read_json(self._txns_path(), {})
+                    t = txns.setdefault(txn_id, {"state": "open", "topics": {}})
+                    ranges = t["topics"].setdefault(topic, {})
+                    for p, n in counts.items():
+                        lo, _ = ranges.get(str(p), [result[p], result[p]])
+                        ranges[str(p)] = [min(lo, result[p]), result[p] + n]
+                    write_json_atomic(self._txns_path(), txns)
         return result
 
     def produce_rows(self, topic: str, rows: list[dict[str, Any]], **kw) -> dict[int, int]:
@@ -428,25 +435,38 @@ class Broker:
             df = self.registry.decode(topic, df)
         return K.with_meta(df)
 
-    def _aborted_ranges(self, topic: str) -> dict[str, list[list[int]]]:
-        txns = read_json(self._state(topic, "txns.json"), {})
+    def _txns_path(self) -> str:
+        return os.path.join(self.root, "txns.json")
+
+    def _txn_lock_path(self) -> str:
+        return os.path.join(self.root, ".txns.lock")
+
+    def _topic_txn_ranges(
+        self, topic: str, state: str
+    ) -> dict[str, list[list[int]]]:
+        """{partition: [[lo, hi), ...]} of this topic's ranges across all
+        store-global transactions currently in ``state``."""
+        txns = read_json(self._txns_path(), {})
         out: dict[str, list[list[int]]] = {}
         for t in txns.values():
-            if t["state"] == "aborted":
-                for p, rng in t["ranges"].items():
+            if t["state"] == state:
+                for p, rng in t["topics"].get(topic, {}).items():
                     out.setdefault(p, []).append(rng)
         return out
 
+    def _aborted_ranges(self, topic: str) -> dict[str, list[list[int]]]:
+        return self._topic_txn_ranges(topic, "aborted")
+
     def last_stable_offsets(self, topic: str) -> dict[int, int]:
         """LSO per partition = min(open txn start) else high watermark
-        (watermark_select_stable.sql; pg.rs:1821-1827)."""
+        (watermark_select_stable.sql; pg.rs:1821-1827). Open transactions
+        on OTHER topics never hold this topic's LSO down — the min runs
+        over this topic's registered ranges only."""
         marks = read_json(self._state(topic, "watermarks.json"), {})
         lso = {int(p): int(m["high"]) for p, m in marks.items()}
-        txns = read_json(self._state(topic, "txns.json"), {})
-        for t in txns.values():
-            if t["state"] == "open":
-                for p, (lo, _hi) in t["ranges"].items():
-                    lso[int(p)] = min(lso[int(p)], int(lo))
+        for p, ranges in self._topic_txn_ranges(topic, "open").items():
+            for lo, _hi in ranges:
+                lso[int(p)] = min(lso[int(p)], int(lo))
         return lso
 
     def fetch(
@@ -572,14 +592,29 @@ class Broker:
         return {int(p): int(o) for p, o in doc.get(topic, {}).items()}
 
     # ------------------------------------------------------------- transactions
-    def end_txn(self, topic: str, txn_id: str, commit: bool) -> None:
-        """EndTxn (pg.rs:3187-3647 simplified): flip the txn state; committed
-        ranges become visible to read_committed, aborted ranges are excluded
-        forever. Single-topic scope — multi-table atomicity is out of Spark's
-        commit model (SURVEY §7 hard part d) and documented as such."""
-        with file_lock(self._state(topic, ".lock")):
-            txns = read_json(self._state(topic, "txns.json"), {})
+    def end_transaction(self, txn_id: str, commit: bool) -> None:
+        """EndTxn (pg.rs:3187-3647 simplified; txn state machine
+        lib.rs:1288-1341): flip the STORE-GLOBAL txn state in one atomic
+        JSON swap. Every topic's ranges registered under the txn become
+        visible to read_committed together (commit) or excluded forever
+        (abort) — exactly-once across topics, the reference's EOS scope.
+
+        The visibility mechanism mirrors list_latest_offset_committed.sql:
+        readers derive each topition's stable frontier from the union of
+        watermark-high and open-txn starts at fetch time, so the single
+        state flip is the only coordination point — no per-topic commit
+        markers to fan out, no 2PC window where topic A shows and topic
+        B doesn't."""
+        with file_lock(self._txn_lock_path()):
+            txns = read_json(self._txns_path(), {})
             if txn_id not in txns:
                 raise KeyError(f"unknown txn {txn_id!r}")
             txns[txn_id]["state"] = "committed" if commit else "aborted"
-            write_json_atomic(self._state(topic, "txns.json"), txns)
+            write_json_atomic(self._txns_path(), txns)
+
+    def end_txn(self, topic: str, txn_id: str, commit: bool) -> None:
+        """Single-topic-signature EndTxn kept for API symmetry with the
+        Kafka request (which names the txn coordinator, not a topic);
+        delegates to the store-global flip."""
+        self.describe_topic(topic)  # same unknown-topic contract
+        self.end_transaction(txn_id, commit)

@@ -1,5 +1,6 @@
 from tansu_spark.streaming.source import (
     dedup_stream,
+    running_totals,
     sessionize,
     stream_to_lake,
     stream_to_topic,
@@ -11,6 +12,7 @@ from tansu_spark.streaming.generator import generate_batch, generator_stream
 __all__ = [
     "topic_stream",
     "dedup_stream",
+    "running_totals",
     "stream_to_topic",
     "stream_to_lake",
     "windowed_counts",

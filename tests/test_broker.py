@@ -198,3 +198,31 @@ def test_fetch_poll_long_poll_wakes_on_produce(broker):
     empty = broker.fetch_poll("lp", offset=5, min_records=1, max_wait_s=0.3)
     assert empty.count() == 0
     assert _time.monotonic() - start < 5.0
+
+
+def test_cross_topic_transaction_atomic_visibility(broker):
+    """One transaction spanning two topics (AddPartitionsToTxn registers
+    topitions across topics, lib.rs:1480-1517): read_committed must show
+    NEITHER topic's txn rows before EndTxn and BOTH after — a single
+    global state flip, no window where one topic shows and the other
+    doesn't. Aborting likewise hides both."""
+    broker.create_topic("a", partitions=1)
+    broker.create_topic("b", partitions=1)
+    broker.produce_rows("a", _rows(2))
+    broker.produce_rows("a", _rows(3), txn_id="tx")
+    broker.produce_rows("b", _rows(4), txn_id="tx")
+    assert broker.fetch("a", isolation="read_committed").count() == 2
+    assert broker.fetch("b", isolation="read_committed").count() == 0
+    assert broker.last_stable_offsets("a") == {0: 2}
+    assert broker.last_stable_offsets("b") == {0: 0}
+    broker.end_transaction("tx", commit=True)
+    assert broker.fetch("a", isolation="read_committed").count() == 5
+    assert broker.fetch("b", isolation="read_committed").count() == 4
+
+    broker.produce_rows("a", _rows(1), txn_id="tx2")
+    broker.produce_rows("b", _rows(1), txn_id="tx2")
+    broker.end_transaction("tx2", commit=False)
+    assert broker.fetch("a", isolation="read_committed").count() == 5
+    assert broker.fetch("b", isolation="read_committed").count() == 4
+    assert broker.fetch("a").count() == 6
+    assert broker.fetch("b").count() == 5

@@ -242,3 +242,60 @@ def test_materialize_topic_compaction_with_tombstones(broker, tmp_path):
     assert {r["key"]: r["value"] for r in table.read().collect()} == {
         "b": "9", "c": "1",
     }
+
+
+def test_running_totals_stream_matches_batch(broker, tmp_path):
+    """transformWithState (Spark 4 arbitrary-state API, RocksDB store):
+    per-key running totals maintained across micro-batches must end equal
+    to the batch groupBy twin. The streaming path needs the python
+    protobuf package (the transformWithState state-server protocol); in
+    environments without it the operator must fail with a clear
+    NotImplementedError and the batch twin must stand alone."""
+    from tansu_spark.streaming import running_totals
+
+    broker.create_topic("t", partitions=1)
+    broker.produce_rows(
+        "t", [{"key": f"k{i % 3}", "value": "x" * (i + 1)} for i in range(6)]
+    )
+    broker.produce_rows(
+        "t", [{"key": f"k{i % 2}", "value": "y" * (i + 1)} for i in range(4)]
+    )
+
+    want = {
+        r.key: (r.n_records, r.value_bytes)
+        for r in running_totals(broker.records("t")).collect()
+    }
+    # batch one: value lengths 1..6 over keys k0,k1,k2,k0,k1,k2;
+    # batch two: lengths 1..4 over k0,k1,k0,k1.
+    assert want["k0"] == (4, (1 + 4) + (1 + 3))
+    assert want["k1"] == (4, (2 + 5) + (2 + 4))
+    assert want["k2"] == (2, 3 + 6)
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    stream = topic_stream(broker, "t", max_files_per_trigger=1)
+    if not has_protobuf:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_totals(stream)
+        return
+
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals_mem")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_totals"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.key: (r.n_records, r.value_bytes)
+        for r in broker.spark.sql("select * from totals_mem").collect()
+    }
+    assert got == want
