@@ -57,6 +57,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from tansu_spark import metrics as M
 from tansu_spark.broker.state import file_lock, read_json, write_json_atomic
 from tansu_spark.operators import kafka as K
 
@@ -186,7 +187,25 @@ class Broker:
         rejected against the producer fence (idempotent_message_check,
         pg.rs:257-338). Offsets are contiguous per partition; the watermark
         bump is the commit point.
+
+        Instrumented as `produce_duration` / `registry_validation_duration`
+        (tansu_spark.metrics — the reference's OTel histogram names,
+        nisshi-schema/src/lib.rs:462-475).
         """
+        with M.timed("produce_duration"):
+            return self._produce_impl(
+                topic, df, producer_id, producer_epoch, base_sequence, txn_id
+            )
+
+    def _produce_impl(
+        self,
+        topic: str,
+        df: DataFrame,
+        producer_id: int | None,
+        producer_epoch: int,
+        base_sequence: int | None,
+        txn_id: str | None,
+    ) -> dict[int, int]:
         cfg = self.describe_topic(topic)
         cols = set(df.columns)
         out = df
@@ -211,7 +230,8 @@ class Broker:
             self.registry is not None
             and cfg.config.get("tansu.schema.validation", "true") != "false"
         ):
-            self.registry.validate(topic, out)
+            with M.timed("registry_validation_duration"):
+                self.registry.validate(topic, out)
 
         with file_lock(self._state(topic, ".lock")):
             # Idempotence fence.

@@ -353,3 +353,32 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def containment_verify(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle containment over candidate pairs:
+    |A∩B| / min(|A|,|B|) — the partial-duplicate signal Jaccard misses
+    (a short document pasted inside a long one scores ~1.0 here but low
+    on Jaccard because the union is dominated by the long side).
+
+    Same bounded-cost shape as jaccard_verify: array intersection only on
+    LSH candidates; a ratio of small integers, exact in both engines."""
+    a = shingled.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.greatest(smaller, F.lit(1)), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

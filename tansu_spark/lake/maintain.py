@@ -252,9 +252,17 @@ class Maintainer:
         self._running = False
 
     def tick(self) -> dict[str, dict]:
+        """One sweep; instrumented as `lakehouse_maintenance_duration`
+        (the reference's histogram, nisshi-schema/src/lake.rs:154-176)."""
         if self._running:
             return {}  # skip — previous sweep still in flight
+        from tansu_spark import metrics as M
+
         self._running = True
+        with M.timed("lakehouse_maintenance_duration"):
+            return self._tick_impl()
+
+    def _tick_impl(self) -> dict[str, dict]:
         try:
             report: dict[str, dict] = {}
             for topic in self.broker.topics():

@@ -134,7 +134,15 @@ class LakeSink:
     def store(self, topic: str) -> int:
         """Materialize newly produced records to the lake table; returns the
         number of rows appended. Incremental on the per-partition offset
-        frontier, so repeated calls are cheap and exactly-once."""
+        frontier, so repeated calls are cheap and exactly-once.
+        Instrumented as `lakehouse_store_duration` (the reference's OTel
+        histogram, nisshi-schema/src/lake.rs:154-176)."""
+        from tansu_spark import metrics as M
+
+        with M.timed("lakehouse_store_duration"):
+            return self._store_impl(topic)
+
+    def _store_impl(self, topic: str) -> int:
         cfg = self._lake_config(topic)
         if not cfg["sink"]:
             return 0

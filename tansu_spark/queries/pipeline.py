@@ -1092,3 +1092,75 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
+
+
+_CONTAIN = (
+    "round(len(list_intersect(sa.shingles, sb.shingles))"
+    " / greatest(least(len(sa.shingles), len(sb.shingles)), 1), 6)"
+)
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=_LSH_CTES
+    + f"""
+    SELECT p.doc_a, p.doc_b, {_CONTAIN} AS containment
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.doc_a
+    JOIN sh sb ON sb.doc_id = p.doc_b
+    WHERE {_CONTAIN} >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment verification over the LSH candidates:
+    |A∩B| / min(|A|,|B|) >= 0.8 flags partial duplicates (one document
+    embedded in another) that symmetric Jaccard under-scores — the
+    second verify metric a production dedup pipeline runs next to
+    Jaccard, over the SAME candidate set (no extra LSH pass)."""
+    docs = _docs(spark, sf_dir)
+    sh = D.with_shingles(docs).cache()
+    pairs = D.minhash_lsh_pairs(docs, shingled=sh)
+    return D.containment_verify(pairs, sh, threshold=0.8)
+
+
+@query(
+    "text_quality_calibrated",
+    oracle=rf"""
+    WITH tok AS (SELECT doc_id, source, text, {_TOK} AS t FROM documents),
+    q AS (SELECT doc_id, source,
+                 0.4 * least(len(t) / 100.0, 1.0)
+                 + 0.2 * (1.0 - {_PUNCT} / greatest(length(text), 1))
+                 + 0.2 * (1.0 - {_DIGIT} / greatest(length(text), 1))
+                 + 0.2 * {_STOP_EN} AS score
+          FROM tok)
+    SELECT doc_id, source, round(score, 6) AS score,
+           round(percent_rank() OVER (PARTITION BY source ORDER BY score),
+                 6) AS source_pct
+    FROM q
+    """,
+)
+def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration: the raw composite quality
+    score plus its percent-rank WITHIN the document's source — the
+    normalization step before cross-source filtering (a fixed global
+    threshold over-prunes sources whose raw scores run low; rank within
+    source compares like with like).
+
+    percent_rank is (rank-1)/(n-1) in both engines — integer-derived, so
+    exact; equal scores share a rank, making tie order irrelevant. One
+    window shuffle partitioned by source over a map-side-scored scan."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        "source",
+        T.quality_score("text").alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy("score")
+    return scored.select(
+        "doc_id",
+        "source",
+        F.round("score", 6).alias("score"),
+        F.round(F.percent_rank().over(w), 6).alias("source_pct"),
+    )

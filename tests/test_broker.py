@@ -226,3 +226,53 @@ def test_cross_topic_transaction_atomic_visibility(broker):
     assert broker.fetch("b", isolation="read_committed").count() == 4
     assert broker.fetch("a").count() == 6
     assert broker.fetch("b").count() == 5
+
+
+def test_range_assignor_contract():
+    """RangeAssignor semantics (range.rs:31-120): members sorted by id,
+    contiguous partition ranges, first (total % n) members get the extra
+    partition, non-subscribers get nothing, and co-partitioned topics
+    align on the same members."""
+    from tansu_spark.broker.assignor import range_assign
+
+    got = range_assign({"m2": ["t"], "m1": ["t"]}, {"t": 5})
+    assert got == {"m1": {"t": [0, 1, 2]}, "m2": {"t": [3, 4]}}
+
+    # co-partitioned topics land on the same members, range-aligned
+    got = range_assign({"a": ["x", "y"], "b": ["x", "y"]}, {"x": 4, "y": 4})
+    assert got["a"] == {"x": [0, 1], "y": [0, 1]}
+    assert got["b"] == {"x": [2, 3], "y": [2, 3]}
+
+    # more members than partitions: trailing members get nothing
+    got = range_assign({"a": ["t"], "b": ["t"], "c": ["t"]}, {"t": 2})
+    assert got == {"a": {"t": [0]}, "b": {"t": [1]}, "c": {}}
+
+    # non-subscriber is skipped entirely
+    got = range_assign({"a": ["t"], "b": []}, {"t": 3})
+    assert got == {"a": {"t": [0, 1, 2]}, "b": {}}
+
+
+def test_metrics_instrument_control_plane(broker):
+    """produce/validation/store/maintenance land in the metrics registry
+    under the reference's OTel histogram names (lib.rs:462-475)."""
+    from tansu_spark import metrics as M
+    from tansu_spark.lake.maintain import Maintainer
+    from tansu_spark.lake.sink import LakeSink
+    import os
+
+    M.reset()
+    broker.create_topic("t", partitions=1, config={"tansu.lake.sink": "true"})
+    broker.produce_rows("t", _rows(4))
+    sink = LakeSink(broker, os.path.join(broker.root, "lake"))
+    sink.store("t")
+    Maintainer(broker, sink).tick()
+
+    snap = M.snapshot()
+    for name in (
+        "produce_duration",
+        "lakehouse_store_duration",
+        "lakehouse_maintenance_duration",
+    ):
+        assert snap[name]["count"] >= 1, name
+        assert snap[name]["total_ms"] >= snap[name]["max_ms"] > 0, name
+        assert snap[name]["mean_ms"] == snap[name]["total_ms"] / snap[name]["count"]
