@@ -1,0 +1,96 @@
+"""BPE tokenizer training: learn subword merges from a corpus.
+
+The classic byte-pair-encoding training loop (the vocabulary-building
+stage of an LLM data pipeline): pre-tokenize, aggregate to a WORD
+FREQUENCY table, then repeatedly merge the globally most frequent
+adjacent symbol pair. The key scale property — shared with fastBPE /
+HuggingFace trainers — is that the corpus is scanned ONCE; every round
+after that runs over the word-frequency table (|distinct words| rows,
+millions at web scale vs trillions of tokens), so a round is one small
+partial-agg shuffle plus a map-only merge application.
+
+Cross-engine exactness: symbol sequences are space-joined strings folded
+with a left-greedy accumulator (Spark `aggregate` HOF / DuckDB
+`list_reduce` — both fold left over the symbol list, so "aaa" under
+merge (a,a) becomes [aa, a], the standard BPE behavior); pair counts
+are integer sums; the argmax tie-breaks lexicographically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tansu_spark.functions.text import bpe_tokens
+
+# Fold one merge (a, b) -> m through a symbol string "s1 s2 ... sn".
+# `[^ ]+$` (one-or-more, never empty) matches the last symbol exactly once
+# in BOTH regex engines — `[^ ]*$` would double-fire in Java's replaceAll
+# (an empty trailing match after the real one) but not in RE2.
+_FOLD = """
+split(aggregate(slice(s, 2, greatest(size(s)-1, 0)), element_at(s, 1),
+  (acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = '{a}' AND x = '{b}'
+                   THEN regexp_replace(acc, '[^ ]+$', '{m}')
+                   ELSE concat(acc, ' ', x) END), ' ')
+"""
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(wd, n): the corpus's pre-token frequency table — the only pass
+    over the raw text."""
+    return (
+        docs.select(F.explode(bpe_tokens(text_col)).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 5) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns a DataFrame
+    (round, lhs, rhs, merged, pair_count) — the ordered merge list that
+    IS a trained tokenizer.
+
+    Each round: adjacent-pair counts weighted by word frequency (one
+    shuffle over the word table), a 1-row argmax collect, then the merge
+    applied map-side via the fold expression. The argmax literal is
+    baked into the next round's plan, so every round's lineage stays
+    constant-size (no growing iterative plan)."""
+    spark = docs.sparkSession
+    syms = word_frequencies(docs, text_col).select(
+        "n",
+        F.expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))").alias(
+            "s"
+        ),
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(n_merges):
+        pairs = syms.filter(F.size("s") >= 2).select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s)-1),"
+                    " i -> concat(element_at(s, i), ' ', element_at(s, i+1)))"
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["pair"].split(" ", 1)
+        m = a + b
+        merges.append((r, a, b, m, int(best[0]["cnt"])))
+        # localCheckpoint: truncate the per-round lineage so round k's plan
+        # does not re-fold rounds 0..k-1 (k-fold expression nesting would
+        # blow up analysis time; the table is small by construction).
+        syms = syms.select(
+            "n", F.expr(_FOLD.format(a=a, b=b, m=m)).alias("s")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, merged string, pair_count long"
+    )

@@ -1164,3 +1164,61 @@ def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         F.round(F.percent_rank().over(w), 6).alias("source_pct"),
     )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Generate the K-round BPE-training CTE chain. Each round: adjacent
+    pair counts weighted by word frequency -> lexicographically
+    tie-broken argmax -> left-greedy fold applying the merge (DuckDB
+    list_reduce with a string accumulator — the exact mirror of the
+    Spark aggregate() fold in functions/bpe.py, incl. the '[^ ]+$'
+    last-symbol anchor that fires once in both regex engines)."""
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    parts = [
+        f"""
+    WITH w AS (SELECT wd, count(*) AS n
+               FROM (SELECT unnest(regexp_extract_all(text, '{bpe}')) AS wd
+                     FROM documents) GROUP BY wd),
+    s0 AS (SELECT n, array_to_string(
+                       list_transform(range(1, length(wd)+1), i -> wd[i]),
+                       ' ') AS s
+           FROM w)"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f""",
+    p{r} AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+             FROM (SELECT n, unnest(list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1])) AS pair
+                   FROM (SELECT n, str_split(s, ' ') AS t FROM s{r})
+                   WHERE len(t) >= 2)
+             GROUP BY pair),
+    b{r} AS (SELECT split_part(pair, ' ', 1) AS lhs,
+                    split_part(pair, ' ', 2) AS rhs,
+                    replace(pair, ' ', '') AS merged, cnt
+             FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+    s{r + 1} AS (SELECT n, list_reduce(str_split(s, ' '), (acc, x) ->
+                   CASE WHEN regexp_extract(acc, '[^ ]+$') = b.lhs
+                             AND x = b.rhs
+                        THEN regexp_replace(acc, '[^ ]+$', b.merged)
+                        ELSE acc || ' ' || x END) AS s
+                 FROM s{r} CROSS JOIN b{r} b)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, lhs, rhs, merged, cnt AS pair_count FROM b{r}"
+        for r in range(n_merges)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@query("text_bpe_train", oracle=_bpe_oracle(5))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (functions/bpe.py): the 5 most frequent
+    adjacent-symbol merges learned from the corpus's word-frequency
+    table — the vocabulary-building stage of an LLM pipeline, and the
+    engine's flagship iterative operator after connected components and
+    k-means. The oracle replays all 5 rounds as a CTE chain computing
+    the same argmax and the same left-greedy fold in SQL."""
+    from tansu_spark.functions.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=5)
