@@ -94,3 +94,61 @@ def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 5) -> Dat
     return spark.createDataFrame(
         merges, "round int, lhs string, rhs string, merged string, pair_count long"
     )
+
+
+# Pre-tokenization as a SQL fragment (same regex as text.BPE_PATTERN) so
+# the encoder can build one nested-HOF expression string. NB the doubled
+# backslash: Spark's SQL parser escape-processes string literals, so a
+# bare '\s' inside F.expr would silently become 's' (unlike F.lit, which
+# ships the Python string verbatim).
+_BPE_RE_SQL = r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"
+
+# Fold one merge through a space-joined symbol string s (the lambda var
+# of the enclosing transform shadows the column name on purpose).
+_FOLD_STR = """
+aggregate(slice(sy, 2, greatest(size(sy)-1, 0)), element_at(sy, 1),
+  (acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = '{a}' AND x = '{b}'
+                   THEN regexp_replace(acc, '[^ ]+$', '{m}')
+                   ELSE concat(acc, ' ', x) END)
+"""
+
+
+def bpe_encode(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+    merges: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Tokenize every document under a trained BPE merge list (trains one
+    with ``bpe_train`` when not given): returns (doc_id, n_pretokens,
+    n_subwords, tokens_per_char) — the token-budget accounting an LLM
+    pipeline runs over a candidate corpus.
+
+    Map-only: merges are baked into ONE nested-HOF expression (per word:
+    chars -> K chained left-greedy folds -> subword count), so encoding
+    is a single codegen'd scan with no shuffle and no Python — the model
+    travels in the plan, the corpus never moves."""
+    if merges is None:
+        merges = [
+            (r["lhs"], r["rhs"], r["merged"])
+            for r in bpe_train(docs, text_col, n_merges).collect()
+        ]
+    ws = (
+        f"transform({_BPE_RE_SQL}, "
+        "wd -> transform(sequence(1, length(wd)), i -> substring(wd, i, 1)))"
+    )
+    for a, b, m in merges:
+        fold = _FOLD_STR.format(a=a, b=b, m=m)
+        ws = f"transform({ws}, sy -> split({fold}, ' '))"
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({_BPE_RE_SQL})").alias("n_pretokens"),
+        F.expr(f"aggregate({ws}, 0, (a, t) -> a + size(t))")
+        .cast("long")
+        .alias("n_subwords"),
+        F.round(
+            F.expr(f"aggregate({ws}, 0, (a, t) -> a + size(t))").cast("double")
+            / F.greatest(F.length(F.col(text_col)), F.lit(1)),
+            6,
+        ).alias("tokens_per_char"),
+    )

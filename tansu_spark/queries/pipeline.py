@@ -1166,14 +1166,18 @@ def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Generate the K-round BPE-training CTE chain. Each round: adjacent
-    pair counts weighted by word frequency -> lexicographically
-    tie-broken argmax -> left-greedy fold applying the merge (DuckDB
-    list_reduce with a string accumulator — the exact mirror of the
-    Spark aggregate() fold in functions/bpe.py, incl. the '[^ ]+$'
-    last-symbol anchor that fires once in both regex engines)."""
-    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _bpe_chain(n_merges: int) -> str:
+    """Generate the K-round BPE-training CTE chain (shared by the train
+    and encode oracles). Each round: adjacent pair counts weighted by
+    word frequency -> lexicographically tie-broken argmax (b{r}) ->
+    left-greedy fold applying the merge (DuckDB list_reduce with a
+    string accumulator — the exact mirror of the Spark aggregate() fold
+    in functions/bpe.py, incl. the '[^ ]+$' last-symbol anchor that
+    fires once in both regex engines)."""
+    bpe = _BPE_RE
     parts = [
         f"""
     WITH w AS (SELECT wd, count(*) AS n
@@ -1204,11 +1208,55 @@ def _bpe_oracle(n_merges: int) -> str:
                         ELSE acc || ' ' || x END) AS s
                  FROM s{r} CROSS JOIN b{r} b)"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int) -> str:
     selects = " UNION ALL ".join(
         f"SELECT CAST({r} AS INTEGER) AS round, lhs, rhs, merged, cnt AS pair_count FROM b{r}"
         for r in range(n_merges)
     )
-    return "".join(parts) + "\n    " + selects
+    return _bpe_chain(n_merges) + "\n    " + selects
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Encode oracle: retrain the merge chain (b0..b{K-1}), then apply
+    each merge in order to every document's pre-token symbol strings and
+    count the resulting subword tokens."""
+    parts = [
+        _bpe_chain(n_merges),
+        f""",
+    d0 AS (SELECT doc_id, length(text) AS nc,
+                  regexp_extract_all(text, '{_BPE_RE}') AS wds
+           FROM documents),
+    e0 AS (SELECT doc_id, nc, len(wds) AS n_pretokens,
+                  list_transform(wds, wd -> array_to_string(
+                      list_transform(range(1, length(wd)+1), i -> wd[i]),
+                      ' ')) AS ws
+           FROM d0)""",
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f""",
+    e{r + 1} AS (SELECT doc_id, nc, n_pretokens,
+                   list_transform(ws, s -> list_reduce(str_split(s, ' '),
+                     (acc, x) ->
+                       CASE WHEN regexp_extract(acc, '[^ ]+$') = b.lhs
+                                 AND x = b.rhs
+                            THEN regexp_replace(acc, '[^ ]+$', b.merged)
+                            ELSE acc || ' ' || x END)) AS ws
+                 FROM e{r} CROSS JOIN b{r} b)"""
+        )
+    parts.append(
+        f"""
+    SELECT doc_id, n_pretokens,
+           CAST(coalesce(list_sum(list_transform(ws, s -> len(str_split(s, ' ')))), 0)
+                AS BIGINT) AS n_subwords,
+           round(CAST(coalesce(list_sum(list_transform(ws, s -> len(str_split(s, ' ')))), 0)
+                      AS DOUBLE) / greatest(nc, 1), 6) AS tokens_per_char
+    FROM e{n_merges}"""
+    )
+    return "".join(parts)
 
 
 @query("text_bpe_train", oracle=_bpe_oracle(5))
@@ -1222,3 +1270,17 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tansu_spark.functions.bpe import bpe_train
 
     return bpe_train(_docs(spark, sf_dir), n_merges=5)
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle(5))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding under the corpus-trained tokenizer (functions/
+    bpe.py::bpe_encode): per-document pre-token and subword counts plus
+    tokens-per-char — the token-budget estimate that decides what a
+    corpus costs to train on. Training happens once (5 tiny argmax
+    jobs); encoding is one map-only nested-HOF scan with the merge list
+    baked into the plan. The oracle retrains the same chain in SQL and
+    re-applies every merge per document."""
+    from tansu_spark.functions.bpe import bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir), n_merges=5)

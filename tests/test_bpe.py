@@ -53,3 +53,25 @@ def test_word_frequencies_single_corpus_pass(spark, sf_dir):
     ).first()["n"]
     assert wf.count() < n_tokens
     assert wf.agg(F.sum("n")).first()[0] == n_tokens
+
+
+def test_bpe_encode_is_map_only(spark, sf_dir):
+    """Encoding must be a single shuffle-free scan: the merge list is
+    baked into the expression, so the executed plan contains no Exchange
+    — the property that makes encoding embarrassingly parallel at
+    corpus scale."""
+    from tansu_spark.functions.bpe import bpe_encode
+    from tansu_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    df = bpe_encode(docs, n_merges=3)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "Exchange" not in plan
+    # sanity: encoding never produces fewer subwords than pre-tokens
+    from pyspark.sql import functions as F
+
+    bad = df.filter(F.col("n_subwords") < F.col("n_pretokens")).count()
+    assert bad == 0
