@@ -325,7 +325,10 @@ class Broker:
                 # txn_topition/txn_produce_offset tables.
                 with file_lock(self._txn_lock_path()):
                     txns = read_json(self._txns_path(), {})
-                    t = txns.setdefault(txn_id, {"state": "open", "topics": {}})
+                    t = txns.setdefault(
+                        txn_id,
+                        {"state": "open", "topics": {}, "started_at": time.time()},
+                    )
                     ranges = t["topics"].setdefault(topic, {})
                     for p, n in counts.items():
                         lo, _ = ranges.get(str(p), [result[p], result[p]])
@@ -638,3 +641,36 @@ class Broker:
         delegates to the store-global flip."""
         self.describe_topic(topic)  # same unknown-topic contract
         self.end_transaction(txn_id, commit)
+
+    def transactions(self) -> dict[str, dict]:
+        """Snapshot of the store-global txn registry (introspection —
+        the describe side of the coordinator)."""
+        return read_json(self._txns_path(), {})
+
+    def maintain_transactions(
+        self, now: float | None = None, timeout_s: float = 60.0
+    ) -> list[str]:
+        """Abort open transactions older than ``timeout_s`` — the txn
+        sweep the reference's broker loop runs every 10 s
+        (nisshi-broker/src/broker.rs:242-258; `Storage::
+        maintain_transactions` lib.rs:1522 with per-txn `started_at`,
+        sql/txn_detail_update_started_at.sql — engine impls are stubs
+        upstream, so the timeout semantics here follow Kafka's
+        transaction.timeout.ms contract: a producer that vanishes
+        mid-transaction cannot hold the LSO down forever). Returns the
+        aborted txn ids; their ranges become permanently invisible to
+        read_committed, exactly like an explicit abort."""
+        now = time.time() if now is None else now
+        aborted: list[str] = []
+        with file_lock(self._txn_lock_path()):
+            txns = read_json(self._txns_path(), {})
+            for txn_id, t in txns.items():
+                if (
+                    t["state"] == "open"
+                    and now - t.get("started_at", now) > timeout_s
+                ):
+                    t["state"] = "aborted"
+                    aborted.append(txn_id)
+            if aborted:
+                write_json_atomic(self._txns_path(), txns)
+        return aborted

@@ -265,6 +265,11 @@ class Maintainer:
     def _tick_impl(self) -> dict[str, dict]:
         try:
             report: dict[str, dict] = {}
+            # Txn sweep first (reference: every 10 s vs the 10 min storage
+            # sweep — one tick here covers both cadences).
+            expired = self.broker.maintain_transactions()
+            if expired:
+                report["_txns_expired"] = {"aborted": expired}
             for topic in self.broker.topics():
                 cfg = self.broker.describe_topic(topic)
                 r: dict = {}

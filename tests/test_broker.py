@@ -276,3 +276,30 @@ def test_metrics_instrument_control_plane(broker):
         assert snap[name]["count"] >= 1, name
         assert snap[name]["total_ms"] >= snap[name]["max_ms"] > 0, name
         assert snap[name]["mean_ms"] == snap[name]["total_ms"] / snap[name]["count"]
+
+
+def test_transaction_timeout_sweep_restores_lso(broker):
+    """A producer that vanishes mid-transaction must not hold the LSO
+    down forever: the txn sweep aborts open txns past the timeout
+    (Kafka's transaction.timeout.ms; the reference broker's 10 s txn
+    sweep loop, broker.rs:242-258), and the aborted ranges stay
+    invisible to read_committed."""
+    import time as _t
+
+    broker.create_topic("t", partitions=1)
+    broker.produce_rows("t", _rows(3))
+    broker.produce_rows("t", _rows(2), txn_id="ghost")
+    assert broker.last_stable_offsets("t") == {0: 3}
+
+    # not yet expired: nothing happens
+    assert broker.maintain_transactions(timeout_s=60.0) == []
+    assert broker.transactions()["ghost"]["state"] == "open"
+
+    # expired: swept to aborted, LSO recovers, rows stay hidden
+    assert broker.maintain_transactions(
+        now=_t.time() + 120.0, timeout_s=60.0
+    ) == ["ghost"]
+    assert broker.transactions()["ghost"]["state"] == "aborted"
+    assert broker.last_stable_offsets("t") == {0: 5}
+    assert broker.fetch("t", isolation="read_committed").count() == 3
+    assert broker.fetch("t").count() == 5
