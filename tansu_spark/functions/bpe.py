@@ -140,15 +140,23 @@ def bpe_encode(
     for a, b, m in merges:
         fold = _FOLD_STR.format(a=a, b=b, m=m)
         ws = f"transform({ws}, sy -> split({fold}, ' '))"
-    return docs.select(
+    # Evaluate the fold chain ONCE per row (an inner projection), then
+    # derive both outputs from it — inlining it into each output column
+    # would double the dominant per-row cost.
+    counted = docs.select(
         "doc_id",
+        F.length(F.col(text_col)).alias("_nc"),
         F.expr(f"size({_BPE_RE_SQL})").alias("n_pretokens"),
         F.expr(f"aggregate({ws}, 0, (a, t) -> a + size(t))")
         .cast("long")
         .alias("n_subwords"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_pretokens",
+        "n_subwords",
         F.round(
-            F.expr(f"aggregate({ws}, 0, (a, t) -> a + size(t))").cast("double")
-            / F.greatest(F.length(F.col(text_col)), F.lit(1)),
+            F.col("n_subwords").cast("double") / F.greatest(F.col("_nc"), F.lit(1)),
             6,
         ).alias("tokens_per_char"),
     )
