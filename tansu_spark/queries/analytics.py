@@ -1448,3 +1448,78 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.filter(
         (F.col("n") >= 5) & (F.col("var") > 0) & (F.abs(F.col("z")) > 2.5)
     ).select("event_id", "user_id", "value", F.round("z", 6).alias("z"))
+
+
+@query(
+    "events_hourly_locf",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value, date_trunc('hour', ts) AS h, ts
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'),
+    hr AS (SELECT user_id, h, value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, h
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+             FROM e) WHERE rn = 1),
+    b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY user_id),
+    sp AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM b),
+    j AS (SELECT sp.user_id, sp.h, hr.value
+          FROM sp LEFT JOIN hr USING (user_id, h))
+    SELECT user_id, h AS hour,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           CAST(CASE WHEN value IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+    FROM j
+    """,
+)
+def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: each user's activity over one
+    week re-sampled onto an hourly spine (that user's first..last active
+    hour), carrying the last observation forward through empty hours —
+    the feature-pipeline shape behind training-data snapshots and
+    monitoring rollups.
+
+    The spine is generated per user with sequence() (no calendar table to
+    join), the last-per-hour pick is a deterministic (ts, event_id)
+    window, and the fill is last(ignorenulls) over an ordered frame —
+    values are carried verbatim (no arithmetic), so parity is exact.
+    Scale: everything partitions by user_id; spine size is bounded by
+    168 h/user/week, so state is O(users x hours), never O(events)."""
+    from pyspark.sql import Window
+
+    lo, hi = "2024-01-08", "2024-01-15"
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    e = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value", ts.alias("ts"))
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .withColumn("h", F.date_trunc("hour", F.col("ts")))
+    )
+    pick = Window.partitionBy("user_id", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hr = (
+        e.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    j = spine.join(hr, ["user_id", "h"], "left")
+    fill = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return j.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.last("value", ignorenulls=True).over(fill).alias("value_filled"),
+        F.when(F.col("value").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+    )
