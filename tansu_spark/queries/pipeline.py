@@ -1284,3 +1284,65 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tansu_spark.functions.bpe import bpe_encode
 
     return bpe_encode(_docs(spark, sf_dir), n_merges=5)
+
+
+@query(
+    "graph_near_dup_reachability",
+    oracle=_LSH_CTES
+    + """,
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    r0 AS (SELECT DISTINCT doc_id, 0 AS hops FROM sh WHERE doc_id % 10 = 0),
+    r1 AS (SELECT DISTINCT e.dst AS doc_id, 1 AS hops
+           FROM r0 JOIN edges e ON e.src = r0.doc_id),
+    r2 AS (SELECT DISTINCT e.dst AS doc_id, 2 AS hops
+           FROM r1 JOIN edges e ON e.src = r1.doc_id),
+    r3 AS (SELECT DISTINCT e.dst AS doc_id, 3 AS hops
+           FROM r2 JOIN edges e ON e.src = r2.doc_id),
+    reach AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+              UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+    SELECT doc_id, CAST(min(hops) AS INTEGER) AS hops
+    FROM reach GROUP BY doc_id
+    """,
+)
+def graph_near_dup_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the near-duplicate graph: every 10th document
+    seeds a 3-hop breadth-first expansion along LSH candidate edges;
+    output is min-hop distance per reached document — the
+    contamination-blast-radius query ("what else is transitively close
+    to these flagged docs?") that complements connected components
+    (which labels everything) with a bounded, seed-anchored reach.
+
+    Iterative frontier expansion: each hop is one equi-join of the
+    DISTINCT previous frontier against the edge list, so per-round work
+    is O(frontier x avg-degree) — revisits are deduped every round
+    rather than accumulating path-multiplicity. The oracle unrolls the
+    same three joins (equivalent to the recursive-CTE form bounded at
+    hops < 4, with min() collapsing path multiplicity)."""
+    docs = _docs(spark, sf_dir)
+    sh = D.with_shingles(docs).cache()
+    pairs = D.minhash_lsh_pairs(docs, shingled=sh)
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+
+    frontier = (
+        sh.select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+        .distinct()
+        .withColumn("hops", F.lit(0))
+    )
+    reached = [frontier]
+    for k in range(1, 4):
+        frontier = (
+            frontier.join(edges, frontier["doc_id"] == edges["src"])
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .withColumn("hops", F.lit(k))
+        )
+        reached.append(frontier)
+    allr = reached[0]
+    for r in reached[1:]:
+        allr = allr.union(r)
+    return allr.groupBy("doc_id").agg(F.min("hops").cast("int").alias("hops"))
