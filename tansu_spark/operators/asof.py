@@ -32,6 +32,7 @@ def asof_join(
     right_time: str,
     how: str = "inner",
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """left rows + columns of the nearest right row per `on` key:
     direction='backward' (default) takes the LATEST right with
@@ -40,6 +41,13 @@ def asof_join(
     >= left[left_time] (time-to-next-event joins). Forward is the same
     one-shuffle window plan with the time order reversed — right rows
     still sort before probes at equal times, keeping inclusive bounds.
+
+    ``tolerance`` (an SQL interval string, e.g. ``'30 days'``) bounds the
+    match's staleness: a backward match older than left_time - tolerance
+    (or a forward match beyond left_time + tolerance) counts as NO match
+    — pandas merge_asof's tolerance semantics. Still one shuffle: the
+    matched right time rides the same window fill and the bound is a
+    post-filter, so no range-join blowup.
 
     Right-side payload columns must not collide with left columns (alias
     beforehand). `how`: 'inner' drops unmatched probes, 'left' keeps them
@@ -57,6 +65,7 @@ def asof_join(
         F.col(right_time).cast("timestamp").alias("_t"),
         F.lit(0).alias("_tag"),
         F.lit(1).alias("_hit"),
+        F.col(right_time).cast("timestamp").alias("_rt"),
         *[F.col(c) for c in payload],
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left.columns],
     )
@@ -65,6 +74,7 @@ def asof_join(
         F.col(left_time).cast("timestamp").alias("_t"),
         F.lit(1).alias("_tag"),
         F.lit(None).cast("int").alias("_hit"),
+        F.lit(None).cast("timestamp").alias("_rt"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
@@ -77,12 +87,27 @@ def asof_join(
     )
     fill = [F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in payload]
     fill.append(F.last("_hit", ignorenulls=True).over(w).alias("_matched"))
+    fill.append(F.last("_rt", ignorenulls=True).over(w).alias("_f_rt"))
 
     filled = r_side.unionByName(l_side).select("*", *fill)
     out = filled.filter(F.col("_tag") == 1)
+
+    within = F.col("_matched").isNotNull()
+    if tolerance is not None:
+        bound = F.expr(f"interval {tolerance}")
+        if direction == "backward":
+            within = within & (F.col("_f_rt") >= F.col("_t") - bound)
+        else:
+            within = within & (F.col("_f_rt") <= F.col("_t") + bound)
+
     if how == "inner":
-        out = out.filter(F.col("_matched").isNotNull())
+        out = out.filter(within)
+        return out.select(
+            *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+            *[F.col(f"_f_{c}").alias(c) for c in payload],
+        )
+    # left: keep unmatched/out-of-tolerance probes with null payload
     return out.select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
-        *[F.col(f"_f_{c}").alias(c) for c in payload],
+        *[F.when(within, F.col(f"_f_{c}")).alias(c) for c in payload],
     )

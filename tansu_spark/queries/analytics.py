@@ -1250,47 +1250,47 @@ def events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "asof_join_next_order",
     oracle="""
-    WITH ev AS (SELECT event_id, user_id, ts FROM events),
-         od AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ot,
-                       o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
-                FROM orders
-                QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
-                                           ORDER BY o_orderkey DESC) = 1)
-    SELECT ev.event_id, ev.user_id, od.o_orderkey, od.o_totalprice
-    FROM ev ASOF JOIN od ON ev.user_id = od.user_id AND ev.ts <= od.ot
+    WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts AS pt, event_id AS purchase_id,
+                      CAST(value AS DOUBLE) AS purchase_value FROM (
+                 SELECT user_id, ts, event_id, value,
+                        row_number() OVER (PARTITION BY user_id, ts
+                                           ORDER BY event_id DESC) AS rn
+                 FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+    SELECT v.event_id, v.user_id, p.purchase_id, p.purchase_value
+    FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ts <= p.pt
     """,
 )
 def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join (operators/asof.py direction='forward'): each
-    event picks up the customer's NEXT order at/after event time — the
-    time-to-conversion shape. Same one-shuffle union+window plan as the
-    backward variant with the time order reversed; the oracle is
-    DuckDB's native forward ASOF JOIN (l.ts <= r.ot)."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+    view event picks up the same user's NEXT purchase at/after view time
+    — the time-to-conversion shape. Same one-shuffle union+window plan
+    as the backward variant with the time order reversed; the oracle is
+    DuckDB's native forward ASOF JOIN (v.ts <= p.pt)."""
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", ts.alias("ts")
     )
-    dedup_w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
-        F.desc("o_orderkey")
-    )
-    orders = (
-        load(spark, sf_dir, "orders")
+    dedup_w = Window.partitionBy("user_id", "pt").orderBy(F.desc("purchase_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            ts.alias("pt"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").cast("double").alias("purchase_value"),
+        )
         .withColumn("_rn", F.row_number().over(dedup_w))
         .filter(F.col("_rn") == 1)
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            F.col("o_orderdate").cast("timestamp").alias("ot"),
-            "o_orderkey",
-            F.col("o_totalprice").cast("double").alias("o_totalprice"),
-        )
+        .drop("_rn")
     )
     from tansu_spark.operators.asof import asof_join
 
     return asof_join(
-        ev, orders, on="user_id", left_time="ts", right_time="ot",
+        views, purchases, on="user_id", left_time="ts", right_time="pt",
         how="inner", direction="forward",
-    ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    ).select("event_id", "user_id", "purchase_id", "purchase_value")
 
 
 @query(
@@ -1523,3 +1523,59 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(fill).alias("value_filled"),
         F.when(F.col("value").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
     )
+
+
+@query(
+    "asof_join_tolerant_order",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts AS pt, event_id AS purchase_id,
+                      CAST(value AS DOUBLE) AS purchase_value FROM (
+                 SELECT user_id, ts, event_id, value,
+                        row_number() OVER (PARTITION BY user_id, ts
+                                           ORDER BY event_id DESC) AS rn
+                 FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+         m AS (SELECT v.event_id, v.user_id, v.ts, p.pt,
+                      p.purchase_id, p.purchase_value
+               FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ts >= p.pt)
+    SELECT event_id, user_id, purchase_id, purchase_value
+    FROM m WHERE CASE WHEN pt >= ts - INTERVAL 24 HOUR THEN 1 ELSE 0 END = 1
+    """,
+)
+def asof_join_tolerant_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (tolerance='24 hours'): each view
+    event picks up the same user's most recent purchase ONLY if it
+    happened within the last day — pandas merge_asof tolerance
+    semantics, the guard that stops ancient state being carried forward
+    as 'prevailing'. Same single-shuffle union+window plan as the other
+    as-of variants; the matched right time rides the window fill and the
+    bound is a post-filter (the oracle wraps DuckDB's native ASOF JOIN
+    in a CASE filter — a bare inequality would get folded into the ASOF
+    ON clause, which DuckDB rejects)."""
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", ts.alias("ts")
+    )
+    dedup_w = Window.partitionBy("user_id", "pt").orderBy(F.desc("purchase_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            ts.alias("pt"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").cast("double").alias("purchase_value"),
+        )
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="pt",
+        how="inner",
+        tolerance="24 hours",
+    ).select("event_id", "user_id", "purchase_id", "purchase_value")
