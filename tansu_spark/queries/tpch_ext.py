@@ -228,7 +228,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN orders ON o_orderkey = l_orderkey
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE p_name LIKE '%1%'
+    WHERE p_name LIKE '%red%'
     GROUP BY n_name, o_year
     """,
 )
@@ -241,7 +241,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exact decimal expression inside a single aggregation — the 5-way
     join never materializes an intermediate wider than the select list.
     """
-    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%1%"))
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
     orders = load(spark, sf_dir, "orders")
@@ -648,7 +648,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
       SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
       FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE p_name LIKE '%7%'
+      WHERE p_name LIKE '%gear%'
         AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
       GROUP BY l_suppkey, l_partkey
     ),
@@ -673,7 +673,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_partkey (co-partitioned — same key, no extra shuffle under AQE);
     the supplier filter is a broadcast semi join of the tiny survivor set.
     """
-    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%7%"))
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(datetime.date(1996, 1, 1)))
         & (F.col("l_shipdate") < F.lit(datetime.date(1997, 1, 1)))
