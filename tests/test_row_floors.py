@@ -1,0 +1,65 @@
+"""Degeneracy tripwires: queries whose predicates bind to data LITERALS
+(LIKE patterns, brand/segment/nation names, date windows, event types)
+must stay non-trivially selective at sf0.01.
+
+Why this exists: the driver's oracle gate compares Spark vs DuckDB on
+the SAME data, so a predicate that silently stops matching (testdata
+regeneration changed part names from digit-bearing to word pairs, orders
+moved decades away from events) still "passes" — both engines agree on
+an empty answer. A row FLOOR catches that drift. Floors are set at
+roughly half the observed counts so organic data changes don't flap the
+test, while a dead literal (count 0) always fails. Scalar aggregates are
+additionally checked non-null — an empty input would make them NULL."""
+
+from __future__ import annotations
+
+import pytest
+
+from tansu_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# name -> minimum rows at sf0.01 (~half of observed 2026-08)
+FLOORS = {
+    "tpch_q2_min_cost_supplier": 1,
+    "tpch_q3_shipping_priority": 5,
+    "tpch_q5_local_supplier_volume": 2,
+    "tpch_q7_volume_shipping": 2,
+    "tpch_q8_market_share": 1,
+    "tpch_q9_product_profit": 80,
+    "tpch_q11_important_stock": 150,
+    "tpch_q16_supplier_cnt": 400,
+    "tpch_q20_part_promotion": 1,
+    "tpch_q21_waiting_supplier": 40,
+    "tpch_q22_global_sales_opportunity": 1,
+    "asof_join_tolerant_order": 300,
+    "asof_join_next_order": 800,
+    "dedup_minhash_lsh": 10,
+    "graph_near_dup_reachability": 25,
+    "events_zscore_outliers": 100,
+    "events_hourly_locf": 10000,
+    "text_bm25_search": 10,
+}
+
+# scalar aggregates: exactly one row whose values must all be non-null
+SCALARS = [
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "events_funnel_conversion",
+]
+
+
+@pytest.mark.parametrize("name", sorted(FLOORS))
+def test_row_floor(spark, name):
+    n = QUERIES[name](spark, SF_DIR).count()
+    assert n >= FLOORS[name], f"{name}: {n} rows < floor {FLOORS[name]}"
+
+
+@pytest.mark.parametrize("name", SCALARS)
+def test_scalar_non_null(spark, name):
+    rows = QUERIES[name](spark, SF_DIR).collect()
+    assert len(rows) >= 1, name
+    vals = rows[0].asDict()
+    assert all(v is not None for v in vals.values()), f"{name}: {vals}"
