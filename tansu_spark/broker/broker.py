@@ -520,6 +520,17 @@ class Broker:
         )
         df = df.filter(F.col("offset") < hi[F.col("partition")])
 
+        # Log-start gate: records below the low watermark are deleted as
+        # far as readers are concerned, whether or not a maintenance
+        # sweep has physically rewritten the segments yet (Kafka
+        # log_start_offset semantics; delete_records advances it).
+        lows = {int(p): int(m.get("low", 0)) for p, m in marks.items()}
+        if any(v > 0 for v in lows.values()):
+            lo_map = F.create_map(
+                *[x for p, b in lows.items() for x in (F.lit(p), F.lit(b))]
+            )
+            df = df.filter(F.col("offset") >= lo_map[F.col("partition")])
+
         if isolation == "read_committed":
             # Exclude aborted ranges (fetch surfaces aborted txns, lib.rs:1527).
             for p, ranges in self._aborted_ranges(name).items():
@@ -587,6 +598,27 @@ class Broker:
                     **fetch_kw,
                 )
             time.sleep(min(poll_interval_s, max(0.0, deadline - time.monotonic())))
+
+    def delete_records(self, topic: str, before: dict[int, int]) -> dict[int, int]:
+        """Kafka DeleteRecords: advance each partition's low watermark
+        (log_start_offset) to ``before[partition]`` — records below it
+        become invisible to fetch IMMEDIATELY (the visibility gate is the
+        watermark document, not the files); the next retention/compaction
+        sweep reclaims the bytes. Clamped to [current low, high]; returns
+        the new low per partition. Mirrors the reference's watermark.low
+        column (010-schema.sql:82-90) the same way retention_sweep does."""
+        self.describe_topic(topic)
+        with file_lock(self._state(topic, ".lock")):
+            marks = read_json(self._state(topic, "watermarks.json"), {})
+            out: dict[int, int] = {}
+            for p, off in before.items():
+                m = marks.get(str(p))
+                if m is None:
+                    raise KeyError(f"unknown partition {p} of topic {topic!r}")
+                m["low"] = max(int(m["low"]), min(int(off), int(m["high"])))
+                out[int(p)] = int(m["low"])
+            write_json_atomic(self._state(topic, "watermarks.json"), marks)
+        return out
 
     # ----------------------------------------------------------- offset lookup
     def list_offsets(self, topic: str, spec: str | Any = "latest") -> dict[int, int]:

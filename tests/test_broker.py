@@ -303,3 +303,29 @@ def test_transaction_timeout_sweep_restores_lso(broker):
     assert broker.last_stable_offsets("t") == {0: 5}
     assert broker.fetch("t", isolation="read_committed").count() == 3
     assert broker.fetch("t").count() == 5
+
+
+def test_delete_records_advances_log_start(broker):
+    """DeleteRecords semantics: the low watermark is the visibility gate
+    — deleted offsets vanish from fetch immediately (before any physical
+    rewrite), earliest reflects the new log start, and the bound clamps
+    to [low, high] and never regresses."""
+    broker.create_topic("t", partitions=1)
+    broker.produce_rows("t", _rows(10))
+
+    assert broker.delete_records("t", {0: 4}) == {0: 4}
+    assert broker.list_offsets("t", "earliest") == {0: 4}
+    got = sorted(r.offset for r in broker.fetch("t").collect())
+    assert got == list(range(4, 10))
+    # fetch from below the log start is clamped by the gate
+    assert broker.fetch("t", partition=0, offset=2).count() == 6
+
+    # never regresses; clamps at high
+    assert broker.delete_records("t", {0: 1}) == {0: 4}
+    assert broker.delete_records("t", {0: 99}) == {0: 10}
+    assert broker.fetch("t").count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        broker.delete_records("t", {7: 1})
