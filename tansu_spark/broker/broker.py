@@ -167,6 +167,27 @@ class Broker:
             raise KeyError(f"no such topic {topic!r}")
         return TopicConfig(partitions=doc["partitions"], config=doc.get("config", {}))
 
+    def alter_topic(self, topic: str, updates: dict[str, str | None]) -> TopicConfig:
+        """IncrementalAlterConfigs: merge config updates into the topic
+        document (a value of None DELETEs the key, Kafka's DELETE op);
+        takes effect for every subsequent produce/maintenance decision —
+        config is read per operation, never cached. Partition count is
+        immutable here, as in the reference's alter path (partitions
+        change via CreatePartitions, not config)."""
+        self.describe_topic(topic)  # KeyError before touching the lock file
+        with file_lock(self._state(topic, ".lock")):
+            doc = read_json(self._state(topic, "topic.json"), None)
+            if doc is None:
+                raise KeyError(f"no such topic {topic!r}")
+            cfg = doc.setdefault("config", {})
+            for k, v in updates.items():
+                if v is None:
+                    cfg.pop(k, None)
+                else:
+                    cfg[k] = v
+            write_json_atomic(self._state(topic, "topic.json"), doc)
+        return TopicConfig(partitions=doc["partitions"], config=cfg)
+
     # --------------------------------------------------------------- producing
     def produce(
         self,

@@ -1579,3 +1579,48 @@ def asof_join_tolerant_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="inner",
         tolerance="24 hours",
     ).select("event_id", "user_id", "purchase_id", "purchase_value")
+
+
+@query(
+    "events_value_winsorized",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      quantile_cont(value, 0.05) AS lo,
+                      quantile_cont(value, 0.95) AS hi
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           greatest(b.lo, least(b.hi, e.value)) AS value_winsorized,
+           CAST(CASE WHEN e.value < b.lo THEN -1
+                     WHEN e.value > b.hi THEN 1 ELSE 0 END AS INTEGER)
+             AS clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (robust normalization): clip each event's value to
+    its event type's exact [p5, p95] band — the outlier-squashing
+    preprocessing step feature pipelines run before scaling, the clipped
+    flag doubling as an outlier label.
+
+    The percentile band is exact (Spark `percentile` == DuckDB
+    quantile_cont bit-for-bit) and tiny — one row per event type — so
+    the clip itself is a broadcast join plus pure greatest/least
+    comparisons (no arithmetic: clipped values are carried verbatim from
+    either the event or the band, so parity is exact). Two passes over
+    events, one shuffle (the percentile agg)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    pcts = F.percentile("value", F.lit([0.05, 0.95]))
+    band = ev.groupBy("event_type").agg(
+        pcts.getItem(0).alias("lo"), pcts.getItem(1).alias("hi")
+    )
+    return ev.join(F.broadcast(band), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.greatest("lo", F.least("hi", F.col("value"))).alias("value_winsorized"),
+        F.when(F.col("value") < F.col("lo"), -1)
+        .when(F.col("value") > F.col("hi"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("clipped"),
+    )

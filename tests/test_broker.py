@@ -329,3 +329,21 @@ def test_delete_records_advances_log_start(broker):
 
     with _pytest.raises(KeyError):
         broker.delete_records("t", {7: 1})
+
+
+def test_alter_topic_config_incremental(broker):
+    """IncrementalAlterConfigs semantics: merge sets, None deletes, and
+    the new config drives the next maintenance decision (cleanup.policy
+    flip switches the sweep from retention to compaction)."""
+    broker.create_topic("t", partitions=1, config={"retention.ms": "1000"})
+    got = broker.alter_topic(
+        "t", {"cleanup.policy": "compact", "retention.ms": None}
+    )
+    assert got.cleanup_policy == "compact"
+    assert got.retention_ms == 7 * 24 * 3600 * 1000  # back to the default
+    assert broker.describe_topic("t").cleanup_policy == "compact"
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        broker.alter_topic("nope", {"a": "b"})
