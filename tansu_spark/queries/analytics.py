@@ -1624,3 +1624,46 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("clipped"),
     )
+
+
+@query(
+    "sketch_bottomk_quantiles",
+    oracle="""
+    WITH s AS (SELECT event_type, value,
+                      row_number() OVER (
+                        PARTITION BY event_type
+                        ORDER BY md5(event_id::VARCHAR)) AS rk
+               FROM events)
+    SELECT event_type,
+           count(*) AS n_sample,
+           quantile_cont(value, 0.50) AS p50_est,
+           quantile_cont(value, 0.90) AS p90_est
+    FROM s WHERE rk <= 64 GROUP BY event_type
+    """,
+)
+def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch via bottom-k hash sampling: per group,
+    keep the 64 rows with the smallest md5(event_id) — a uniform sample
+    whose membership is a pure function of the data, so (a) shards merge
+    exactly (bottom-k of a union is the bottom-k of the merged bottom-ks
+    — same algebra as the KMV distinct sketch) and (b) BOTH engines
+    select the identical sample, making the estimate value-hash exact,
+    which engine-native KLL/t-digest sketches can never be.
+
+    Scale: the rank window partial-sorts only per group; at real scale
+    the same sample falls out of a bottom-k aggregate (min_by(value,
+    hash, 64)) with map-side partials — no global sort either way. The
+    quantile over the fixed 64-row sample is exact interpolation."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string").cast("binary"))
+    )
+    samp = ev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 64)
+    pcts = F.percentile("value", F.lit([0.5, 0.9]))
+    return samp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        pcts.getItem(0).alias("p50_est"),
+        pcts.getItem(1).alias("p90_est"),
+    )
