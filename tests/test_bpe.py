@@ -55,11 +55,12 @@ def test_word_frequencies_single_corpus_pass(spark, sf_dir):
     assert wf.agg(F.sum("n")).first()[0] == n_tokens
 
 
-def test_bpe_encode_is_map_only(spark, sf_dir):
-    """Encoding must be a single shuffle-free scan: the merge list is
-    baked into the expression, so the executed plan contains no Exchange
-    — the property that makes encoding embarrassingly parallel at
-    corpus scale."""
+def test_bpe_encode_folds_dictionary_not_instances(spark, sf_dir):
+    """Encoding is dictionary-encoded: the K fold chains run on the
+    DISTINCT word table, which then broadcasts back over the corpus —
+    the plan must show a BroadcastHashJoin (the dictionary) and the fold
+    expression must sit on the (vocabulary-sized) build side, never on
+    the per-document probe side."""
     from tansu_spark.functions.bpe import bpe_encode
     from tansu_spark.tables import load
 
@@ -69,7 +70,10 @@ def test_bpe_encode_is_map_only(spark, sf_dir):
         "formatted"
     )
     plan = df._jdf.queryExecution().explainString(mode)
-    assert "Exchange" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the probe side reads documents; the fold (an aggregate(...) HOF over
+    # char splits) must appear exactly once per merge — on the dict side.
+    assert plan.count("regexp_replace([^ ]+$") <= 3 * 2  # 3 merges, <=2 prints each
     # sanity: encoding never produces fewer subwords than pre-tokens
     from pyspark.sql import functions as F
 
