@@ -338,3 +338,26 @@ def running_totals(records: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def enrich_stream(
+    records: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a (streaming or batch) topic
+    DataFrame against a slowly-changing dimension table — the broker-side
+    equivalent of the reference's config-lookup joins (SURVEY §2.4 J5).
+
+    Refresh semantics, honestly: Spark re-reads the static side's DATA
+    per micro-batch, but a plain-parquet DataFrame pins its FILE LISTING
+    at analysis time — an overwrite that replaces files fails the next
+    batch with FILE_NOT_EXIST. A refreshed dimension is picked up by
+    (a) re-creating the dim DataFrame / restarting the query (checkpoint
+    resumes exactly where it left off — the cheap, safe path this
+    engine's availableNow runs use), or (b) pointing `dim` at a
+    transactional table (Delta/Iceberg) whose snapshot listing is
+    re-resolved per batch. The dimension should be broadcast-sized or
+    bucketed; the stream side stays shuffle-free either way."""
+    return records.join(dim, on, how)

@@ -299,3 +299,57 @@ def test_running_totals_stream_matches_batch(broker, tmp_path):
         for r in broker.spark.sql("select * from totals_mem").collect()
     }
     assert got == want
+
+
+def test_enrich_stream_picks_up_dimension_refresh(broker, tmp_path):
+    """Stream-static join semantics: the static side is re-read per
+    micro-batch, so overwriting the dimension between triggers changes
+    the NEXT batch's enrichment without restarting the query (same
+    checkpoint, foreachBatch sink — memory sinks cannot resume)."""
+    from pyspark.sql import functions as F
+
+    from tansu_spark.streaming import enrich_stream
+
+    spark = broker.spark
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("k0", "bronze"), ("k1", "silver")], "key string, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    broker.create_topic("t", partitions=1)
+    broker.produce_rows("t", [{"key": "k0", "value": "a"}, {"key": "k1", "value": "b"}])
+
+    dim = spark.read.parquet(dim_path)
+    stream = topic_stream(broker, "t").select(
+        F.col("key").cast("string").alias("key"), "offset"
+    )
+    seen: list[tuple] = []
+
+    def run():
+        q = (
+            enrich_stream(stream, dim, on="key")
+            .writeStream.foreachBatch(
+                lambda b, _id: seen.extend(
+                    (r.key, r.offset, r.tier) for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(seen) == [("k0", 0, "bronze"), ("k1", 1, "silver")]
+
+    # refresh the dimension and produce more; a fresh dim DataFrame on
+    # the next run (same checkpoint -> only the new segment) sees the new
+    # tiers — the restart-refresh contract in enrich_stream's docstring
+    spark.createDataFrame(
+        [("k0", "gold"), ("k1", "silver")], "key string, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+    broker.produce_rows("t", [{"key": "k0", "value": "c"}])
+    dim = spark.read.parquet(dim_path)  # re-resolve the file listing
+    seen.clear()
+    run()
+    assert seen == [("k0", 2, "gold")]
