@@ -188,6 +188,31 @@ class Broker:
             write_json_atomic(self._state(topic, "topic.json"), doc)
         return TopicConfig(partitions=doc["partitions"], config=cfg)
 
+    def create_partitions(self, topic: str, new_total: int) -> TopicConfig:
+        """CreatePartitions: grow a topic's partition count (never
+        shrink — Kafka's contract; existing records keep their
+        partitions and offsets). New partitions start with empty
+        watermarks; produces routed by key hash immediately spread over
+        the wider space, which — exactly as in Kafka — changes the
+        key→partition mapping for FUTURE records only (consumers that
+        need per-key ordering across the resize must drain first)."""
+        self.describe_topic(topic)  # KeyError before touching the lock file
+        with file_lock(self._state(topic, ".lock")):
+            doc = read_json(self._state(topic, "topic.json"), None)
+            if doc is None:
+                raise KeyError(f"no such topic {topic!r}")
+            if new_total <= doc["partitions"]:
+                raise ValueError(
+                    f"partition count can only grow: {doc['partitions']} -> {new_total}"
+                )
+            marks = read_json(self._state(topic, "watermarks.json"), {})
+            for p in range(doc["partitions"], new_total):
+                marks[str(p)] = {"low": 0, "high": 0}
+            doc["partitions"] = new_total
+            write_json_atomic(self._state(topic, "watermarks.json"), marks)
+            write_json_atomic(self._state(topic, "topic.json"), doc)
+        return TopicConfig(partitions=new_total, config=doc.get("config", {}))
+
     # --------------------------------------------------------------- producing
     def produce(
         self,

@@ -347,3 +347,28 @@ def test_alter_topic_config_incremental(broker):
 
     with _pytest.raises(KeyError):
         broker.alter_topic("nope", {"a": "b"})
+
+
+def test_create_partitions_grows_only_and_routes_new_produces(broker):
+    """CreatePartitions: count grows (never shrinks), existing records
+    keep their partition/offsets, and new produces route across the
+    wider space with fresh watermarks for the added partitions."""
+    broker.create_topic("t", partitions=1)
+    broker.produce_rows("t", _rows(4))
+    got = broker.create_partitions("t", 3)
+    assert got.partitions == 3
+    assert broker.list_offsets("t", "latest") == {0: 4, 1: 0, 2: 0}
+
+    # old records untouched; new keyed produce spreads over 3 partitions
+    assert broker.fetch("t", partition=0).count() == 4
+    broker.produce_rows("t", [{"key": f"x{i}", "value": "v"} for i in range(12)])
+    latest = broker.list_offsets("t", "latest")
+    assert sum(latest.values()) == 16 and len(latest) == 3
+    assert sum(1 for v in latest.values() if v > 0) >= 2  # actually spread
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="only grow"):
+        broker.create_partitions("t", 2)
+    with _pytest.raises(KeyError):
+        broker.create_partitions("nope", 5)
