@@ -173,3 +173,49 @@ def test_versioned_merge_time_travel_and_changes(spark, tmp_path):
         50: ("insert", "new", 1.0),
         5: ("delete", "v5", 50.0),  # delete carries the pre-image
     }
+
+
+def test_merge_randomized_against_dict_model(spark, tmp_path):
+    """Model-based check: a seeded sequence of random changesets applied
+    through MergeTable.merge must leave exactly the state a plain
+    dict-model replay predicts — upsert wins by seq, delete removes,
+    unknown-key deletes no-op — across many batches and key collisions.
+    (The proptest analog for the merge path; fixed seed keeps it
+    deterministic in CI.)"""
+    import random
+
+    from tansu_spark.lake.merge import MergeTable
+
+    rng = random.Random(7)
+    t = MergeTable(spark, str(tmp_path / "m"), key_cols=["k"], n_buckets=4)
+    t.write_full(
+        spark.createDataFrame(
+            [(f"k{i}", 0) for i in range(10)], "k string, v int"
+        )
+    )
+    model = {f"k{i}": 0 for i in range(10)}
+
+    seq = 0
+    for _batch in range(8):
+        changes = []
+        for _ in range(rng.randint(1, 12)):
+            k = f"k{rng.randint(0, 14)}"  # keys beyond the table exist
+            seq += 1
+            if rng.random() < 0.25:
+                changes.append((k, None, "D", seq))
+            else:
+                v = rng.randint(1, 999)
+                changes.append((k, v, "U", seq))
+        df = spark.createDataFrame(
+            changes, "k string, v int, _op string, _seq long"
+        )
+        t.merge(df, seq_col="_seq")
+        # replay on the model in seq order (the contract merge promises)
+        for k, v, op, _ in sorted(changes, key=lambda c: c[3]):
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = v
+
+        got = {r.k: r.v for r in t.read().collect()}
+        assert got == model, f"diverged at batch {_batch}"
