@@ -1667,3 +1667,43 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pcts.getItem(0).alias("p50_est"),
         pcts.getItem(1).alias("p90_est"),
     )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs bought together
+    across orders — the co-purchase-graph / association-rule building
+    block (and the co-occurrence shape behind item-item recommenders).
+
+    Scale: the self-join key is the order id, so fan-out per order is
+    (lines choose 2) — bounded by basket size (~4 here), never |parts|²;
+    the distinct pass first collapses repeated parts per order so the
+    expansion is minimal. Pair counts partial-agg map-side and the
+    ordered limit is a TakeOrdered, not a global sort."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -68,7 +68,10 @@ def test_metrics_histogram_invariants(durations):
     assert h["min_ms"] == min(durations)
     assert h["max_ms"] == max(durations)
     assert abs(h["total_ms"] - sum(durations)) < 1e-6 * max(1.0, sum(durations))
-    assert h["min_ms"] <= h["mean_ms"] <= h["max_ms"]
+    # mean is derived from the accumulated total, so it may sit a few ulps
+    # outside [min, max] (e.g. mean([1.9]*3) == 1.8999999999999997 < 1.9)
+    eps = 1e-9 * max(1.0, h["max_ms"])
+    assert h["min_ms"] - eps <= h["mean_ms"] <= h["max_ms"] + eps
     M.reset()
 
 
