@@ -1707,3 +1707,78 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "market_basket_lift",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp),
+    cnt AS (SELECT l_partkey, count(*) AS c FROM lp GROUP BY l_partkey),
+    co AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                  count(*) AS n_co
+           FROM lp a JOIN lp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY a.l_partkey, b.l_partkey
+           HAVING count(*) >= 2)
+    SELECT part_a, part_b, n_co,
+           round(CAST(n_co AS DOUBLE) / ca.c, 6) AS confidence_a_to_b,
+           round(CAST(n_co AS DOUBLE) * n.n_orders
+                 / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift
+    FROM co
+    JOIN cnt ca ON ca.l_partkey = co.part_a
+    JOIN cnt cb ON cb.l_partkey = co.part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over the co-purchase pairs: confidence
+    P(b|a) and lift P(a,b)/(P(a)P(b)) for pairs co-bought at least
+    twice — the scoring step that turns raw co-occurrence into
+    recommendations (lift > 1 = genuinely associated, not just popular).
+
+    All inputs are integer counts; each metric is a fixed-order double
+    expression shared with the oracle, so parity is exact. The per-part
+    count table is small (|parts|) and broadcasts to the pair table;
+    the single-row order count rides a cross join (the histogram
+    pattern)."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = lp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    cnt = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        co.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            F.round(F.col("n_co").cast("double") / F.col("ca"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("n_co").cast("double")
+                * F.col("n_orders")
+                / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )

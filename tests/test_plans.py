@@ -55,6 +55,8 @@ def test_joins_never_cartesian(spark, sf_dir):
                             "events_funnel_conversion",
                             # broadcasts the single-row corpus-stats frame
                             "text_bm25_search",
+                            # broadcasts the single-row order-count frame
+                            "market_basket_lift",
                             # broadcasts the single-row min/max frame
                             "events_value_histogram"}, name
 
