@@ -1346,3 +1346,53 @@ def graph_near_dup_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reached[1:]:
         allr = allr.union(r)
     return allr.groupBy("doc_id").agg(F.min("hops").cast("int").alias("hops"))
+
+
+@query(
+    "text_novelty_attribution",
+    oracle=_SH_CTE
+    + """,
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    first AS (SELECT s, min(doc_id) AS first_doc FROM e GROUP BY s)
+    SELECT e.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty
+    FROM e JOIN first f ON f.s = e.s
+    GROUP BY e.doc_id
+    """,
+)
+def text_novelty_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty attribution: per document, the share of
+    its distinct shingles appearing for the FIRST time in corpus order
+    (min doc_id owns the shingle) — the credit-assignment view of
+    deduplication used to measure how much genuinely new content each
+    source contributes (vs re-crawls of known text).
+
+    Scale: shingle first-owners are one partial-agg groupBy (min is
+    algebraic, absorbed map-side); the attribution join is on the same
+    shingle key so AQE skew-split covers stock phrases — the same plan
+    skeleton as the repeated-shingles boilerplate query, answering the
+    asymmetric question that symmetric document frequency can't."""
+    sh = D.with_shingles(_docs(spark, sf_dir))
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    first = e.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        e.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -697,3 +697,60 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(major), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+@query(
+    "tpch_nation_revenue_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+             CAST(SUM({_REV}) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      GROUP BY r_name, n_name)
+    SELECT region, nation, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+             AS region_share
+    FROM rev
+    """,
+)
+def tpch_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution: each supplier nation's revenue and
+    its share WITHIN its region — the window-over-aggregate pattern
+    (share-of-parent) every BI rollup needs.
+
+    The window runs over the already-aggregated (region, nation) frame —
+    dozens of rows — so the share pass is free; revenue itself is
+    decimal-exact before the single double division. Dims broadcast;
+    one fact shuffle total."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    rev = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "region_share"
+        ),
+    )
