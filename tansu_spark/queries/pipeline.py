@@ -1396,3 +1396,83 @@ def text_novelty_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "dedup_source_density",
+    oracle=_LSH_CTES
+    + """,
+    lab AS (SELECT p.doc_a, p.doc_b, da.source AS src_a, db.source AS src_b
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b),
+    intra AS (SELECT src_a AS source, count(*) AS n_intra
+              FROM lab WHERE src_a = src_b GROUP BY src_a),
+    cross_c AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_cross FROM (
+                  SELECT src_a AS source, count(*) AS n FROM lab
+                  WHERE src_a <> src_b GROUP BY src_a
+                  UNION ALL
+                  SELECT src_b AS source, count(*) AS n FROM lab
+                  WHERE src_a <> src_b GROUP BY src_b)
+                GROUP BY source)
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(coalesce(any_value(i.n_intra), 0) AS BIGINT) AS n_intra_pairs,
+           CAST(coalesce(any_value(c.n_cross), 0) AS BIGINT) AS n_cross_pairs
+    FROM documents d
+    LEFT JOIN intra i ON i.source = d.source
+    LEFT JOIN cross_c c ON c.source = d.source
+    GROUP BY d.source
+    """,
+)
+def dedup_source_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication density: how many LSH near-dup candidate
+    pairs fall WITHIN each source vs ACROSS sources — the curation
+    diagnosis that separates internally-duplicative feeds (re-crawls,
+    mirrors: high intra) from sources that merely replicate common web
+    text (high cross), deciding whether to dedup within or across.
+
+    Scale: pair labeling is two broadcast-able joins of the (small,
+    density-bounded) candidate set against the doc→source projection;
+    per-source rollups are partial-agg shuffles over source-sized
+    frames."""
+    docs = _docs(spark, sf_dir)
+    sh = D.with_shingles(docs).cache()
+    pairs = D.minhash_lsh_pairs(docs, shingled=sh)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+            "doc_a",
+        ).join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+            "doc_b",
+        )
+    )
+    intra = (
+        lab.filter(F.col("src_a") == F.col("src_b"))
+        .groupBy(F.col("src_a").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_intra"))
+    )
+    cross = (
+        lab.filter(F.col("src_a") != F.col("src_b"))
+        .select(F.col("src_a").alias("source"))
+        .union(
+            lab.filter(F.col("src_a") != F.col("src_b")).select(
+                F.col("src_b").alias("source")
+            )
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cross"))
+    )
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        per_source.join(intra, "source", "left")
+        .join(cross, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_intra", F.lit(0)).cast("long").alias("n_intra_pairs"),
+            F.coalesce("n_cross", F.lit(0)).cast("long").alias("n_cross_pairs"),
+        )
+    )
