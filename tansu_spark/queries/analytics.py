@@ -1782,3 +1782,49 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (SELECT event_type, next_type, count(*) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type),
+    tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS row_n
+            FROM c GROUP BY event_type)
+    SELECT c.event_type, c.next_type, c.n,
+           round(CAST(c.n AS DOUBLE) / tot.row_n, 6) AS p
+    FROM c JOIN tot USING (event_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the sequence-mining
+    primitive behind behavioral models and session simulators.
+
+    One window shuffle on user_id builds the (current, next) pairs with
+    a deterministic (ts, event_id) order; transition counts partial-agg
+    on a 5x5 key space and the row normalization joins a 5-row total —
+    everything after the window is constant-size regardless of corpus.
+    Counts are integers; each probability is one double division."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy(ts.asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("event_type").agg(F.sum("n").cast("long").alias("row_n"))
+    return c.join(tot, "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
+    )

@@ -1476,3 +1476,75 @@ def dedup_source_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_cross", F.lit(0)).cast("long").alias("n_cross_pairs"),
         )
     )
+
+
+def _corr_sql(x: str, y: str) -> str:
+    """Pearson r from integer power sums — numerator/denominator built
+    from EXACT integer aggregates, with the same double expression on
+    both engines (sqrt is correctly rounded; ln never appears)."""
+    return (
+        f"round((nn * s_{x}{y} - s_{x} * s_{y}) / "
+        f"(sqrt(nn * s_{x}{x} - s_{x} * s_{x}) * "
+        f"sqrt(nn * s_{y}{y} - s_{y} * s_{y})), 6)"
+    )
+
+
+@query(
+    "text_feature_correlation",
+    oracle=f"""
+    WITH f AS (SELECT CAST(len({_TOK}) AS BIGINT) AS t,
+                      CAST(len(list_distinct({_TOK})) AS BIGINT) AS u,
+                      CAST(length(text) AS BIGINT) AS c
+               FROM documents),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+                 CAST(sum(t) AS DOUBLE) AS s_t,
+                 CAST(sum(u) AS DOUBLE) AS s_u,
+                 CAST(sum(c) AS DOUBLE) AS s_c,
+                 CAST(sum(t * t) AS DOUBLE) AS s_tt,
+                 CAST(sum(u * u) AS DOUBLE) AS s_uu,
+                 CAST(sum(c * c) AS DOUBLE) AS s_cc,
+                 CAST(sum(t * u) AS DOUBLE) AS s_tu,
+                 CAST(sum(t * c) AS DOUBLE) AS s_tc,
+                 CAST(sum(u * c) AS DOUBLE) AS s_uc
+          FROM s0)
+    SELECT {_corr_sql("t", "u")} AS corr_tokens_distinct,
+           {_corr_sql("t", "c")} AS corr_tokens_chars,
+           {_corr_sql("u", "c")} AS corr_distinct_chars
+    FROM s
+    """.replace("FROM s0", "FROM f"),
+)
+def text_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of integer surface features (token
+    count / distinct-token count / char length) — the feature-redundancy
+    check a quality-model pipeline runs before training on those
+    features (near-1 pairs carry no extra signal).
+
+    All power sums are INTEGER aggregates (exact, order-independent, no
+    decimal needed); each correlation is then one shared double
+    expression, so the result is value-hash exact — unlike corr(), whose
+    float accumulation order differs between engines. One scan, one
+    single-row aggregate."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens("text")
+    f = d.select(
+        F.size(toks).cast("long").alias("t"),
+        F.size(F.array_distinct(toks)).cast("long").alias("u"),
+        F.length("text").cast("long").alias("c"),
+    )
+    s = f.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum("t").cast("double").alias("s_t"),
+        F.sum("u").cast("double").alias("s_u"),
+        F.sum("c").cast("double").alias("s_c"),
+        F.sum(F.col("t") * F.col("t")).cast("double").alias("s_tt"),
+        F.sum(F.col("u") * F.col("u")).cast("double").alias("s_uu"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("s_cc"),
+        F.sum(F.col("t") * F.col("u")).cast("double").alias("s_tu"),
+        F.sum(F.col("t") * F.col("c")).cast("double").alias("s_tc"),
+        F.sum(F.col("u") * F.col("c")).cast("double").alias("s_uc"),
+    )
+    return s.select(
+        F.expr(_corr_sql("t", "u")).alias("corr_tokens_distinct"),
+        F.expr(_corr_sql("t", "c")).alias("corr_tokens_chars"),
+        F.expr(_corr_sql("u", "c")).alias("corr_distinct_chars"),
+    )
