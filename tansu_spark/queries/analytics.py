@@ -1828,3 +1828,51 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
     )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id))
+               AS BIGINT) AS gap_us
+      FROM events)
+    SELECT event_type,
+           count(gap_us) AS n_gaps,
+           quantile_cont(gap_us, 0.50) AS p50_gap_us,
+           quantile_cont(gap_us, 0.90) AS p90_gap_us,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: per-user gaps
+    between consecutive same-type events, summarized with exact
+    interpolated percentiles — the burstiness/regularity profile behind
+    rate-limit tuning and bot detection.
+
+    Gaps are INTEGER microseconds (the loader's long-nanos contract div
+    1000 — no float time math), the lag window orders deterministically
+    by (ts, event_id), and percentile == quantile_cont bit-for-bit.
+    One window shuffle on (user, type); the percentile agg runs over
+    per-type gap sets."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        us.asc(), F.col("event_id").asc()
+    )
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).cast("long").alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    pcts = F.percentile("gap_us", F.lit([0.5, 0.9]))
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        pcts.getItem(0).alias("p50_gap_us"),
+        pcts.getItem(1).alias("p90_gap_us"),
+        F.min("gap_us").alias("min_gap_us"),
+    )
