@@ -1548,3 +1548,71 @@ def text_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_corr_sql("t", "c")).alias("corr_tokens_chars"),
         F.expr(_corr_sql("u", "c")).alias("corr_distinct_chars"),
     )
+
+
+@query(
+    "dedup_yield_report",
+    oracle=_EDGE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    walk AS (SELECT a AS node, a AS lbl FROM ed
+             UNION
+             SELECT e2.b, w.lbl FROM walk w JOIN ed e2 ON e2.a = w.node),
+    comp AS (SELECT node, min(lbl) AS component_id FROM walk GROUP BY node),
+    sizes AS (SELECT component_id, count(*) AS cluster_size
+              FROM comp GROUP BY component_id),
+    hist AS (SELECT cluster_size, count(*) AS n_clusters
+             FROM sizes GROUP BY cluster_size),
+    totals AS (SELECT count(*) AS n_docs FROM documents),
+    dup AS (SELECT CAST(coalesce(sum((cluster_size - 1) * n_clusters), 0)
+                        AS BIGINT) AS n_removable FROM hist)
+    SELECT h.cluster_size, h.n_clusters,
+           CAST(h.cluster_size * h.n_clusters AS BIGINT) AS n_docs_in_size,
+           d.n_removable,
+           round(CAST(d.n_removable AS DOUBLE) / t.n_docs, 6)
+             AS corpus_shrink
+    FROM hist h CROSS JOIN dup d CROSS JOIN totals t
+    """,
+)
+def dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield accounting: the cluster-size histogram of the
+    Jaccard-verified near-dup components plus what acting on them buys —
+    removable docs (size-1 per cluster, keeping each canonical) and the
+    corpus shrink fraction. This is the report a curation run publishes
+    BEFORE deleting anything.
+
+    Pure composition over the connected-components operator: sizes and
+    the histogram are two tiny aggregations of the component table; the
+    removable total is a single-row frame joined back (the histogram
+    broadcast pattern). Integer counts everywhere; one double division."""
+    from tansu_spark.operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    sh = D.with_shingles(docs).cache()
+    pairs = D.minhash_lsh_pairs(docs, shingled=sh)
+    edges = D.jaccard_verify(pairs, sh, threshold=0.5).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    sizes = cc.groupBy("component_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    dup = hist.agg(
+        F.coalesce(
+            F.sum((F.col("cluster_size") - 1) * F.col("n_clusters")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_removable")
+    )
+    totals = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        hist.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs_in_size"),
+            "n_removable",
+            F.round(
+                F.col("n_removable").cast("double") / F.col("n_docs"), 6
+            ).alias("corpus_shrink"),
+        )
+    )

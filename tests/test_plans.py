@@ -57,6 +57,8 @@ def test_joins_never_cartesian(spark, sf_dir):
                             "text_bm25_search",
                             # broadcasts the single-row order-count frame
                             "market_basket_lift",
+                            # broadcasts single-row removable/total frames
+                            "dedup_yield_report",
                             # broadcasts the single-row min/max frame
                             "events_value_histogram"}, name
 
