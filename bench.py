@@ -1,7 +1,13 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {headline: sec}, "groups": {prefix: sec}, "sf": ...}.
+
+Round-1 lesson: a 6 KB line with all 125 per-query timings was truncated
+by the driver's output capture, leaving BENCH_r01.json unparsable. The
+final line now carries only the headline per-query timings plus per-group
+subtotals (~600 bytes); the full per-query map goes to BENCH_DETAIL.json
+next to this script.
 """
 
 from __future__ import annotations
@@ -57,15 +63,44 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    def group_of(name: str) -> str:
+        for p in (
+            "tpch", "kafka", "events", "text", "dedup", "sim", "lake",
+            "sample", "corpus", "multimodal", "graph", "embeddings",
+            "sketch", "market", "streaming", "mv", "pipeline", "asof",
+        ):
+            if name.startswith(p + "_") or name == p:
+                return p
+        return "other"
+
+    groups: dict[str, float] = {}
+    for name, sec in timings.items():
+        g = group_of(name)
+        groups[g] = round(groups.get(g, 0.0) + sec, 3)
+
+    detail = {
+        "metric": "all_queries_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "all_queries_total_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {n: timings[n] for n in HEADLINE if n in timings},
+                "groups": dict(sorted(groups.items())),
+                "n_queries": len(timings),
                 "sf": float(sf) if sf else sf_dir,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

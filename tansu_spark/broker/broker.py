@@ -87,6 +87,15 @@ RECORD_SCHEMA = StructType(
 )
 
 
+class InvalidTxnState(ValueError):
+    """Raised on an illegal transaction state transition — the reference
+    models explicit TxnState transitions (lib.rs:1288-1341): only
+    open→committed / open→aborted are legal; re-ending a terminal txn or
+    producing into one is INVALID_TXN_STATE, never a silent flip (a
+    commit=True on a sweep-aborted txn would resurrect ranges documented
+    as excluded forever)."""
+
+
 @dataclass
 class TopicConfig:
     """Topic configuration — the `tansu.*` config surface (FIXTURES.md §10)."""
@@ -120,6 +129,41 @@ class Broker:
         self.registry = registry
         os.makedirs(os.path.join(root, "topics"), exist_ok=True)
         os.makedirs(os.path.join(root, "groups"), exist_ok=True)
+        self._migrate_legacy_txns()
+
+    def _migrate_legacy_txns(self) -> None:
+        """One-time fold of legacy per-topic ``topics/<name>/txns.json``
+        (pre-store-global layout: {txn_id: {state, ranges}}) into the
+        global registry — without this, old open txns stop holding the
+        LSO down and previously-aborted ranges silently become visible
+        to read_committed on an upgraded store. Conflicting terminal
+        states for the same txn_id across topics fail loudly."""
+        import glob as _glob
+
+        legacy = sorted(_glob.glob(os.path.join(self.root, "topics", "*", "txns.json")))
+        if not legacy:
+            return
+        with file_lock(self._txn_lock_path()):
+            txns = read_json(self._txns_path(), {})
+            for path in legacy:
+                topic = os.path.basename(os.path.dirname(path))
+                doc = read_json(path, {})
+                for txn_id, t in doc.items():
+                    g = txns.setdefault(
+                        txn_id,
+                        {"state": t.get("state", "open"), "topics": {}, "started_at": time.time()},
+                    )
+                    old, new = g["state"], t.get("state", "open")
+                    if old != new and "open" not in (old, new):
+                        raise InvalidTxnState(
+                            f"legacy txn {txn_id!r} has conflicting terminal states "
+                            f"{old!r} (global) vs {new!r} ({path}) — refusing to migrate"
+                        )
+                    if new != "open":
+                        g["state"] = new  # terminal wins over open
+                    g["topics"].setdefault(topic, {}).update(t.get("ranges", {}))
+                os.replace(path, path + ".migrated")
+            write_json_atomic(self._txns_path(), txns)
 
     # ------------------------------------------------------------------ paths
     def _topic_dir(self, topic: str) -> str:
@@ -253,6 +297,15 @@ class Broker:
         txn_id: str | None,
     ) -> dict[int, int]:
         cfg = self.describe_topic(topic)
+        if txn_id is not None:
+            # Fail fast BEFORE writing segments: producing into a txn the
+            # sweep already aborted (or one that committed) is
+            # INVALID_TXN_STATE — registering fresh ranges into a terminal
+            # txn would either orphan them (aborted) or make them flip
+            # visibility retroactively (committed).
+            state = read_json(self._txns_path(), {}).get(txn_id, {}).get("state", "open")
+            if state != "open":
+                raise InvalidTxnState(f"produce into {state} txn {txn_id!r}")
         cols = set(df.columns)
         out = df
         if "timestamp" not in cols:
@@ -277,7 +330,9 @@ class Broker:
             and cfg.config.get("tansu.schema.validation", "true") != "false"
         ):
             with M.timed("registry_validation_duration"):
-                self.registry.validate(topic, out)
+                self.registry.validate(
+                    topic, out, wire=cfg.config.get("tansu.schema.wire", "json")
+                )
 
         with file_lock(self._state(topic, ".lock")):
             # Idempotence fence.
@@ -375,6 +430,12 @@ class Broker:
                         txn_id,
                         {"state": "open", "topics": {}, "started_at": time.time()},
                     )
+                    if t["state"] != "open":
+                        # Raced against EndTxn/sweep between the upfront
+                        # check and registration.
+                        raise InvalidTxnState(
+                            f"produce into {t['state']} txn {txn_id!r}"
+                        )
                     ranges = t["topics"].setdefault(topic, {})
                     for p, n in counts.items():
                         lo, _ = ranges.get(str(p), [result[p], result[p]])
@@ -501,7 +562,8 @@ class Broker:
         injection, avro/arrow.rs:1104-1199)."""
         df = self.records(topic)
         if self.registry is not None:
-            df = self.registry.decode(topic, df)
+            wire = self.describe_topic(topic).config.get("tansu.schema.wire", "json")
+            df = self.registry.decode(topic, df, wire=wire)
         return K.with_meta(df)
 
     def _txns_path(self) -> str:
@@ -710,6 +772,16 @@ class Broker:
             txns = read_json(self._txns_path(), {})
             if txn_id not in txns:
                 raise KeyError(f"unknown txn {txn_id!r}")
+            state = txns[txn_id]["state"]
+            if state != "open":
+                # Only open→committed/aborted is legal (TxnState machine,
+                # lib.rs:1288-1341): commit on a sweep-aborted txn must not
+                # resurrect excluded ranges, and abort on a committed txn
+                # must not retroactively hide visible records.
+                raise InvalidTxnState(
+                    f"txn {txn_id!r} is already {state}; cannot "
+                    f"{'commit' if commit else 'abort'}"
+                )
             txns[txn_id]["state"] = "committed" if commit else "aborted"
             write_json_atomic(self._txns_path(), txns)
 
@@ -725,8 +797,37 @@ class Broker:
         the describe side of the coordinator)."""
         return read_json(self._txns_path(), {})
 
+    # ------------------------------------------------------------ broker config
+    def _config_path(self) -> str:
+        return os.path.join(self.root, "config.json")
+
+    def broker_config(self) -> dict[str, str]:
+        """Store-level (broker) config — e.g. ``transaction.timeout.ms``
+        (Kafka's producer/broker transaction timeout contract)."""
+        return read_json(self._config_path(), {})
+
+    def alter_broker_config(self, updates: dict[str, str | None]) -> dict[str, str]:
+        """IncrementalAlterConfigs for the BROKER resource: merge updates
+        (None deletes the key), same contract as alter_topic."""
+        with file_lock(os.path.join(self.root, ".config.lock")):
+            cfg = read_json(self._config_path(), {})
+            for k, v in updates.items():
+                if v is None:
+                    cfg.pop(k, None)
+                else:
+                    cfg[k] = v
+            write_json_atomic(self._config_path(), cfg)
+        return cfg
+
+    def txn_timeout_s(self) -> float:
+        """Effective transaction timeout: broker-config
+        ``transaction.timeout.ms`` (default 60000) — configurable so a
+        legitimate txn spanning several slow Spark produce jobs is not
+        auto-aborted mid-flight by the maintenance sweep."""
+        return int(self.broker_config().get("transaction.timeout.ms", 60_000)) / 1000.0
+
     def maintain_transactions(
-        self, now: float | None = None, timeout_s: float = 60.0
+        self, now: float | None = None, timeout_s: float | None = None
     ) -> list[str]:
         """Abort open transactions older than ``timeout_s`` — the txn
         sweep the reference's broker loop runs every 10 s
@@ -737,8 +838,10 @@ class Broker:
         transaction.timeout.ms contract: a producer that vanishes
         mid-transaction cannot hold the LSO down forever). Returns the
         aborted txn ids; their ranges become permanently invisible to
-        read_committed, exactly like an explicit abort."""
+        read_committed, exactly like an explicit abort. ``timeout_s``
+        defaults to broker-config ``transaction.timeout.ms``."""
         now = time.time() if now is None else now
+        timeout_s = self.txn_timeout_s() if timeout_s is None else timeout_s
         aborted: list[str] = []
         with file_lock(self._txn_lock_path()):
             txns = read_json(self._txns_path(), {})

@@ -527,9 +527,13 @@ def events_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`events_value_percentiles`, countDistinct) cost a sort or a
     two-level shuffle."""
     ev = load(spark, sf_dir, "events")
+    # One sketch pass computes both quantiles; emit SCALAR columns (the
+    # driver's canonicalizer cannot hash array cells).
+    pcts = F.percentile_approx("value", F.lit([0.5, 0.9]), F.lit(10000))
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9], 10000).alias("approx_p50_p90"),
+        pcts.getItem(0).alias("approx_p50"),
+        pcts.getItem(1).alias("approx_p90"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -7,12 +7,19 @@ an object store of `{topic}.avsc/.json/.proto` files, TTL-cached
 invalid record rejects the whole batch) and converting batches to typed
 columnar data for the lake (AsArrow, lib.rs:237-245).
 
-Spark-first shape: values travel as JSON bytes (the reference's own CLI
-produce path takes JSON and encodes per schema — nisshi-cat/src/produce.rs);
-decode = from_json into the schema-derived StructType; validation = a
-compiled JVM-side predicate (parse success + constraint subset). Avro/proto
-*wire* decoding would use the spark-avro / spark-protobuf runtimes — gated
-out here, the typed-column surface is identical.
+Spark-first shape: values travel as JSON bytes by default (the reference's
+own CLI produce path takes JSON and encodes per schema —
+nisshi-cat/src/produce.rs); decode = from_json into the schema-derived
+StructType; validation = a compiled JVM-side predicate (parse success +
+constraint subset).
+
+Binary WIRE formats: topics can set ``tansu.schema.wire=avro`` to carry
+real Avro binary payloads (avro.rs:365-540 parity) — decoded by the pure
+Python spec codec in ``avro_wire.py`` through an Arrow-batched mapInPandas
+kernel (no spark-avro jar needed; the container has none). The typed
+column surface is identical to the JSON path. spark-avro/spark-protobuf
+runtimes, when present, remain the preferred JVM-side path and are probed
+first.
 """
 
 from __future__ import annotations
@@ -132,26 +139,63 @@ class SchemaRegistry:
             out = out & p
         return out
 
-    def validate(self, topic: str, df: DataFrame) -> None:
+    def validate(self, topic: str, df: DataFrame, wire: str = "json") -> None:
         """Reject the batch if ANY record is invalid (lib.rs:571-599).
-        One aggregate over the batch — no row-at-a-time Python."""
+        One aggregate over the batch — no row-at-a-time Python for the
+        JSON path; the avro wire path validates by spec-decode inside an
+        Arrow-batched kernel (decode failure = invalid record, exactly
+        the reference's Decoder-error path, avro.rs:365-540)."""
         ts = self.schema_for(topic)
         if ts is None:
             return
-        n_bad = df.filter(~self._valid_predicate(ts, df)).count()
+        if wire == "avro" and ts.dialect == "avro":
+            n_bad = self._avro_invalid_count(ts, df)
+        else:
+            n_bad = df.filter(~self._valid_predicate(ts, df)).count()
         if n_bad:
             raise ValidationError(
                 f"batch rejected: {n_bad} record(s) fail the {ts.dialect} "
                 f"schema for topic {topic!r}"
             )
 
+    def _avro_invalid_count(self, ts: TopicSchema, df: DataFrame) -> int:
+        from tansu_spark.registry import avro_wire as W
+
+        parts = {w: ts._part(w) for w in ("key", "value") if ts._part(w) is not None}
+        present = [w for w in parts if w in df.columns]
+
+        def kernel(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                bad = 0
+                for w in present:
+                    sch = parts[w]
+                    for raw in pdf[w]:
+                        if raw is None:
+                            continue
+                        try:
+                            W.decode(sch, bytes(raw))
+                        except Exception:
+                            bad += 1
+                yield pd.DataFrame({"bad": [bad]})
+
+        counts = df.select(*present).mapInPandas(kernel, "bad long").collect()
+        return sum(r["bad"] for r in counts)
+
     # ----------------------------------------------------------------- decode
-    def decode(self, topic: str, df: DataFrame) -> DataFrame:
+    def decode(self, topic: str, df: DataFrame, wire: str = "json") -> DataFrame:
         """Typed view of a topic DataFrame: key/value bytes → schema'd
-        columns (the AsArrow equivalent, feeding the lake sink)."""
+        columns (the AsArrow equivalent, feeding the lake sink).
+
+        ``wire="avro"`` decodes Avro BINARY payloads via the pure-Python
+        spec codec (avro_wire.py) in one Arrow-batched mapInPandas pass —
+        the non-jar replication of avro.rs:365-540."""
         ts = self.schema_for(topic)
         if ts is None:
             return df
+        if wire == "avro" and ts.dialect == "avro":
+            return self._decode_avro_wire(ts, df)
         out = df
         for which in ("key", "value"):
             st = ts.spark_type(which)
@@ -163,3 +207,45 @@ class SchemaRegistry:
             )
             out = out.withColumn(which, decoded)
         return out
+
+    def _decode_avro_wire(self, ts: TopicSchema, df: DataFrame) -> DataFrame:
+        """One mapInPandas over the batch: every schema'd part's binary
+        column → its avro_to_spark StructType/scalar, all other columns
+        pass through untouched. The kernel is a per-cell spec decode —
+        Python, but Arrow-batched and decode-bound (the same work the
+        reference does natively per record); undecodable bytes raise,
+        matching reject-whole-batch."""
+        import pandas as pd
+        from pyspark.sql.types import StructField, StructType as _Struct
+
+        from tansu_spark.registry import avro_wire as W
+
+        parts = {
+            w: (ts._part(w), ts.spark_type(w))
+            for w in ("key", "value")
+            if ts._part(w) is not None and w in df.columns
+        }
+        if not parts:
+            return df
+        fields = [
+            StructField(f.name, parts[f.name][1], True) if f.name in parts else f
+            for f in df.schema.fields
+        ]
+        out_schema = _Struct(fields)
+        names = df.columns
+
+        def kernel(batches):
+            for pdf in batches:
+                data = {}
+                for c in names:
+                    if c in parts:
+                        sch = parts[c][0]
+                        data[c] = [
+                            None if raw is None else W.decode(sch, bytes(raw))
+                            for raw in pdf[c]
+                        ]
+                    else:
+                        data[c] = pdf[c]
+                yield pd.DataFrame(data)
+
+        return df.mapInPandas(kernel, out_schema)

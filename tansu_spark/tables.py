@@ -40,6 +40,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the UTC session timezone). Consumers convert with
         # `ts div 1000` → timestamp_micros (exact integer division).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The ntz→timestamp cast below reads the session timezone; pin it
+        # to UTC so a driver-supplied session with a non-UTC tz does not
+        # shift every event ts by the offset.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes)["ts"] != "bigint":
             df = df.withColumn(

@@ -372,3 +372,90 @@ def test_create_partitions_grows_only_and_routes_new_produces(broker):
         broker.create_partitions("t", 2)
     with _pytest.raises(KeyError):
         broker.create_partitions("nope", 5)
+
+
+def test_txn_state_machine_guards(broker):
+    """Only open→committed/aborted transitions are legal (TxnState,
+    lib.rs:1288-1341): re-ending a terminal txn raises InvalidTxnState
+    instead of silently flipping state (commit on a sweep-aborted txn
+    must not resurrect excluded ranges), and produce into a terminal
+    txn_id is rejected before any segment is written."""
+    import time as _t
+
+    from tansu_spark.broker.broker import InvalidTxnState
+
+    broker.create_topic("t", partitions=1)
+    broker.produce_rows("t", _rows(2), txn_id="tx")
+    broker.end_transaction("tx", commit=True)
+    with pytest.raises(InvalidTxnState):
+        broker.end_transaction("tx", commit=False)  # un-commit: never
+    with pytest.raises(InvalidTxnState):
+        broker.end_transaction("tx", commit=True)  # double-commit: no
+    with pytest.raises(InvalidTxnState):
+        broker.produce_rows("t", _rows(1), txn_id="tx")
+    assert broker.fetch("t").count() == 2  # rejected produce wrote nothing
+
+    # Sweep-aborted txn stays aborted: commit cannot resurrect it.
+    broker.produce_rows("t", _rows(3), txn_id="ghost")
+    assert broker.maintain_transactions(now=_t.time() + 120.0) == ["ghost"]
+    with pytest.raises(InvalidTxnState):
+        broker.end_transaction("ghost", commit=True)
+    assert broker.fetch("t", isolation="read_committed").count() == 2
+
+
+def test_txn_timeout_configurable(broker):
+    """transaction.timeout.ms is broker config, not a hardcoded 60 s: a
+    legitimate transaction spanning multiple slow produce jobs survives
+    the sweep when the operator raises the timeout."""
+    import time as _t
+
+    broker.create_topic("t", partitions=1)
+    broker.produce_rows("t", _rows(2), txn_id="slow")
+
+    broker.alter_broker_config({"transaction.timeout.ms": "600000"})
+    assert broker.txn_timeout_s() == 600.0
+    assert broker.maintain_transactions(now=_t.time() + 120.0) == []
+    assert broker.transactions()["slow"]["state"] == "open"
+
+    broker.alter_broker_config({"transaction.timeout.ms": None})  # back to default
+    assert broker.txn_timeout_s() == 60.0
+    assert broker.maintain_transactions(now=_t.time() + 120.0) == ["slow"]
+
+
+def test_legacy_per_topic_txns_migrate(spark, tmp_path):
+    """Upgrade path: legacy per-topic topics/<name>/txns.json documents
+    ({txn_id: {state, ranges}}) fold into the store-global registry on
+    broker init — an old OPEN txn keeps holding the LSO down and an old
+    ABORTED range stays invisible to read_committed."""
+    import os
+
+    from tansu_spark.broker.state import write_json_atomic
+
+    root = str(tmp_path / "store")
+    b = Broker(spark, root)
+    b.create_topic("t", partitions=1)
+    b.produce_rows("t", _rows(3))
+    b.produce_rows("t", _rows(2))  # offsets 3-4, will be legacy-aborted
+
+    # Simulate a pre-upgrade store: global registry gone, legacy file present.
+    if os.path.exists(os.path.join(root, "txns.json")):
+        os.remove(os.path.join(root, "txns.json"))
+    write_json_atomic(
+        os.path.join(root, "topics", "t", "txns.json"),
+        {
+            "old-open": {"state": "open", "ranges": {"0": [1, 2]}},
+            "old-abort": {"state": "aborted", "ranges": {"0": [3, 5]}},
+        },
+    )
+
+    b2 = Broker(spark, root)  # init runs the migration
+    txns = b2.transactions()
+    assert txns["old-open"]["state"] == "open"
+    assert txns["old-open"]["topics"] == {"t": {"0": [1, 2]}}
+    assert txns["old-abort"]["topics"] == {"t": {"0": [3, 5]}}
+    # Legacy file renamed so the fold never re-runs.
+    assert not os.path.exists(os.path.join(root, "topics", "t", "txns.json"))
+    # Semantics restored: open txn holds LSO at 1; aborted range hidden.
+    assert b2.last_stable_offsets("t") == {0: 1}
+    assert b2.fetch("t", isolation="read_committed").count() == 1
+    assert b2.fetch("t").count() == 5

@@ -31,7 +31,7 @@ def test_approx_aggregates_within_bounds(spark, sf_dir):
         # KLL with accuracy 10000: rank error <= 1e-4; value must sit
         # inside the column range and near the exact quantile.
         spread = e["hi"] - e["lo"]
-        for a, x in zip(g["approx_p50_p90"], e["pcts"]):
+        for a, x in zip((g["approx_p50"], g["approx_p90"]), e["pcts"]):
             assert e["lo"] <= a <= e["hi"], et
             assert abs(a - x) <= 0.05 * spread + 1e-9, et
 

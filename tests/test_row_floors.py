@@ -13,11 +13,19 @@ additionally checked non-null — an empty input would make them NULL."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from tansu_spark.queries import QUERIES
 
-SF_DIR = "/root/testdata/sf0.01"
+# Same override conftest.py honors (but floors are calibrated at sf0.01).
+SF_DIR = os.environ.get("SPARK_GRAFT_FLOORS_SF_DIR", "/root/testdata/sf0.01")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR),
+    reason=f"floors data dir {SF_DIR} absent — floors calibrated for sf0.01",
+)
 
 # name -> minimum rows at sf0.01 (~half of observed 2026-08)
 FLOORS = {
