@@ -474,6 +474,29 @@ class Broker:
             return name, key.encode()
         return topic, None
 
+    def virtual_topic_id(self, topic: str, key: str) -> str:
+        """Deterministic virtual-topic identity: UUIDv5 over the URL
+        namespace with the reference's tag URI
+        (pg.rs:1340-1360 / lite.rs:1372 — Uuid::new_v5(NAMESPACE_URL,
+        "tag:nisshi.io,2026-04:virtual:{topic}:{key}")), upserted into the
+        base topic's document so every broker derives the SAME id for the
+        same (topic, key) with no coordination — the property the
+        reference relies on for virtual-topic addressing."""
+        if not self.describe_topic(topic).virtual:
+            raise ValueError(f"topic {topic!r} is not virtual (tansu.virtual=true)")
+        vid = str(
+            uuid.uuid5(
+                uuid.NAMESPACE_URL, f"tag:nisshi.io,2026-04:virtual:{topic}:{key}"
+            )
+        )
+        with file_lock(self._state(topic, ".lock")):
+            doc = read_json(self._state(topic, "topic.json"), None)
+            ids = doc.setdefault("virtual_ids", {})
+            if ids.get(key) != vid:
+                ids[key] = vid
+                write_json_atomic(self._state(topic, "topic.json"), doc)
+        return vid
+
     def records(self, topic: str) -> DataFrame:
         """The raw topic DataFrame (all partitions, uncommitted included)."""
         self.describe_topic(topic)  # clean KeyError for unknown topics

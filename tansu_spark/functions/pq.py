@@ -167,6 +167,56 @@ def pq_encode(
     return packed.join(norms, id_col)
 
 
+def _lut_df(spark, books: list[Codebook], q_rows) -> DataFrame:
+    """The serving lookup tables as a broadcast TABLE
+    (query_id, sub, code, dot, qn) instead of per-query literal arrays:
+    plan size stays CONSTANT in the number of queries (the literal form
+    grew O(Q x n_sub x n_codes) expression nodes — the exact plan-growth
+    trade _books_df already made for training). dot is computed
+    driver-side on the tiny model state with the same left-to-right
+    Python fold as before, so scores stay bit-identical."""
+    d = len(books[0][0][1])
+    rows = []
+    for qr in q_rows:
+        qv = [float(x) for x in qr[1]]
+        qn = _py_norm(qv)
+        for s, book in enumerate(books):
+            qs = qv[s * d : (s + 1) * d]
+            for cid, v in book:
+                rows.append(
+                    (qr[0], s, cid, sum(a * b for a, b in zip(qs, v)), qn)
+                )
+    return spark.createDataFrame(
+        rows, "query_id bigint, sub int, code int, dot double, qn double"
+    )
+
+
+def _adc_scores(encoded: DataFrame, lut: DataFrame, id_col: str) -> DataFrame:
+    """(query_id, id, approx_cosine) via the broadcast-LUT join: explode
+    the stored codes (map-only), equi-join the LUT on (sub, code), and
+    fold the per-sub dots ORDERED BY sub — 0.0 + d0 + ... + d7, the same
+    IEEE addition sequence the literal form produced (and the one the
+    DuckDB oracle replays), so values are bit-identical."""
+    exploded = encoded.select(
+        id_col, "vnorm", F.posexplode("codes").alias("sub", "code")
+    )
+    joined = exploded.join(F.broadcast(lut), ["sub", "code"])
+    num = joined.groupBy("query_id", id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("sub", "dot"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x.getField("dot"),
+        ).alias("num"),
+        F.first("qn").alias("qn"),
+        F.first("vnorm").alias("vnorm"),
+    )
+    return num.select(
+        "query_id",
+        id_col,
+        (F.col("num") / (F.col("qn") * F.col("vnorm"))).alias("approx_cosine"),
+    )
+
+
 def pq_topk(
     encoded: DataFrame,
     queries: DataFrame,
@@ -177,43 +227,15 @@ def pq_topk(
 ) -> DataFrame:
     """Approximate cosine top-k per query over the ENCODED corpus
     (asymmetric distance: original query vector vs quantized corpus).
-    Queries collect to the driver (few rows, like the IVF probe set);
-    each contributes n_sub literal LUT arrays indexed by the stored
-    codes. Output: (query_id, vec_id, approx_cosine)."""
-    d = len(books[0][0][1])
-    q_rows = queries.select(id_col, vec_col).collect()
-    # One scan of the encoded corpus serves EVERY query: an array of
-    # (query_id, score) structs built from literal LUTs, then exploded.
-    # Code ids are seed ids (not necessarily dense) — the LUT is indexed
-    # by the code's position in the book's id order.
-    id_orders = [
-        F.array(*[F.lit(cid) for cid, _ in book]) for book in books
-    ]
-    positions = [
-        F.array_position(id_orders[s], F.col("codes")[s]).cast("int")
-        for s in range(len(books))
-    ]
-    entries = []
-    for qr in q_rows:
-        qv = [float(x) for x in qr[1]]
-        qn = _py_norm(qv)
-        score = F.lit(0.0)
-        for s, book in enumerate(books):
-            qs = qv[s * d : (s + 1) * d]
-            lut = [sum(a * b for a, b in zip(qs, v)) for _, v in book]
-            score = score + F.element_at(
-                F.array(*[F.lit(x) for x in lut]), positions[s]
-            )
-        entries.append(
-            F.struct(
-                F.lit(qr[0]).alias("query_id"),
-                (score / (F.lit(qn) * F.col("vnorm"))).alias("approx_cosine"),
-            )
-        )
-    scored = (
-        encoded.select(id_col, F.explode(F.array(*entries)).alias("q"))
-        .select(F.col("q.query_id"), id_col, F.col("q.approx_cosine"))
-        .filter(F.col(id_col) != F.col("query_id"))
+    Queries collect to the driver (few rows, like the IVF probe set) and
+    become ONE broadcast LUT table keyed by (query_id, sub, code) — the
+    corpus scan reads 8-byte codes, joins the broadcast, and partial-aggs
+    the per-sub dots map-side, so the shuffle carries ~|Q|x|N| slim rows
+    and the plan is constant-size however many queries are served.
+    Output: (query_id, vec_id, approx_cosine)."""
+    lut = _lut_df(encoded.sparkSession, books, queries.select(id_col, vec_col).collect())
+    scored = _adc_scores(encoded, lut, id_col).filter(
+        F.col(id_col) != F.col("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cosine"), F.asc(id_col)
@@ -243,11 +265,13 @@ def ivf_pq_topk(
     the corpus.
 
     Probe selection happens driver-side on the tiny model state (same
-    f64 left-fold cosine the JVM computes); candidate filtering and
-    scoring are one exploded scan of the encoded corpus."""
+    f64 left-fold cosine the JVM computes); candidates are pruned to the
+    probed clusters BEFORE any scoring by a broadcast (query, cluster)
+    probe join, then scored through the broadcast LUT table — both model
+    artifacts travel as data, so the plan is constant-size in the number
+    of queries."""
     from tansu_spark.functions.similarity import ivf_assign
 
-    d = len(books[0][0][1])
     # The (codes, norm, cluster) index is built once and served many
     # times in production; materialize it so scoring scans the 8-byte
     # codes, not the assignment lineage.
@@ -266,40 +290,44 @@ def ivf_pq_topk(
             num += x * y
         return num / (_py_norm(a) * _py_norm(b))
 
-    positions = [
-        F.array_position(
-            F.array(*[F.lit(cid) for cid, _ in book]), F.col("codes")[s]
-        ).cast("int")
-        for s, book in enumerate(books)
+    q_rows = queries.select(id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    probe_rows = [
+        (qr[0], cid)
+        for qr in q_rows
+        for cid, _ in sorted(
+            cents, key=lambda c: (-_py_cos([float(x) for x in qr[1]], c[1]), c[0])
+        )[:n_probe]
     ]
-    entries = []
-    for qr in queries.select(id_col, vec_col).collect():
-        qv = [float(x) for x in qr[1]]
-        qn = _py_norm(qv)
-        probed = [
-            cid
-            for cid, _ in sorted(
-                cents, key=lambda c: (-_py_cos(qv, c[1]), c[0])
-            )[:n_probe]
-        ]
-        score = F.lit(0.0)
-        for s, book in enumerate(books):
-            qs = qv[s * d : (s + 1) * d]
-            lut = [sum(a * b for a, b in zip(qs, v)) for _, v in book]
-            score = score + F.element_at(
-                F.array(*[F.lit(x) for x in lut]), positions[s]
-            )
-        entries.append(
-            F.struct(
-                F.lit(qr[0]).alias("query_id"),
-                (score / (F.lit(qn) * F.col("vnorm"))).alias("approx_cosine"),
-                F.col("cluster").isin(probed).alias("keep"),
-            )
-        )
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, cluster int")
+
+    # Prune first: only rows in a probed cluster are ever exploded or
+    # scored — at a billion vectors the scan that remains reads
+    # ~n_probe/n_clusters of the codes.
+    cand = enc.join(F.broadcast(probes), "cluster").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    lut = _lut_df(spark, books, q_rows)
+    exploded = cand.select(
+        "query_id", id_col, "vnorm", F.posexplode("codes").alias("sub", "code")
+    )
+    joined = exploded.join(F.broadcast(lut), ["query_id", "sub", "code"])
     scored = (
-        enc.select(id_col, F.explode(F.array(*entries)).alias("q"))
-        .filter(F.col("q.keep") & (F.col(id_col) != F.col("q.query_id")))
-        .select(F.col("q.query_id"), id_col, F.col("q.approx_cosine"))
+        joined.groupBy("query_id", id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sub", "dot"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x.getField("dot"),
+            ).alias("num"),
+            F.first("qn").alias("qn"),
+            F.first("vnorm").alias("vnorm"),
+        )
+        .select(
+            "query_id",
+            id_col,
+            (F.col("num") / (F.col("qn") * F.col("vnorm"))).alias("approx_cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cosine"), F.asc(id_col)

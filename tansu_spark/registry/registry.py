@@ -226,6 +226,35 @@ class SchemaRegistry:
             out = out.withColumn(which, decoded)
         return out
 
+    def decode_inferred(
+        self, df: DataFrame, which: str = "value", sample: int = 1000
+    ) -> DataFrame:
+        """Typed decode for a SCHEMA-LESS JSON topic: infer the single
+        common Spark type from instance values (json/arrow.rs:87-148 —
+        integral Number → Int64 else Float64, strict NoCommonType
+        unification, no widening) and parse the column with it.
+
+        Inference reads a bounded driver-side sample (control-plane-sized
+        collect); the typed parse itself is a JVM-side from_json over the
+        full data — at 100 TB the sample is one tiny job, the decode is
+        map-only. A value outside the inferred type surfaces as a null
+        struct on that row (PERMISSIVE parse), not a silent widen —
+        callers wanting reject-batch semantics count those nulls."""
+        from pyspark.sql.types import StructType as _Struct
+
+        from tansu_spark.registry.infer import infer_json_strings
+
+        raw = [
+            r[0] if r[0] is None else bytes(r[0]).decode("utf-8")
+            for r in df.select(which).limit(sample).collect()
+        ]
+        inferred = infer_json_strings(raw)
+        col = F.col(which).cast("string")
+        decoded = (
+            F.from_json(col, inferred) if isinstance(inferred, _Struct) else col.cast(inferred)
+        )
+        return df.withColumn(which, decoded)
+
     def _decode_binary_wire(self, ts: TopicSchema, df: DataFrame) -> DataFrame:
         """One mapInPandas over the batch: every schema'd part's binary
         column → its typed StructType/scalar (avro_wire / proto_wire spec

@@ -459,3 +459,80 @@ def test_legacy_per_topic_txns_migrate(spark, tmp_path):
     assert b2.last_stable_offsets("t") == {0: 1}
     assert b2.fetch("t", isolation="read_committed").count() == 1
     assert b2.fetch("t").count() == 5
+
+
+def test_roundrobin_assignor_contract():
+    """RoundRobinAssignor: all (topic, partition) pairs dealt over the
+    member ring; non-subscribers are skipped without consuming a slot."""
+    from tansu_spark.broker.assignor import roundrobin_assign
+
+    got = roundrobin_assign({"a": ["t"], "b": ["t"]}, {"t": 5})
+    assert got == {"a": {"t": [0, 2, 4]}, "b": {"t": [1, 3]}}
+
+    # two topics: the deal interleaves across topics too
+    got = roundrobin_assign({"a": ["x", "y"], "b": ["x", "y"]}, {"x": 2, "y": 2})
+    assert got == {"a": {"x": [0], "y": [0]}, "b": {"x": [1], "y": [1]}}
+
+    # b not subscribed to x: a takes all of x, ring still fair on y
+    got = roundrobin_assign({"a": ["x", "y"], "b": ["y"]}, {"x": 2, "y": 2})
+    assert got["a"]["x"] == [0, 1]
+    assert sorted(got["a"].get("y", []) + got["b"].get("y", [])) == [0, 1]
+    assert got["b"]["y"]  # b gets y work
+
+    # more members than partitions
+    got = roundrobin_assign({"a": ["t"], "b": ["t"], "c": ["t"]}, {"t": 2})
+    assert got == {"a": {"t": [0]}, "b": {"t": [1]}, "c": {}}
+
+
+def test_cooperative_sticky_assignor_contract():
+    """CooperativeStickyAssignor: stickiness, balance on join/leave,
+    fair-share revocation."""
+    from tansu_spark.broker.assignor import cooperative_sticky_assign
+
+    # fresh group: balanced
+    got = cooperative_sticky_assign({"a": ["t"], "b": ["t"]}, {"t": 4})
+    assert sorted(got["a"]["t"] + got["b"]["t"]) == [0, 1, 2, 3]
+    assert abs(len(got["a"]["t"]) - len(got["b"]["t"])) == 0
+
+    # member joins: a keeps its fair share (ceil(4/2)=2), b gets the rest
+    got = cooperative_sticky_assign(
+        {"a": ["t"], "b": ["t"]}, {"t": 4}, {"a": {"t": [0, 1, 2, 3]}}
+    )
+    assert got == {"a": {"t": [0, 1]}, "b": {"t": [2, 3]}}
+
+    # stickiness: owners keep their partitions when balanced already
+    cur = {"a": {"t": [1, 3]}, "b": {"t": [0, 2]}}
+    got = cooperative_sticky_assign({"a": ["t"], "b": ["t"]}, {"t": 4}, cur)
+    assert got == {"a": {"t": [1, 3]}, "b": {"t": [0, 2]}}
+
+    # member leaves: orphans flow to the survivor, its keeps untouched
+    got = cooperative_sticky_assign({"a": ["t"]}, {"t": 4}, {"a": {"t": [1, 3]}})
+    assert got == {"a": {"t": [0, 1, 2, 3]}}
+
+    # unsubscribed member owns nothing of that topic
+    got = cooperative_sticky_assign(
+        {"a": ["t"], "b": []}, {"t": 2}, {"b": {"t": [0]}}
+    )
+    assert got == {"a": {"t": [0, 1]}, "b": {}}
+
+
+def test_virtual_topic_uuid5_identity(broker):
+    """Virtual-topic ids are UUIDv5 over the reference's tag URI
+    (pg.rs:1340-1360): deterministic across brokers, stable across calls,
+    distinct per key, and persisted in the topic document."""
+    import uuid as _uuid
+
+    broker.create_topic("person", partitions=2, config={"tansu.virtual": "true"})
+    a = broker.virtual_topic_id("person", "alice")
+    b = broker.virtual_topic_id("person", "bob")
+    assert a == broker.virtual_topic_id("person", "alice")  # stable
+    assert a != b
+    expect = str(
+        _uuid.uuid5(_uuid.NAMESPACE_URL, "tag:nisshi.io,2026-04:virtual:person:alice")
+    )
+    assert a == expect
+    assert _uuid.UUID(a).version == 5
+
+    broker.create_topic("plain", partitions=1)
+    with pytest.raises(ValueError, match="not virtual"):
+        broker.virtual_topic_id("plain", "k")

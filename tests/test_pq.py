@@ -75,3 +75,29 @@ def test_pq_scores_bounded(spark, emb, books):
     rows = P.pq_topk(enc, queries, books, k=3).collect()
     for r in rows:
         assert -1.5 <= r["approx_cosine"] <= 1.5
+
+
+def test_serving_plan_constant_in_query_count(spark, emb, books):
+    """The LUT travels as a broadcast TABLE, not per-query literal
+    expressions: the optimized plan for 64 queries must be essentially
+    the same size as for 2 queries (the literal form grew
+    O(Q x n_sub x n_codes) expression nodes). Also pins value parity:
+    the 2-query scores appear identically in the 64-query run."""
+    enc = P.pq_encode(emb, books).localCheckpoint(eager=True)
+    q2 = emb.filter(F.col("vec_id") < 2)
+    q64 = emb.filter(F.col("vec_id") < 64)
+
+    plan2 = P.pq_topk(enc, q2, books, k=3)._jdf.queryExecution().optimizedPlan().toString()
+    plan64 = P.pq_topk(enc, q64, books, k=3)._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan64) < 2 * len(plan2), (len(plan2), len(plan64))
+
+    small = {
+        (r["query_id"], r["vec_id"]): r["approx_cosine"]
+        for r in P.pq_topk(enc, q2, books, k=3).collect()
+    }
+    big = {
+        (r["query_id"], r["vec_id"]): r["approx_cosine"]
+        for r in P.pq_topk(enc, q64, books, k=3).collect()
+        if r["query_id"] < 2
+    }
+    assert small == big  # bit-identical, not approximately equal
