@@ -55,8 +55,17 @@ def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 5) -> Dat
     applied map-side via the fold expression. The argmax literal is
     baked into the next round's plan, so every round's lineage stays
     constant-size (no growing iterative plan)."""
-    spark = docs.sparkSession
-    syms = word_frequencies(docs, text_col).select(
+    wf = word_frequencies(docs, text_col).localCheckpoint(eager=True)
+    return _train_from_wf(docs.sparkSession, wf, n_merges)
+
+
+def _train_from_wf(spark, wf: DataFrame, n_merges: int) -> DataFrame:
+    """Training rounds over a MATERIALIZED word-frequency table: the raw
+    corpus is scanned exactly once (building ``wf``); without the
+    upfront checkpoint the first argmax AND the first fold-materialize
+    each re-ran the corpus explode+groupBy (two full scans — measured
+    as most of an 8 s training pass at sf0.1)."""
+    syms = wf.select(
         "n",
         F.expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))").alias(
             "s"
@@ -85,12 +94,14 @@ def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 5) -> Dat
         a, b = best[0]["pair"].split(" ", 1)
         m = a + b
         merges.append((r, a, b, m, int(best[0]["cnt"])))
-        # localCheckpoint: truncate the per-round lineage so round k's plan
-        # does not re-fold rounds 0..k-1 (k-fold expression nesting would
-        # blow up analysis time; the table is small by construction).
-        syms = syms.select(
-            "n", F.expr(_FOLD.format(a=a, b=b, m=m)).alias("s")
-        ).localCheckpoint(eager=True)
+        syms = syms.select("n", F.expr(_FOLD.format(a=a, b=b, m=m)).alias("s"))
+        # Truncate lineage every few rounds, not every round: a handful of
+        # nested folds analyze fine, and skipping the per-round eager
+        # materialization job halves the round count's job overhead. Deep
+        # unchecked nesting is still avoided (k-fold expression nesting
+        # blows up analysis time at high merge counts).
+        if (r + 1) % 4 == 0:
+            syms = syms.localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "round int, lhs string, rhs string, merged string, pair_count long"
     )
@@ -132,20 +143,23 @@ def bpe_encode(
     (word, n_sub) dictionary + one partial-agg shuffle on doc_id.
     Measured ~6x over folding every instance at sf0.1; the gap widens
     with corpus/vocabulary ratio."""
+    words = None
     if merges is None:
+        # One corpus scan serves BOTH training and the encode dictionary:
+        # the materialized word-frequency table is the vocabulary.
+        wf = word_frequencies(docs, text_col).localCheckpoint(eager=True)
         merges = [
             (r["lhs"], r["rhs"], r["merged"])
-            for r in bpe_train(docs, text_col, n_merges).collect()
+            for r in _train_from_wf(docs.sparkSession, wf, n_merges).collect()
         ]
+        words = wf.select("wd")
+    if words is None:
+        words = docs.select(F.explode(bpe_tokens(text_col)).alias("wd")).distinct()
     # (wd, n_sub) dictionary: chars -> K folds, each a chained projection
     # over the DISTINCT word table (column refs, so no expression blowup).
-    wtab = (
-        docs.select(F.explode(bpe_tokens(text_col)).alias("wd"))
-        .distinct()
-        .withColumn(
-            "sy",
-            F.expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))"),
-        )
+    wtab = words.withColumn(
+        "sy",
+        F.expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))"),
     )
     for a, b, m in merges:
         fold = _FOLD_STR.format(a=a, b=b, m=m)
