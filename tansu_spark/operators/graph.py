@@ -153,7 +153,14 @@ def connected_components_star(
     - `localCheckpoint(eager=True)` per round keeps the plan constant-size
       (identical reasoning to `connected_components`).
     """
-    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the input ONCE before anything else touches it: both
+    # the node-set extraction and the round-0 edge canonicalization read
+    # it, and the upstream lineage is typically the expensive part (LSH
+    # candidate generation) — without this checkpoint it ran twice (the
+    # same rescan pitfall SCALING.md documents for bpe_train).
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     # Nodes can vanish from the shrinking edge set (self-loop-only or
     # absorbed singletons); remember the full node set for the final label.
     nodes = (
