@@ -87,6 +87,21 @@ RECORD_SCHEMA = StructType(
 )
 
 
+# Kafka `compression.type` → parquet codec for the segment files this
+# produce writes. "producer" (the Kafka default: keep the producer's
+# choice) maps to the session default, zstd — matching the reference's
+# pass-through of the batch's own attribute.
+_PARQUET_CODECS = {
+    "none": "uncompressed",
+    "uncompressed": "uncompressed",
+    "gzip": "gzip",
+    "snappy": "snappy",
+    "lz4": "lz4",
+    "zstd": "zstd",
+    "producer": "zstd",
+}
+
+
 class InvalidTxnState(ValueError):
     """Raised on an illegal transaction state transition — the reference
     models explicit TxnState transitions (lib.rs:1288-1341): only
@@ -396,9 +411,17 @@ class Broker:
             )
 
             # Land files first, bump watermarks second (visibility order).
-            observed.write.mode("append").partitionBy("partition").parquet(
-                self._data_dir(topic)
-            )
+            # Per-BATCH codec choice (deflated.rs:341-380: each record
+            # batch carries its own Gzip/Snappy/Lz4/Zstd attribute):
+            # Kafka's `compression.type` topic config maps to the parquet
+            # codec of the segments THIS produce writes — topics can mix
+            # codecs across batches, readers are oblivious (parquet
+            # footers carry the codec per column chunk, the exact
+            # mechanism the reference's record-batch attribute plays).
+            codec = _PARQUET_CODECS[cfg.config.get("compression.type", "producer")]
+            observed.write.mode("append").option(
+                "compression", codec
+            ).partitionBy("partition").parquet(self._data_dir(topic))
             got = obs.get
             counts = {
                 p: int(got[f"p{p}"])

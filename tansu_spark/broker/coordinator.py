@@ -1,0 +1,453 @@
+"""Consumer-group coordinator: the Join/Sync/Heartbeat/Leave rebalance
+protocol with generation fencing — the classic Kafka group dance.
+
+Reference parity: nisshi-broker/src/coordinator/group/administrator.rs
+(the Forming/Formed typestate machine, ~4.6k LoC there). Semantics
+replicated:
+
+- JoinGroup (administrator.rs:1957-2173 Forming, 2502-2840 Formed):
+  * no protocols → INVALID_REQUEST
+  * protocol-name mismatch with the group's chosen protocol →
+    INCONSISTENT_GROUP_PROTOCOL (first joiner fixes type+name)
+  * empty member id (dynamic) → MEMBER_ID_REQUIRED with a fresh
+    "{client_id}-{uuid4}" id; the member is pre-registered and must
+    re-join with that id (Kafka's two-step join)
+  * static membership (group.instance.id) maps back to its existing
+    member id; metadata updates by static members do NOT bump the
+    generation ("soft update"), dynamic updates do
+  * a join that changes membership while Formed transitions the group
+    back to Forming with generation_id + 1; a no-op re-join of a known
+    member with identical metadata leaves the generation alone
+  * the first member becomes leader; only the leader's join response
+    carries the full member list (it needs it to run the assignor)
+- SyncGroup (administrator.rs:2175-2341 Forming, 2842-2920 Formed):
+  * UNKNOWN_MEMBER_ID for strangers; generation ahead of the group →
+    ILLEGAL_GENERATION; behind → REBALANCE_IN_PROGRESS
+  * while Forming, only the LEADER carrying assignments for EXACTLY the
+    current member set completes the rebalance (anything else →
+    REBALANCE_IN_PROGRESS; followers park and retry); completion flips
+    the group to Formed and hands each caller its assignment
+- Heartbeat (administrator.rs:2343-2407, 2922-2977 + Wrapper
+  missed_heartbeat 445-477): strangers → UNKNOWN_MEMBER_ID; generation
+  ahead → ILLEGAL_GENERATION; session-timeout eviction runs on every
+  contact — an eviction while Formed re-forms the group at
+  generation_id + 1 and the caller sees REBALANCE_IN_PROGRESS (as does
+  any caller on a stale generation)
+- LeaveGroup (administrator.rs:2409-2470, 2979-3046): per-member NONE /
+  UNKNOWN_MEMBER_ID responses; any successful removal bumps the
+  generation, and a Formed group re-forms (leader cleared if it left)
+- OffsetCommit fencing (administrator.rs:1804-1843
+  ``offset_commit_fence``): a generation-less, member-less commit (simple
+  consumer) is only accepted while the group has NO members; a commit
+  naming a member must name a current one; the generation can never be
+  newer than the group's, and once Formed it must match EXACTLY — a
+  fenced member cannot move offsets owned by its successor. Offsets land
+  in the broker's durable group cursor store.
+
+The group document persists to ``<root>/groups_meta/<group>.json`` after
+every mutation (the reference's Storage::update_group); timeouts are
+caller-supplied ``now`` friendly so eviction is testable without
+sleeping. All of this is control-plane state — no Spark jobs anywhere.
+"""
+
+from __future__ import annotations
+
+import base64
+import time
+import uuid as uuidlib
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any
+
+from tansu_spark.broker.state import file_lock, read_json, write_json_atomic
+
+
+class ErrorCode(str, Enum):
+    NONE = "NONE"
+    INVALID_REQUEST = "INVALID_REQUEST"
+    INCONSISTENT_GROUP_PROTOCOL = "INCONSISTENT_GROUP_PROTOCOL"
+    MEMBER_ID_REQUIRED = "MEMBER_ID_REQUIRED"
+    UNKNOWN_MEMBER_ID = "UNKNOWN_MEMBER_ID"
+    ILLEGAL_GENERATION = "ILLEGAL_GENERATION"
+    REBALANCE_IN_PROGRESS = "REBALANCE_IN_PROGRESS"
+
+
+@dataclass
+class Member:
+    member_id: str
+    group_instance_id: str | None
+    metadata: bytes
+    last_contact: float
+
+
+@dataclass
+class Group:
+    session_timeout_ms: int = 45_000
+    rebalance_timeout_ms: int | None = None
+    generation_id: int = 0
+    members: dict[str, Member] = field(default_factory=dict)
+    protocol_type: str | None = None
+    protocol_name: str | None = None
+    leader: str | None = None
+    formed: bool = False  # Forming=False / Formed=True typestate flag
+    assignments: dict[str, bytes] = field(default_factory=dict)  # Formed only
+
+    def to_form(self) -> None:
+        """Formed → Forming at generation_id + 1 (rebalance trigger)."""
+        self.formed = False
+        self.generation_id += 1
+        self.assignments = {}
+
+
+class GroupCoordinator:
+    """Control-plane group coordinator over a broker's store root."""
+
+    def __init__(self, broker):
+        import os
+
+        self.broker = broker
+        self.root = os.path.join(broker.root, "groups_meta")
+        os.makedirs(self.root, exist_ok=True)
+        self._groups: dict[str, Group] = {}
+        self._load()
+
+    # -------------------------------------------------------------- persist
+    def _path(self, group_id: str) -> str:
+        import os
+
+        return os.path.join(self.root, f"{group_id}.json")
+
+    def _lock(self):
+        import os
+
+        return file_lock(os.path.join(self.root, ".lock"))
+
+    def _save(self, group_id: str, g: Group) -> None:
+        doc = {
+            "session_timeout_ms": g.session_timeout_ms,
+            "rebalance_timeout_ms": g.rebalance_timeout_ms,
+            "generation_id": g.generation_id,
+            "protocol_type": g.protocol_type,
+            "protocol_name": g.protocol_name,
+            "leader": g.leader,
+            "formed": g.formed,
+            "members": {
+                m.member_id: {
+                    "group_instance_id": m.group_instance_id,
+                    "metadata": base64.b64encode(m.metadata).decode(),
+                    "last_contact": m.last_contact,
+                }
+                for m in g.members.values()
+            },
+            "assignments": {
+                k: base64.b64encode(v).decode() for k, v in g.assignments.items()
+            },
+        }
+        write_json_atomic(self._path(group_id), doc)
+
+    def _load(self) -> None:
+        import glob
+        import os
+
+        for path in glob.glob(os.path.join(self.root, "*.json")):
+            gid = os.path.splitext(os.path.basename(path))[0]
+            doc = read_json(path, None)
+            if not doc:
+                continue
+            g = Group(
+                session_timeout_ms=doc["session_timeout_ms"],
+                rebalance_timeout_ms=doc.get("rebalance_timeout_ms"),
+                generation_id=doc["generation_id"],
+                protocol_type=doc.get("protocol_type"),
+                protocol_name=doc.get("protocol_name"),
+                leader=doc.get("leader"),
+                formed=doc.get("formed", False),
+            )
+            for mid, m in doc.get("members", {}).items():
+                g.members[mid] = Member(
+                    mid,
+                    m.get("group_instance_id"),
+                    base64.b64decode(m["metadata"]),
+                    m.get("last_contact", 0.0),
+                )
+            g.assignments = {
+                k: base64.b64decode(v) for k, v in doc.get("assignments", {}).items()
+            }
+            self._groups[gid] = g
+
+    # -------------------------------------------------------------- helpers
+    def _group(self, group_id: str) -> Group:
+        return self._groups.setdefault(group_id, Group())
+
+    def _evict_expired(self, g: Group, now: float) -> bool:
+        """Session-timeout eviction (Inner::missed_heartbeat). Returns
+        True when membership shrank; the caller handles the typestate
+        consequence (Wrapper::missed_heartbeat: Formed → Forming+1)."""
+        timeout = g.session_timeout_ms / 1000.0
+        expired = [
+            mid for mid, m in g.members.items() if now - m.last_contact > timeout
+        ]
+        for mid in expired:
+            del g.members[mid]
+            if g.leader == mid:
+                g.leader = None
+        return bool(expired)
+
+    def _evict_and_reform(self, g: Group, now: float) -> bool:
+        if self._evict_expired(g, now):
+            if g.formed:
+                g.to_form()
+            return True
+        return False
+
+    def describe(self, group_id: str) -> dict[str, Any]:
+        g = self._group(group_id)
+        return {
+            "state": "Formed" if g.formed else "Forming",
+            "generation_id": g.generation_id,
+            "protocol_type": g.protocol_type,
+            "protocol_name": g.protocol_name,
+            "leader": g.leader,
+            "members": sorted(g.members),
+        }
+
+    # ----------------------------------------------------------------- join
+    def join(
+        self,
+        group_id: str,
+        member_id: str = "",
+        protocol_type: str = "consumer",
+        protocols: list[tuple[str, bytes]] | None = None,
+        session_timeout_ms: int = 45_000,
+        rebalance_timeout_ms: int | None = None,
+        group_instance_id: str | None = None,
+        client_id: str | None = None,
+        now: float | None = None,
+    ) -> dict[str, Any]:
+        now = time.time() if now is None else now
+        with self._lock():
+            g = self._group(group_id)
+            if group_instance_id is None:
+                # dynamic joins run the eviction sweep first
+                if mid := member_id:
+                    if mid in g.members:
+                        g.members[mid].last_contact = now
+                self._evict_and_reform(g, now)
+
+            if protocols is None:
+                return self._join_resp(g, ErrorCode.INVALID_REQUEST, "")
+
+            if g.protocol_name is not None:
+                chosen = next(
+                    (p for p in protocols if p[0] == g.protocol_name), None
+                )
+                if chosen is None:
+                    return self._join_resp(
+                        g, ErrorCode.INCONSISTENT_GROUP_PROTOCOL, ""
+                    )
+            else:
+                g.protocol_type = protocol_type
+                g.protocol_name = protocols[0][0]
+                g.session_timeout_ms = session_timeout_ms
+                g.rebalance_timeout_ms = rebalance_timeout_ms
+                chosen = protocols[0]
+
+            if not member_id and group_instance_id is None:
+                # Two-step join: assign an id, pre-register, demand re-join.
+                new_id = f"{client_id}-{uuidlib.uuid4()}" if client_id else str(uuidlib.uuid4())
+                g.members[new_id] = Member(new_id, None, chosen[1], now)
+                if g.formed:
+                    g.to_form()
+                self._save(group_id, g)
+                return self._join_resp(
+                    g, ErrorCode.MEMBER_ID_REQUIRED, new_id, generation=-1
+                )
+
+            if group_instance_id is not None and not member_id:
+                existing = next(
+                    (
+                        m.member_id
+                        for m in g.members.values()
+                        if m.group_instance_id == group_instance_id
+                    ),
+                    None,
+                )
+                member_id = existing or f"{group_instance_id}-{uuidlib.uuid4()}"
+
+            known = member_id in g.members
+            same_meta = known and g.members[member_id].metadata == chosen[1]
+            if known:
+                g.members[member_id].metadata = chosen[1]
+                g.members[member_id].last_contact = now
+            else:
+                g.members[member_id] = Member(
+                    member_id, group_instance_id, chosen[1], now
+                )
+            if g.leader is None:
+                g.leader = member_id
+
+            if g.formed and not (known and same_meta):
+                # membership/metadata changed: re-form; static ("soft")
+                # metadata updates keep the generation
+                if known and group_instance_id is not None:
+                    g.formed = False
+                    g.assignments = {}
+                else:
+                    g.to_form()
+            self._save(group_id, g)
+            return self._join_resp(g, ErrorCode.NONE, member_id)
+
+    def _join_resp(
+        self, g: Group, error: ErrorCode, member_id: str, generation: int | None = None
+    ) -> dict[str, Any]:
+        is_leader = bool(member_id) and g.leader == member_id
+        return {
+            "error": error,
+            "generation_id": g.generation_id if generation is None else generation,
+            "protocol_type": g.protocol_type,
+            "protocol_name": g.protocol_name,
+            "leader": g.leader or "",
+            "member_id": member_id,
+            "members": (
+                [
+                    {
+                        "member_id": m.member_id,
+                        "group_instance_id": m.group_instance_id,
+                        "metadata": m.metadata,
+                    }
+                    for m in g.members.values()
+                ]
+                if is_leader and error is ErrorCode.NONE
+                else []
+            ),
+        }
+
+    # ----------------------------------------------------------------- sync
+    def sync(
+        self,
+        group_id: str,
+        generation_id: int,
+        member_id: str,
+        assignments: dict[str, bytes] | None = None,
+        now: float | None = None,
+    ) -> dict[str, Any]:
+        now = time.time() if now is None else now
+        with self._lock():
+            g = self._group(group_id)
+            if member_id not in g.members:
+                return {"error": ErrorCode.UNKNOWN_MEMBER_ID, "assignment": b""}
+            g.members[member_id].last_contact = now
+            if generation_id > g.generation_id:
+                return {"error": ErrorCode.ILLEGAL_GENERATION, "assignment": b""}
+            if generation_id < g.generation_id:
+                return {"error": ErrorCode.REBALANCE_IN_PROGRESS, "assignment": b""}
+
+            if g.formed:
+                return {
+                    "error": ErrorCode.NONE,
+                    "assignment": g.assignments.get(member_id, b""),
+                }
+
+            # Forming: only the leader with assignments covering exactly
+            # the current member set completes the rebalance.
+            if (
+                g.leader != member_id
+                or assignments is None
+                or set(assignments) != set(g.members)
+            ):
+                return {"error": ErrorCode.REBALANCE_IN_PROGRESS, "assignment": b""}
+            g.formed = True
+            g.leader = member_id
+            g.assignments = dict(assignments)
+            self._save(group_id, g)
+            return {
+                "error": ErrorCode.NONE,
+                "assignment": g.assignments.get(member_id, b""),
+            }
+
+    # ------------------------------------------------------------ heartbeat
+    def heartbeat(
+        self,
+        group_id: str,
+        generation_id: int,
+        member_id: str,
+        now: float | None = None,
+    ) -> ErrorCode:
+        now = time.time() if now is None else now
+        with self._lock():
+            g = self._group(group_id)
+            if member_id not in g.members:
+                return ErrorCode.UNKNOWN_MEMBER_ID
+            if generation_id > g.generation_id:
+                return ErrorCode.ILLEGAL_GENERATION
+            g.members[member_id].last_contact = now
+            reformed = self._evict_and_reform(g, now)
+            if reformed:
+                self._save(group_id, g)
+            if reformed or generation_id < g.generation_id:
+                return ErrorCode.REBALANCE_IN_PROGRESS
+            return ErrorCode.NONE
+
+    # ---------------------------------------------------------------- leave
+    def leave(
+        self,
+        group_id: str,
+        member_id: str | None = None,
+        members: list[str] | None = None,
+    ) -> list[tuple[str, ErrorCode]]:
+        ids = [member_id] if member_id is not None else list(members or [])
+        with self._lock():
+            g = self._group(group_id)
+            out: list[tuple[str, ErrorCode]] = []
+            removed = False
+            for mid in ids:
+                if mid in g.members:
+                    del g.members[mid]
+                    removed = True
+                    out.append((mid, ErrorCode.NONE))
+                else:
+                    out.append((mid, ErrorCode.UNKNOWN_MEMBER_ID))
+            if removed:
+                if g.formed:
+                    if g.leader not in g.members:
+                        g.leader = None
+                    g.to_form()
+                else:
+                    if g.leader not in g.members:
+                        g.leader = None
+                    g.generation_id += 1
+                self._save(group_id, g)
+            return out
+
+    # -------------------------------------------------------------- offsets
+    def offset_commit(
+        self,
+        group_id: str,
+        offsets: dict[tuple[str, int], int],
+        generation_id: int = -1,
+        member_id: str = "",
+        now: float | None = None,
+    ) -> ErrorCode:
+        """Generation-fenced offset commit (offset_commit_fence,
+        administrator.rs:1804-1843), landing in the broker's durable
+        cursor store on success."""
+        now = time.time() if now is None else now
+        with self._lock():
+            g = self._group(group_id)
+            if generation_id < 0 and not member_id:
+                if g.members:
+                    return ErrorCode.UNKNOWN_MEMBER_ID
+            else:
+                m = g.members.get(member_id)
+                if m is None:
+                    return ErrorCode.UNKNOWN_MEMBER_ID
+                m.last_contact = now
+                if generation_id > g.generation_id or (
+                    g.formed and generation_id != g.generation_id
+                ):
+                    return ErrorCode.ILLEGAL_GENERATION
+        self.broker.commit_offsets(group_id, offsets)
+        return ErrorCode.NONE
+
+    def offset_fetch(self, group_id: str, topic: str) -> dict[int, int]:
+        return self.broker.fetch_offsets(group_id, topic)

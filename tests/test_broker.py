@@ -536,3 +536,33 @@ def test_virtual_topic_uuid5_identity(broker):
     broker.create_topic("plain", partitions=1)
     with pytest.raises(ValueError, match="not virtual"):
         broker.virtual_topic_id("plain", "k")
+
+
+def test_per_batch_compression_codec(broker):
+    """compression.type is per-BATCH (deflated.rs:341-380): segments
+    written under different configs carry different parquet codecs in
+    the same topic, and every reader — fetch and DuckDB alike — is
+    oblivious to the mix."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    broker.create_topic("mix", partitions=1, config={"compression.type": "snappy"})
+    broker.produce_rows("mix", _rows(4))
+    broker.alter_topic("mix", {"compression.type": "gzip"})
+    broker.produce_rows("mix", _rows(4, prefix="g"))
+    broker.alter_topic("mix", {"compression.type": "none"})
+    broker.produce_rows("mix", _rows(4, prefix="n"))
+
+    data = os.path.join(broker.root, "topics", "mix", "data")
+    codecs = set()
+    for f in glob.glob(os.path.join(data, "partition=*", "*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        codecs.add(meta.row_group(0).column(0).compression)
+    assert codecs == {"SNAPPY", "GZIP", "UNCOMPRESSED"}, codecs
+    assert broker.fetch("mix").count() == 12  # readers see one log
+
+    with pytest.raises(KeyError):
+        broker.create_topic("bad", config={"compression.type": "brotli9000"})
+        broker.produce_rows("bad", _rows(1))
