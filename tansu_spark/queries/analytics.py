@@ -1880,3 +1880,42 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pcts.getItem(1).alias("p90_gap_us"),
         F.min("gap_us").alias("min_gap_us"),
     )
+
+
+@query(
+    "events_props_inferred_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(avg(CAST(props->>'k' AS BIGINT)) AS DOUBLE) AS k_avg,
+           CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_inferred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-LESS semi-structured ingestion: the props JSON column's type
+    is INFERRED from instance values (registry/infer.py — json/arrow.rs:
+    87-148 parity: integral Number → Int64, strict NoCommonType, no
+    widening) rather than declared, then the typed parse is a plain
+    JVM-side from_json with the inferred StructType. The sample is one
+    bounded driver-side read; the decode is map-only over the full data —
+    the scale split the reference's AsArrow path makes per batch."""
+    from tansu_spark.registry.infer import infer_json_strings
+
+    ev = load(spark, sf_dir, "events")
+    sample = [r[0] for r in ev.select("props").limit(500).collect()]
+    inferred = infer_json_strings(sample)
+    k = F.from_json("props", inferred).getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.avg("k").cast("double").alias("k_avg"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

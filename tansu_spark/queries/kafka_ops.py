@@ -273,3 +273,84 @@ def kafka_avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("at").alias("min_ts"),
         F.max("at").alias("max_ts"),
     )
+
+
+PROTO_EVENT_SCHEMA = """
+syntax = "proto3";
+message Value {
+  int64 user_id = 1;
+  string event_type = 2;
+  int64 at_us = 3;
+  sint64 delta = 4;
+  map<string, int64> tags = 5;
+}
+"""
+
+
+@query(
+    "kafka_proto_roundtrip_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum,
+           CAST(sum(-(user_id % 7)) AS BIGINT) AS delta_sum,
+           CAST(sum(user_id % 10) AS BIGINT) AS tag_sum,
+           min(epoch_us(ts)) AS min_us,
+           max(epoch_us(ts)) AS max_us
+    FROM events GROUP BY event_type
+    """,
+)
+def kafka_proto_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf BINARY wire round-trip (X4's proto half): every event row
+    is encoded to a proto3 wire payload (varints, zigzag sint64, map
+    entries) and decoded back inside one mapInPandas pass, then
+    aggregated; the oracle aggregates the raw table. A hash match proves
+    the wire format is value-exact including negative zigzags and map
+    fan-out. Map-only until the final groupBy — same scale shape as the
+    avro twin."""
+    import pandas as pd
+
+    from tansu_spark.registry.proto_wire import ProtoCodec
+    from tansu_spark.registry.types import parse_proto_meta
+
+    msgs, enums = parse_proto_meta(PROTO_EVENT_SCHEMA)
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("at_us")
+    )
+
+    def roundtrip(batches):
+        codec = ProtoCodec(msgs, enums)
+        for pdf in batches:
+            rows = []
+            for uid, et, us in zip(pdf["user_id"], pdf["event_type"], pdf["at_us"]):
+                payload = codec.encode(
+                    "Value",
+                    {
+                        "user_id": int(uid),
+                        "event_type": str(et),
+                        "at_us": int(us),
+                        "delta": -(int(uid) % 7),
+                        "tags": {"u": int(uid) % 10},
+                    },
+                )
+                d = codec.decode("Value", payload)
+                rows.append(
+                    (d["user_id"], d["event_type"], d["at_us"], d["delta"], d["tags"]["u"])
+                )
+            yield pd.DataFrame(
+                rows, columns=["user_id", "event_type", "at_us", "delta", "tag_u"]
+            )
+
+    typed = ev.mapInPandas(
+        roundtrip,
+        "user_id long, event_type string, at_us long, delta long, tag_u long",
+    )
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("user_sum"),
+        F.sum("delta").alias("delta_sum"),
+        F.sum("tag_u").alias("tag_sum"),
+        F.min("at_us").alias("min_us"),
+        F.max("at_us").alias("max_us"),
+    )

@@ -1616,3 +1616,115 @@ def dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corpus_shrink"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction — the scrub stage every training-data pipeline
+# runs before anything ships. The synthetic corpus carries no PII, so the
+# query INJECTS deterministic synthetic identifiers (email, phone, id-code)
+# derived from doc_id — identically in Spark and the DuckDB oracle — then
+# detects and redacts them with the same regex set. Everything is map-only
+# string work in whole-stage codegen; one final groupBy.
+# ---------------------------------------------------------------------------
+
+# Conservative patterns valid in BOTH Java regex and DuckDB's RE2:
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+_PII_IDCODE = "\\b[A-Z]{2}[0-9]{6}\\b"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' ref AB' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
+                          ELSE '' END AS t
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+             len(regexp_extract_all(t, '{_PII_IDCODE}')) AS n_idcode,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IDCODE}', '<ID>', 'g') AS clean
+      FROM aug
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS emails,
+           CAST(sum(n_phone) AS BIGINT) AS phones,
+           CAST(sum(n_idcode) AS BIGINT) AS idcodes,
+           CAST(sum(CASE WHEN n_email + n_phone + n_idcode > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(sum(len(clean)) AS BIGINT) AS clean_chars,
+           CAST(sum(CASE WHEN clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS redacted_docs
+    FROM hits GROUP BY source
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: detect emails / phone numbers / id-codes and redact
+    them to typed placeholders, reporting per-source counts and the
+    post-redaction character volume. At 100 TB this is the shape you
+    want: pure regexp_extract_all/regexp_replace columns (JVM codegen,
+    no Python), map-only until one partial-agg groupBy on source."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" ref AB"),
+                    F.lpad((F.col("doc_id") % 1000000).cast("string"), 6, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_PII_IDCODE),
+        F.lit("<ID>"),
+    )
+    hits = aug.select(
+        "source",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0))).alias("n_phone"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IDCODE), F.lit(0))).alias("n_idcode"),
+        clean.alias("clean"),
+    )
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails"),
+        F.sum("n_phone").cast("long").alias("phones"),
+        F.sum("n_idcode").cast("long").alias("idcodes"),
+        F.sum(
+            ((F.col("n_email") + F.col("n_phone") + F.col("n_idcode")) > 0).cast("int")
+        )
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.sum(F.length("clean")).cast("long").alias("clean_chars"),
+        F.sum(F.col("clean").contains("<EMAIL>").cast("int"))
+        .cast("long")
+        .alias("redacted_docs"),
+    )
