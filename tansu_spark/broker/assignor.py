@@ -126,3 +126,26 @@ def cooperative_sticky_assign(
                 out[m][topic] = sorted(kept[m])
                 loads[m] += len(kept[m])
     return out
+
+
+def uniform_assign(
+    subscriptions: dict[str, list[str]],
+    partitions: dict[str, int],
+    current: dict[str, dict[str, list[int]]] | None = None,
+) -> dict[str, dict[str, list[int]]]:
+    """The reference's `uniform` protocol (a tansu-specific alias,
+    plan.md "Uniform (Sticky)"): round-robin-balanced on first
+    assignment, sticky across rebalances — exactly the
+    cooperative-sticky algorithm without the two-phase revocation
+    framing."""
+    return cooperative_sticky_assign(subscriptions, partitions, current)
+
+
+#: Protocol-name registry, mirroring GroupConsumer::ASSIGNORS
+#: (consumer.rs Assignor enum: range/roundrobin/uniform/cooperative-sticky).
+ASSIGNORS = {
+    "range": range_assign,
+    "roundrobin": roundrobin_assign,
+    "uniform": uniform_assign,
+    "cooperative-sticky": cooperative_sticky_assign,
+}

@@ -200,6 +200,19 @@ class GroupCoordinator:
             return True
         return False
 
+    def list_groups(self) -> list[dict[str, Any]]:
+        """ListGroups: every known group with its state and protocol —
+        the admin-side introspection surface."""
+        return [
+            {
+                "group_id": gid,
+                "state": "Formed" if g.formed else "Forming",
+                "protocol_type": g.protocol_type,
+                "n_members": len(g.members),
+            }
+            for gid, g in sorted(self._groups.items())
+        ]
+
     def describe(self, group_id: str) -> dict[str, Any]:
         g = self._group(group_id)
         return {

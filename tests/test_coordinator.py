@@ -217,3 +217,18 @@ def test_coordinator_state_survives_restart(spark, tmp_path):
     assert d["leader"] == r["member_id"]
     got = c2.sync("g", gen, r["member_id"], now=1.0)
     assert got["error"] is ErrorCode.NONE and got["assignment"] == b"x"
+
+
+def test_list_groups_and_assignor_registry(coord):
+    from tansu_spark.broker.assignor import ASSIGNORS
+
+    _form(coord, "g1")
+    coord.join("g2", protocols=PROTOS, client_id="x", now=0.0)
+    got = coord.list_groups()
+    assert [g["group_id"] for g in got] == ["g1", "g2"]
+    assert got[0]["state"] == "Formed" and got[1]["state"] == "Forming"
+    assert got[0]["protocol_type"] == "consumer"
+
+    # the uniform protocol is the sticky algorithm under its tansu name
+    assert set(ASSIGNORS) == {"range", "roundrobin", "uniform", "cooperative-sticky"}
+    assert ASSIGNORS["uniform"]({"a": ["t"]}, {"t": 2}) == {"a": {"t": [0, 1]}}
