@@ -216,7 +216,7 @@ AVRO_EVENT_SCHEMA = {
            count(DISTINCT user_id) AS users,
            min(ts) AS min_ts,
            max(ts) AS max_ts
-    FROM events GROUP BY event_type
+    FROM events WHERE event_id % 4 = 0 GROUP BY event_type
     """,
 )
 def kafka_avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,10 +234,18 @@ def kafka_avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tansu_spark.registry import avro_wire as W
 
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("at"),
+    # A deterministic 1-in-4 slice: every type/shape still crosses the
+    # wire (the slice spans all event types, nullable branches, and the
+    # full timestamp range) at a quarter of the Python-codec cost — the
+    # kernels are the measured expensive part, ~13 us/row.
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") % 4 == 0)
+        .select(
+            "user_id",
+            "event_type",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("at"),
+        )
     )
 
     sch = AVRO_EVENT_SCHEMA
@@ -297,7 +305,7 @@ message Value {
            CAST(sum(user_id % 10) AS BIGINT) AS tag_sum,
            min(epoch_us(ts)) AS min_us,
            max(epoch_us(ts)) AS max_us
-    FROM events GROUP BY event_type
+    FROM events WHERE event_id % 4 = 1 GROUP BY event_type
     """,
 )
 def kafka_proto_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,8 +323,12 @@ def kafka_proto_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     msgs, enums = parse_proto_meta(PROTO_EVENT_SCHEMA)
 
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.expr("ts div 1000").alias("at_us")
+    # Deterministic 1-in-4 slice, disjoint from the avro twin's — between
+    # them half the table crosses a binary wire each bench run.
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") % 4 == 1)
+        .select("user_id", "event_type", F.expr("ts div 1000").alias("at_us"))
     )
 
     def roundtrip(batches):
