@@ -1728,3 +1728,96 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("redacted_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing & shard assignment (functions/packing.py) — the corpus →
+# training-run last mile: how many context-length sequences the corpus
+# yields, the doc-fragmentation rate, and reproducible shard routing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT source AS grp, doc_id AS oid,
+             len(regexp_extract_all(text, '[^ ]+')) AS n_tok
+      FROM documents
+      WHERE len(regexp_extract_all(text, '[^ ]+')) > 0
+    ),
+    spans AS (
+      SELECT grp, oid, n_tok,
+             sum(n_tok) OVER (PARTITION BY grp ORDER BY oid
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS s,
+             sum(n_tok) OVER (PARTITION BY grp ORDER BY oid
+                              ROWS UNBOUNDED PRECEDING) AS e
+      FROM toks
+    ),
+    exploded AS (
+      SELECT grp, oid, s, e, CAST(u.seq_id AS BIGINT) AS seq_id
+      FROM spans, unnest(range(CAST(s // 512 AS BIGINT), CAST((e - 1) // 512 + 1 AS BIGINT))) AS u(seq_id)
+    )
+    SELECT grp AS source, seq_id,
+           count(*) AS n_docs,
+           CAST(sum(least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512)) AS BIGINT)
+             AS fill_tokens,
+           CAST(sum(CASE WHEN s < seq_id * 512 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_continuations,
+           min(oid) AS first_doc,
+           max(oid) AS last_doc
+    FROM exploded GROUP BY grp, seq_id
+    """,
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack each source's documents (doc_id order) into 512-token
+    training sequences, cutting at exact budget boundaries (docs
+    straddle cuts): per sequence — docs touched, token fill, boundary
+    continuations, first/last doc. The oracle replays the identical
+    window-cumsum + range-explode. Scale: per-source windows parallelize
+    across the cluster (no global sort); the explode is map-only with
+    ~1 output row per doc; one partial-agg shuffle."""
+    from tansu_spark.functions.packing import sequence_pack
+
+    return sequence_pack(_docs(spark, sf_dir), budget=512)
+
+
+@query(
+    "sample_shard_assignment",
+    oracle="""
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(concat('0x', substr(md5(concat('7', ':', CAST(doc_id AS VARCHAR))), 1, 8))
+                  AS BIGINT) % 8 AS INTEGER) AS shard
+      FROM documents
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM sharded GROUP BY shard
+    """,
+)
+def sample_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-way shard routing by md5(seed:doc_id) — the
+    reproducible alternative to partitioner-dependent splits: the same
+    doc lands in the same shard on any engine, partitioning, or rerun
+    (the id_sum per shard is the cross-engine witness). Map-only filter
+    + one groupBy; at 100 TB this is how you materialize stable
+    train/validation shards."""
+    from tansu_spark.functions.packing import shard_assign
+
+    docs = _docs(spark, sf_dir)
+    return (
+        shard_assign(docs.select("doc_id", "n_chars"), "doc_id", 8, seed=7)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
