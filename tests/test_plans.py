@@ -74,3 +74,39 @@ def test_asof_join_is_single_shuffle_window(spark, sf_dir):
 def test_semi_and_anti_join_operators(spark, sf_dir):
     assert "LeftSemi" in _plan(spark, sf_dir, "tpch_q4_order_priority")
     assert "LeftAnti" in _plan(spark, sf_dir, "anti_join_unsold_parts")
+
+
+def test_pii_redaction_stays_in_codegen(spark, sf_dir):
+    """The scrub is pure JVM string work: no Python stages, exactly one
+    Exchange (the final groupBy on source)."""
+    plan = _plan(spark, sf_dir, "text_pii_redaction")
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") <= 2, plan  # groupBy (+ AQE final)
+
+
+def test_sequence_packing_two_exchanges_no_sort_global(spark, sf_dir):
+    """Per-source window + final groupBy: exchanges hash on source /
+    (source, seq_id) — never a global (singlePartition) sort."""
+    plan = _plan(spark, sf_dir, "pipeline_sequence_packing")
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wire_roundtrips_single_python_stage(spark, sf_dir):
+    """The binary wire codecs are ONE Arrow-batched MapInPandas stage over
+    a pruned scan — no row-at-a-time UDFs, no extra shuffles."""
+    for name in ("kafka_avro_roundtrip_stats", "kafka_proto_roundtrip_stats"):
+        plan = _plan(spark, sf_dir, name)
+        # formatted output lists each node twice (tree + detail)
+        assert plan.count("MapInPandas") == 2, name
+        assert "BatchEvalPython" not in plan, name  # no per-row Python
+        assert plan.count("Exchange") <= 4, name  # <= 2 real exchanges
+
+
+def test_pq_serving_broadcast_lut(spark, sf_dir):
+    """PQ top-k joins the LUT via BroadcastHashJoin (never shuffles the
+    encoded corpus on the join key) and partial-aggregates before its
+    exchange."""
+    plan = _plan(spark, sf_dir, "sim_pq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -75,6 +75,35 @@ SNAPSHOTS: dict[str, str] = {
         "training ever shuffle (and those move |pairs| rows, not the "
         "corpus)."
     ),
+    "text_pii_redaction": (
+        "PII scrub stays entirely in whole-stage codegen: "
+        "regexp_extract_all counts and the chained regexp_replace are one "
+        "Project over the scan — zero Exchange until the final partial-agg "
+        "groupBy on source, which moves one row per source per task. No "
+        "Python anywhere."
+    ),
+    "sim_pq_topk": (
+        "PQ serving via the broadcast LUT table: the encoded-corpus scan "
+        "reads 8-byte code arrays, `posexplode` is map-only, the LUT join "
+        "is a `BroadcastHashJoin` on (sub, code) — plan size CONSTANT in "
+        "the number of queries — and the per-(query, vector) fold is a "
+        "partial HashAggregate before its exchange. The old per-query "
+        "literal form grew O(Q x n_sub x n_codes) expression nodes."
+    ),
+    "pipeline_sequence_packing": (
+        "Packing = per-SOURCE window cumsum (one hash Exchange on source "
+        "— sources parallelize; never a global sort), a map-only "
+        "`sequence()` explode emitting ~1 row per doc, and one partial-agg "
+        "shuffle on (source, seq_id). Two exchanges total, each moving "
+        "slim accounting rows, not text."
+    ),
+    "kafka_avro_roundtrip_stats": (
+        "The binary-wire path's one concession to Python is visible and "
+        "bounded: a single Arrow-batched `MapInPandas` stage (encode + "
+        "decode back-to-back) sandwiched between the pruned parquet scan "
+        "(ReadSchema: 3 columns) and the partial-agg groupBy. No "
+        "row-at-a-time UDFs, no extra shuffles."
+    ),
 }
 
 
