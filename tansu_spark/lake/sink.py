@@ -47,6 +47,27 @@ def flatten_structs(df: DataFrame, separator: str = ".") -> DataFrame:
     return df.select(*cols)
 
 
+def _split_specs(raw: str) -> list[str]:
+    """Split a comma-separated partition spec list, keeping commas inside
+    transform parens intact: "bucket(8, key), day(ts), region" →
+    ["bucket(8, key)", "day(ts)", "region"]."""
+    out: list[str] = []
+    depth = 0
+    cur = ""
+    for ch in raw:
+        if ch == "," and depth == 0:
+            if cur.strip():
+                out.append(cur.strip())
+            cur = ""
+            continue
+        depth += ch == "("
+        depth -= ch == ")"
+        cur += ch
+    if cur.strip():
+        out.append(cur.strip())
+    return out
+
+
 class LakeSink:
     def __init__(self, broker, lake_root: str, database: str = "tansu"):
         self.broker = broker
@@ -72,11 +93,7 @@ class LakeSink:
         }
         return {
             "sink": cfg.get("tansu.lake.sink", "true") != "false",
-            "partition": [
-                c.strip()
-                for c in cfg.get("tansu.lake.partition", "").split(",")
-                if c.strip()
-            ],
+            "partition": _split_specs(cfg.get("tansu.lake.partition", "")),
             "generate": generated,
             "normalize": cfg.get("tansu.lake.normalize", "false") == "true",
             "separator": cfg.get("tansu.lake.normalize.separator", "."),
@@ -88,6 +105,60 @@ class LakeSink:
         }
 
     # ------------------------------------------------------------- transforms
+    @staticmethod
+    def partition_transform(spec: str, df: DataFrame):
+        """Iceberg-style hidden-partitioning transforms (Iceberg spec
+        "partition transforms"; the reference's Iceberg sink gets these
+        from the table metadata — here they live in the topic config):
+
+        - ``bucket(n, col)``  → deterministic n-way hash bucket. Iceberg
+          mandates murmur3; we use the repo's md5 discipline instead
+          (`sampling.hash_bucket`) so the SAME bucket function runs in any
+          engine — a DuckDB reader can reconstruct the routing exactly
+          (murmur3 exists in neither DuckDB nor the oracle gate).
+          Documented divergence: deterministic + engine-portable beats
+          byte-level Iceberg parity this container cannot verify.
+        - ``truncate(w, col)`` → Iceberg truncate: numbers floor to a
+          width-w band (`v - ((v % w + w) % w)`, exact for negatives),
+          strings take the first w characters.
+        - ``year(col)/month(col)/day(col)/hour(col)`` → calendar parts.
+
+        Returns (column, default_alias) or None when ``spec`` is not a
+        transform (plain column / SQL expr)."""
+        import re as _re
+
+        m = _re.fullmatch(r"\s*bucket\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)\s*", spec)
+        if m:
+            n, col = int(m.group(1)), m.group(2)
+            from tansu_spark.functions.sampling import hash_bucket
+
+            nib8 = F.substring(hash_bucket(col, seed=0), 1, 8)
+            return (
+                (F.conv(nib8, 16, 10).cast("long") % n).cast("int"),
+                f"{col.replace('.', '_')}_bucket",
+            )
+        m = _re.fullmatch(r"\s*truncate\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)\s*", spec)
+        if m:
+            w, col = int(m.group(1)), m.group(2)
+            dtype = dict(df.dtypes).get(col, "")
+            if dtype in ("string",):
+                c = F.substring(F.col(col), 1, w)
+            else:
+                v = F.col(col)
+                c = v - ((v % w + w) % w)
+            return c, f"{col.replace('.', '_')}_trunc"
+        m = _re.fullmatch(r"\s*(year|month|day|hour)\s*\(\s*([\w.]+)\s*\)\s*", spec)
+        if m:
+            fn, col = m.group(1), m.group(2)
+            c = {
+                "year": F.year,
+                "month": F.month,
+                "day": F.dayofmonth,
+                "hour": F.hour,
+            }[fn](F.col(col))
+            return c, f"{col.replace('.', '_')}_{fn}"
+        return None
+
     def _apply(self, df: DataFrame, cfg: dict[str, Any]) -> tuple[DataFrame, list[str]]:
         # 1. generated columns (before normalize, so exprs can see structs —
         #    matching write_with_datafusion which runs on the raw batch).
@@ -101,7 +172,12 @@ class LakeSink:
         part_cols: list[str] = []
         for spec in cfg["partition"]:
             flat = spec.replace(".", cfg["separator"]) if cfg["normalize"] else None
-            if spec in df.columns:
+            transform = self.partition_transform(spec, df)
+            if transform is not None:
+                col, alias = transform
+                df = df.withColumn(alias, col)
+                part_cols.append(alias)
+            elif spec in df.columns:
                 part_cols.append(spec)
             elif flat and flat in df.columns:
                 part_cols.append(flat)  # nested ref already flattened

@@ -340,3 +340,56 @@ def lake_merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.changes_between(v0, v1).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "lake_partition_transforms",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, ts,
+             CAST(CAST(concat('0x', substr(md5(concat('0', ':', CAST(user_id AS VARCHAR))), 1, 8))
+                  AS BIGINT) % 8 AS INTEGER) AS user_bucket,
+             event_id - ((event_id % 100 + 100) % 100) AS event_id_trunc,
+             substr(event_type, 1, 3) AS type_trunc,
+             CAST(EXTRACT(day FROM ts) AS INTEGER) AS ts_day
+      FROM events
+    )
+    SELECT user_bucket, ts_day,
+           count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           count(DISTINCT event_id_trunc) AS trunc_bands,
+           count(DISTINCT type_trunc) AS type_prefixes
+    FROM t GROUP BY user_bucket, ts_day
+    """,
+)
+def lake_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style hidden-partitioning transforms
+    (LakeSink.partition_transform): bucket(8, user_id) via the
+    cross-engine md5 hash (same discipline as sampling — murmur3 exists
+    in neither DuckDB nor the gate; documented divergence), numeric and
+    string truncate(w, col), and the day() temporal transform — computed
+    by the SAME code the sink uses to route files, aggregated per
+    (bucket, day) partition tuple. The id_sum per tuple is the witness
+    that every row routes identically in both engines."""
+    from tansu_spark.lake.sink import LakeSink
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    b, _ = LakeSink.partition_transform("bucket(8, user_id)", ev)
+    tr, _ = LakeSink.partition_transform("truncate(100, event_id)", ev)
+    tp, _ = LakeSink.partition_transform("truncate(3, event_type)", ev)
+    dy, _ = LakeSink.partition_transform("day(ts)", ev)
+    t = ev.select(
+        "event_id",
+        b.alias("user_bucket"),
+        tr.alias("event_id_trunc"),
+        tp.alias("type_trunc"),
+        dy.alias("ts_day"),
+    )
+    return t.groupBy("user_bucket", "ts_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.countDistinct("event_id_trunc").alias("trunc_bands"),
+        F.countDistinct("type_trunc").alias("type_prefixes"),
+    )
