@@ -249,3 +249,53 @@ def test_avro_wire_validation_bypass(avro_store):
     broker.alter_topic("reading", {"tansu.schema.validation": "false"})
     broker.produce_rows("reading", [{"key": b"\x02a", "value": b"\x8f"}])
     assert broker.fetch("reading").count() == 1
+
+
+def test_avro_wire_decode_composes_with_streaming(avro_store, tmp_path):
+    """The Arrow-batched wire decode runs unchanged on a STREAMING topic
+    DataFrame: readStream over the segments → registry.decode(wire=avro)
+    → windowed-style aggregation → foreachBatch sink, availableNow. The
+    typed values match the batch path exactly."""
+    from pyspark.sql import functions as F
+
+    from tansu_spark.streaming.source import topic_stream
+
+    broker = avro_store
+    broker.produce_rows("reading", _encode_rows(broker, 8))
+
+    stream = topic_stream(broker, "reading")
+    typed = broker.registry.decode("reading", stream, wire="avro")
+    agg_src = typed.select(
+        F.col("value.sensor").alias("sensor"),
+        F.col("value.amount").alias("amount"),
+    )
+
+    got: dict[str, object] = {}
+
+    def sink(batch, _bid):
+        for r in (
+            batch.groupBy("sensor")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt"))
+            .collect()
+        ):
+            got[r["sensor"]] = (r["n"], r["amt"])
+
+    q = (
+        agg_src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_typed = broker.typed_records("reading")
+    expect = {
+        r["sensor"]: (r["n"], r["amt"])
+        for r in batch_typed.select(
+            F.col("value.sensor").alias("sensor"), F.col("value.amount").alias("amount")
+        )
+        .groupBy("sensor")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt"))
+        .collect()
+    }
+    assert got == expect and len(got) == 3
