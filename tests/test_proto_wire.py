@@ -196,3 +196,61 @@ def test_broker_proto_wire_roundtrip(spark, tmp_path):
         broker.produce_rows(
             "cust", [{"key": rows[0]["key"], "value": b"\xff\xff\xff\xff"}]
         )
+
+
+def test_broker_proto_enum_and_int_key(spark, tmp_path):
+    """search.proto-shaped surface (etc/schema/search.proto: enum-typed
+    field; people.proto: message Key with int32): enum values travel as
+    varints and decode to Int32 columns (proto/arrow.rs:152 enum→Int32),
+    int32 keys decode typed."""
+    from tansu_spark.broker import Broker
+    from tansu_spark.registry import SchemaRegistry
+
+    schema_dir = tmp_path / "schemas"
+    schema_dir.mkdir()
+    (schema_dir / "lookup.proto").write_text(
+        """
+        syntax = "proto3";
+        enum Channel {
+          CHANNEL_UNSPECIFIED = 0;
+          CHANNEL_WEB = 1;
+          CHANNEL_NEWS = 2;
+          CHANNEL_VIDEO = 3;
+        }
+        message Key { int32 id = 1; }
+        message Value {
+          string query = 1;
+          int32 page_number = 2;
+          Channel channel = 3;
+        }
+        """
+    )
+    reg = SchemaRegistry(str(schema_dir))
+    broker = Broker(spark, str(tmp_path / "store"), registry=reg)
+    broker.create_topic("lookup", partitions=1, config={"tansu.schema.wire": "proto"})
+
+    msgs, enums = parse_proto_meta((schema_dir / "lookup.proto").read_text())
+    assert enums == {"Channel"}
+    c = ProtoCodec(msgs, enums)
+    broker.produce_rows(
+        "lookup",
+        [
+            {
+                "key": c.encode("Key", {"id": i}),
+                "value": c.encode(
+                    "Value", {"query": f"q{i}", "page_number": i, "channel": i % 4}
+                ),
+            }
+            for i in range(5)
+        ],
+    )
+    typed = broker.typed_records("lookup")
+    assert typed.schema["key"].dataType.simpleString() == "struct<id:int>"
+    assert (
+        typed.schema["value"].dataType.simpleString()
+        == "struct<query:string,page_number:int,channel:int>"
+    )
+    rows = sorted(typed.collect(), key=lambda r: r["offset"])
+    assert [r["key"]["id"] for r in rows] == [0, 1, 2, 3, 4]
+    assert [r["value"]["channel"] for r in rows] == [0, 1, 2, 3, 0]
+    assert rows[0]["value"]["page_number"] == 0  # proto3 zero default
