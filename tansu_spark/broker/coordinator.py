@@ -432,6 +432,81 @@ class GroupCoordinator:
                 self._save(group_id, g)
             return out
 
+    # ------------------------------------------------------- client-side dance
+    def run_rebalance(
+        self,
+        group_id: str,
+        subscriptions: dict[str, list[str]],
+        protocol: str = "range",
+        now: float | None = None,
+    ) -> dict[str, dict[str, list[int]]]:
+        """Drive the COMPLETE group dance for a set of consumers — the
+        client-side loop every Kafka consumer embeds, composed from this
+        coordinator's primitives: two-step joins for every member, leader
+        election, the leader running the negotiated assignor
+        (``assignor.ASSIGNORS[protocol]``) over the subscribed topics'
+        partition counts, leader sync completing the rebalance, and
+        follower syncs collecting their assignments. Returns
+        client-name → topic → partitions.
+
+        Assignment metadata travels as the serialized subscription list
+        (the MemberMetadata role); partition counts come from the broker
+        catalog."""
+        import json as _json
+
+        from tansu_spark.broker.assignor import ASSIGNORS
+
+        now = time.time() if now is None else now
+        assign_fn = ASSIGNORS[protocol]
+        member_of: dict[str, str] = {}
+        for client, topics in sorted(subscriptions.items()):
+            meta = _json.dumps(sorted(topics)).encode()
+            first = self.join(
+                group_id,
+                protocols=[(protocol, meta)],
+                client_id=client,
+                now=now,
+            )
+            if first["error"] is ErrorCode.MEMBER_ID_REQUIRED:
+                first = self.join(
+                    group_id,
+                    member_id=first["member_id"],
+                    protocols=[(protocol, meta)],
+                    now=now,
+                )
+            assert first["error"] is ErrorCode.NONE, first["error"]
+            member_of[client] = first["member_id"]
+
+        # the leader re-joins last so its roster is complete
+        leader_client = next(
+            c for c, m in member_of.items() if self._group(group_id).leader == m
+        )
+        roster = self.join(
+            group_id,
+            member_id=member_of[leader_client],
+            protocols=[(protocol, _json.dumps(sorted(subscriptions[leader_client])).encode())],
+            now=now,
+        )
+        gen = roster["generation_id"]
+        member_subs = {
+            m["member_id"]: _json.loads(m["metadata"]) for m in roster["members"]
+        }
+        topics = sorted({t for ts in member_subs.values() for t in ts})
+        partitions = {t: self.broker.describe_topic(t).partitions for t in topics}
+        assignment = assign_fn(member_subs, partitions)
+        encoded = {m: _json.dumps(a, sort_keys=True).encode() for m, a in assignment.items()}
+
+        lead_sync = self.sync(
+            group_id, gen, member_of[leader_client], encoded, now=now
+        )
+        assert lead_sync["error"] is ErrorCode.NONE, lead_sync["error"]
+        out: dict[str, dict[str, list[int]]] = {}
+        for client, mid in member_of.items():
+            got = self.sync(group_id, gen, mid, now=now)
+            assert got["error"] is ErrorCode.NONE, got["error"]
+            out[client] = _json.loads(got["assignment"] or b"{}")
+        return out
+
     # -------------------------------------------------------------- offsets
     def offset_commit(
         self,

@@ -232,3 +232,33 @@ def test_list_groups_and_assignor_registry(coord):
     # the uniform protocol is the sticky algorithm under its tansu name
     assert set(ASSIGNORS) == {"range", "roundrobin", "uniform", "cooperative-sticky"}
     assert ASSIGNORS["uniform"]({"a": ["t"]}, {"t": 2}) == {"a": {"t": [0, 1]}}
+
+
+def test_run_rebalance_full_dance(spark, tmp_path):
+    """End-to-end: three consumers with mixed subscriptions rebalance
+    through the real Join/Sync protocol; the leader runs the negotiated
+    assignor; the union of assignments covers every partition exactly
+    once per topic."""
+    broker = Broker(spark, str(tmp_path / "store"))
+    broker.create_topic("x", partitions=5)
+    broker.create_topic("y", partitions=2)
+    coord = GroupCoordinator(broker)
+
+    subs = {"c1": ["x", "y"], "c2": ["x", "y"], "c3": ["x"]}
+    got = coord.run_rebalance("g", subs, protocol="roundrobin", now=0.0)
+
+    for topic, total in (("x", 5), ("y", 2)):
+        owned = [
+            (p, c)
+            for c, a in got.items()
+            for p in a.get(topic, [])
+        ]
+        assert sorted(p for p, _ in owned) == list(range(total)), topic
+    assert not got["c3"].get("y")  # c3 never subscribed to y
+    assert coord.describe("g")["state"] == "Formed"
+
+    # cooperative-sticky across a membership change keeps prior owners
+    got2 = coord.run_rebalance(
+        "g2", {"a": ["x"], "b": ["x"]}, protocol="cooperative-sticky", now=0.0
+    )
+    assert sorted(got2["a"].get("x", []) + got2["b"].get("x", [])) == list(range(5))
