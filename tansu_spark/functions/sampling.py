@@ -115,3 +115,21 @@ def uniform_k_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight: Column, seed: int = 0
+) -> DataFrame:
+    """Importance sampling: keep each row with probability ``weight``
+    (a column in [0, 1] — e.g. a quality score), decided by the same
+    deterministic md5 coin as `hash_sample`. u = hash/2^32 gives a
+    uniform [0,1) draw that is identical in any engine; the row is kept
+    iff u < weight. Reproducible, key-consistent, map-only — the
+    scale-shape of quality-proportional corpus selection (keep good
+    documents with high probability, long-tail junk with low, never a
+    shuffle)."""
+    from pyspark.sql import functions as F
+
+    nib8 = F.substring(hash_bucket(key_col, seed), 1, 8)
+    u = F.conv(nib8, 16, 10).cast("double") / F.lit(float(16**8))
+    return df.filter(u < weight)

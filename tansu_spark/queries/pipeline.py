@@ -1821,3 +1821,44 @@ def sample_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "corpus_importance_sample",
+    oracle="""
+    WITH mx AS (SELECT CAST(max(n_chars) AS DOUBLE) AS m FROM documents),
+    drawn AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             CAST(CAST(concat('0x', substr(md5(concat('0', ':', CAST(d.doc_id AS VARCHAR))), 1, 8))
+                  AS BIGINT) AS DOUBLE) / 4294967296.0 AS u,
+             CAST(d.n_chars AS DOUBLE) / mx.m AS p
+      FROM documents d CROSS JOIN mx
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+    FROM drawn WHERE u < p GROUP BY source
+    """,
+)
+def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional corpus selection (importance sampling): each
+    document is kept with probability n_chars / max(n_chars) — longer
+    (here: higher-weight) documents survive preferentially, drawn by the
+    deterministic md5 coin (`sampling.weighted_sample`), so the selected
+    set is bit-reproducible on any engine or partitioning (the id_sum per
+    source is the witness). The max is a single-row broadcast; the draw
+    is a map-only filter — no shuffle before the final accounting."""
+    from tansu_spark.functions.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    mx = docs.agg(F.max("n_chars").cast("double").alias("m"))
+    with_p = docs.crossJoin(F.broadcast(mx)).withColumn(
+        "p", F.col("n_chars").cast("double") / F.col("m")
+    )
+    kept = weighted_sample(with_p, "doc_id", F.col("p"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )

@@ -71,3 +71,31 @@ def test_weighted_upsample_copies_and_epochs(spark):
     )
     assert sorted(r["k"] for r in again.collect()) == sorted(r["k"] for r in out.collect())
     out.unpersist()
+
+
+def test_weighted_sample_proportional_and_deterministic(spark, sf_dir):
+    """Keep-rate tracks the weight column; the draw is reproducible and
+    partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from tansu_spark.functions.sampling import weighted_sample
+    from tansu_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    lo = docs.withColumn("p", F.lit(0.1))
+    hi = docs.withColumn("p", F.lit(0.9))
+    n = docs.count()
+    n_lo = weighted_sample(lo, "doc_id", F.col("p")).count()
+    n_hi = weighted_sample(hi, "doc_id", F.col("p")).count()
+    assert 0.04 * n < n_lo < 0.18 * n
+    assert 0.82 * n < n_hi < 0.97 * n
+
+    # determinism under repartitioning; p=0 and p=1 are exact
+    ids1 = {r["doc_id"] for r in weighted_sample(lo, "doc_id", F.col("p")).collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in weighted_sample(lo.repartition(9), "doc_id", F.col("p")).collect()
+    }
+    assert ids1 == ids2
+    assert weighted_sample(docs.withColumn("p", F.lit(0.0)), "doc_id", F.col("p")).count() == 0
+    assert weighted_sample(docs.withColumn("p", F.lit(1.0)), "doc_id", F.col("p")).count() == n
