@@ -226,6 +226,42 @@ class Broker:
             raise KeyError(f"no such topic {topic!r}")
         return TopicConfig(partitions=doc["partitions"], config=doc.get("config", {}))
 
+    #: DescribeConfigs default surface: every config the broker consults,
+    #: with its default — the value that applies when the topic document
+    #: doesn't set it (FIXTURES.md §10).
+    CONFIG_DEFAULTS = {
+        "cleanup.policy": "delete",
+        "retention.ms": str(7 * 24 * 3600 * 1000),
+        "compression.type": "producer",
+        "tansu.virtual": "false",
+        "tansu.schema.validation": "true",
+        "tansu.schema.wire": "json",
+        "tansu.lake.sink": "true",
+        "tansu.lake.partition": "",
+        "tansu.lake.normalize": "false",
+        "tansu.lake.normalize.separator": ".",
+        "tansu.lake.z_order": "",
+    }
+
+    def describe_configs(self, topic: str) -> list[dict[str, str]]:
+        """DescribeConfigs: the EFFECTIVE config — every known key with
+        its applied value and provenance (DYNAMIC_TOPIC_CONFIG when the
+        topic document sets it, DEFAULT_CONFIG otherwise), plus any
+        topic-set keys outside the known surface. Sorted by name, the
+        Kafka response shape."""
+        cfg = self.describe_topic(topic).config
+        names = sorted(set(self.CONFIG_DEFAULTS) | set(cfg))
+        return [
+            {
+                "name": name,
+                "value": cfg.get(name, self.CONFIG_DEFAULTS.get(name, "")),
+                "source": (
+                    "DYNAMIC_TOPIC_CONFIG" if name in cfg else "DEFAULT_CONFIG"
+                ),
+            }
+            for name in names
+        ]
+
     def alter_topic(self, topic: str, updates: dict[str, str | None]) -> TopicConfig:
         """IncrementalAlterConfigs: merge config updates into the topic
         document (a value of None DELETEs the key, Kafka's DELETE op);

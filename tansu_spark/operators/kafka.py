@@ -152,3 +152,22 @@ def with_meta(df: DataFrame, partition_col: str = "partition") -> DataFrame:
             F.dayofmonth("timestamp").alias("day"),
         ),
     )
+
+
+def offsets_for_max_timestamp(df: DataFrame) -> DataFrame:
+    """ListOffsets with timestamp = -3 (MAX_TIMESTAMP, KIP-734): per
+    partition, the offset and timestamp of the record carrying the
+    LARGEST timestamp (which need not be the last offset when producers
+    set their own timestamps). Ties break to the highest offset, as
+    Kafka's shallow-iteration scan does. One max-struct aggregation —
+    partial map-side, no window."""
+    best = F.max(F.struct(F.col("timestamp"), F.col("offset"))).alias("b")
+    return (
+        df.groupBy("partition")
+        .agg(best)
+        .select(
+            "partition",
+            F.col("b.offset").alias("offset"),
+            F.col("b.timestamp").alias("max_timestamp"),
+        )
+    )

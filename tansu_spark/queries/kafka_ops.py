@@ -366,3 +366,24 @@ def kafka_proto_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("at_us").alias("min_us"),
         F.max("at_us").alias("max_us"),
     )
+
+
+@query(
+    "kafka_offset_for_max_timestamp",
+    oracle=TOPIC_CTE
+    + """
+    SELECT "partition", "offset", "timestamp" AS max_timestamp
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY "partition"
+        ORDER BY "timestamp" DESC, "offset" DESC) AS rn
+      FROM topic
+    ) WHERE rn = 1
+    """,
+)
+def kafka_offset_for_max_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListOffsets MAX_TIMESTAMP (-3, KIP-734): the offset carrying each
+    partition's largest record timestamp — a single max-struct partial
+    aggregation (operators/kafka.py::offsets_for_max_timestamp), never a
+    sort."""
+    return K.offsets_for_max_timestamp(events_topic(spark, sf_dir))

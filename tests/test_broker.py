@@ -566,3 +566,26 @@ def test_per_batch_compression_codec(broker):
     with pytest.raises(KeyError):
         broker.create_topic("bad", config={"compression.type": "brotli9000"})
         broker.produce_rows("bad", _rows(1))
+
+
+def test_describe_configs_effective_values_and_sources(broker):
+    """DescribeConfigs: defaults surface with DEFAULT_CONFIG provenance,
+    topic-set keys flip to DYNAMIC_TOPIC_CONFIG, deletion restores the
+    default, unknown keys still appear."""
+    broker.create_topic(
+        "dc", partitions=1, config={"cleanup.policy": "compact", "my.custom": "x"}
+    )
+    by_name = {c["name"]: c for c in broker.describe_configs("dc")}
+    assert by_name["cleanup.policy"] == {
+        "name": "cleanup.policy", "value": "compact", "source": "DYNAMIC_TOPIC_CONFIG",
+    }
+    assert by_name["retention.ms"]["source"] == "DEFAULT_CONFIG"
+    assert by_name["retention.ms"]["value"] == str(7 * 24 * 3600 * 1000)
+    assert by_name["tansu.schema.wire"]["value"] == "json"
+    assert by_name["my.custom"]["value"] == "x"
+
+    broker.alter_topic("dc", {"cleanup.policy": None})
+    by_name = {c["name"]: c for c in broker.describe_configs("dc")}
+    assert by_name["cleanup.policy"] == {
+        "name": "cleanup.policy", "value": "delete", "source": "DEFAULT_CONFIG",
+    }
