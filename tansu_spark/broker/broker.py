@@ -836,6 +836,24 @@ class Broker:
         doc = read_json(os.path.join(self.root, "groups", f"{group}.json"), {})
         return {int(p): int(o) for p, o in doc.get(topic, {}).items()}
 
+    def consumer_lag(self, group: str, topic: str) -> dict[int, dict[str, int]]:
+        """Per-partition consumer lag: high watermark vs the group's
+        committed offset (the kafka-consumer-groups.sh describe view).
+        Pure control-plane — watermark document + group cursor file, no
+        Spark job."""
+        marks = read_json(self._state(topic, "watermarks.json"), {})
+        committed = self.fetch_offsets(group, topic)
+        out: dict[int, dict[str, int]] = {}
+        for p, m in marks.items():
+            hi = int(m["high"])
+            cur = int(committed.get(int(p), 0))
+            out[int(p)] = {
+                "high_watermark": hi,
+                "committed": cur,
+                "lag": max(0, hi - cur),
+            }
+        return out
+
     # ------------------------------------------------------------- transactions
     def end_transaction(self, txn_id: str, commit: bool) -> None:
         """EndTxn (pg.rs:3187-3647 simplified; txn state machine

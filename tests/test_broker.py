@@ -589,3 +589,16 @@ def test_describe_configs_effective_values_and_sources(broker):
     assert by_name["cleanup.policy"] == {
         "name": "cleanup.policy", "value": "delete", "source": "DEFAULT_CONFIG",
     }
+
+
+def test_consumer_lag_report(broker):
+    broker.create_topic("lagt", partitions=2)
+    broker.produce_rows("lagt", _rows(10))  # 10 rows over 2 partitions
+    marks = broker.list_offsets("lagt", "latest")
+    broker.commit_offsets("g", {("lagt", 0): 2})
+    lag = broker.consumer_lag("g", "lagt")
+    assert lag[0]["committed"] == 2 and lag[0]["lag"] == marks[0] - 2
+    assert lag[1]["committed"] == 0 and lag[1]["lag"] == marks[1]
+    # caught-up consumer shows zero lag
+    broker.commit_offsets("g", {("lagt", 0): marks[0], ("lagt", 1): marks[1]})
+    assert all(v["lag"] == 0 for v in broker.consumer_lag("g", "lagt").values())
