@@ -59,6 +59,7 @@ from dataclasses import dataclass, field
 from enum import Enum
 from typing import Any
 
+from tansu_spark import metrics as M
 from tansu_spark.broker.state import file_lock, read_json, write_json_atomic
 
 
@@ -237,6 +238,7 @@ class GroupCoordinator:
         client_id: str | None = None,
         now: float | None = None,
     ) -> dict[str, Any]:
+        M.add("coordinator_requests", method="join")
         now = time.time() if now is None else now
         with self._lock():
             g = self._group(group_id)
@@ -344,6 +346,7 @@ class GroupCoordinator:
         assignments: dict[str, bytes] | None = None,
         now: float | None = None,
     ) -> dict[str, Any]:
+        M.add("coordinator_requests", method="sync")
         now = time.time() if now is None else now
         with self._lock():
             g = self._group(group_id)
@@ -386,6 +389,7 @@ class GroupCoordinator:
         member_id: str,
         now: float | None = None,
     ) -> ErrorCode:
+        M.add("coordinator_requests", method="heartbeat")
         now = time.time() if now is None else now
         with self._lock():
             g = self._group(group_id)
@@ -408,6 +412,7 @@ class GroupCoordinator:
         member_id: str | None = None,
         members: list[str] | None = None,
     ) -> list[tuple[str, ErrorCode]]:
+        M.add("coordinator_requests", method="leave")
         ids = [member_id] if member_id is not None else list(members or [])
         with self._lock():
             g = self._group(group_id)
@@ -516,6 +521,7 @@ class GroupCoordinator:
         member_id: str = "",
         now: float | None = None,
     ) -> ErrorCode:
+        M.add("coordinator_requests", method="offset_commit")
         """Generation-fenced offset commit (offset_commit_fence,
         administrator.rs:1804-1843), landing in the broker's durable
         cursor store on success."""

@@ -50,3 +50,21 @@ def snapshot() -> dict[str, dict[str, Any]]:
 
 def reset() -> None:
     _REGISTRY.clear()
+    _COUNTERS.clear()
+
+
+_COUNTERS: dict[str, dict[str, int]] = {}
+
+
+def add(name: str, n: int = 1, **labels: str) -> None:
+    """Labelled counter (the reference's COORDINATOR_REQUESTS shape:
+    `counter.add(1, [KeyValue("method", "join")])`,
+    administrator.rs:823+). Label sets are flattened to a sorted
+    `k=v` key per series."""
+    series = ",".join(f"{k}={v}" for k, v in sorted(labels.items()))
+    bucket = _COUNTERS.setdefault(name, {})
+    bucket[series] = bucket.get(series, 0) + n
+
+
+def counters() -> dict[str, dict[str, int]]:
+    return {name: dict(series) for name, series in _COUNTERS.items()}

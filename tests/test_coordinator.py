@@ -262,3 +262,24 @@ def test_run_rebalance_full_dance(spark, tmp_path):
         "g2", {"a": ["x"], "b": ["x"]}, protocol="cooperative-sticky", now=0.0
     )
     assert sorted(got2["a"].get("x", []) + got2["b"].get("x", [])) == list(range(5))
+
+
+def test_coordinator_requests_counter(coord):
+    """COORDINATOR_REQUESTS parity (administrator.rs:823+): every
+    protocol request increments the labelled counter by method."""
+    from tansu_spark import metrics as M
+
+    M.reset()
+    _form(coord, "gm")
+    members = coord.describe("gm")["members"]
+    gen = coord.describe("gm")["generation_id"]
+    coord.heartbeat("gm", gen, members[0], now=1.0)
+    coord.offset_commit("gm", {("t", 0): 1}, gen, members[0], now=1.0)
+    coord.leave("gm", member_id=members[0])
+
+    got = M.counters()["coordinator_requests"]
+    assert got["method=join"] >= 4  # two members x two-step join
+    assert got["method=sync"] >= 1
+    assert got["method=heartbeat"] == 1
+    assert got["method=offset_commit"] == 1
+    assert got["method=leave"] == 1
