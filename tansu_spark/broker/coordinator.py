@@ -544,4 +544,5 @@ class GroupCoordinator:
         return ErrorCode.NONE
 
     def offset_fetch(self, group_id: str, topic: str) -> dict[int, int]:
+        M.add("coordinator_requests", method="offset_fetch")
         return self.broker.fetch_offsets(group_id, topic)

@@ -60,7 +60,9 @@ def test_joins_never_cartesian(spark, sf_dir):
                             # broadcasts single-row removable/total frames
                             "dedup_yield_report",
                             # broadcasts the single-row min/max frame
-                            "events_value_histogram"}, name
+                            "events_value_histogram",
+                            # broadcasts the single-row max-chars frame
+                            "corpus_importance_sample"}, name
 
 
 def test_asof_join_is_single_shuffle_window(spark, sf_dir):
