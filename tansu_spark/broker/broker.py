@@ -855,6 +855,66 @@ class Broker:
         return out
 
     # ------------------------------------------------------------- transactions
+    def init_producer_id(self, transactional_id: str | None = None) -> tuple[int, int]:
+        """InitProducerId: allocate a (producer_id, epoch) pair.
+
+        Idempotent-only producers (no transactional id) get a fresh id at
+        epoch 0. A TRANSACTIONAL producer re-initializing under the same
+        transactional_id keeps its producer_id but gets a BUMPED epoch —
+        and any transaction still open under that id is aborted, fencing
+        the zombie instance (Kafka's InitProducerId contract; the
+        reference allocates via init_producer SQL and epoch-fences in
+        pg.rs' produce path). State lives in the store-global
+        producer-ids document."""
+        path = os.path.join(self.root, "producer_ids.json")
+        with file_lock(os.path.join(self.root, ".producer_ids.lock")):
+            doc = read_json(path, {"next_id": 1000, "transactional": {}})
+            if transactional_id is None:
+                pid = doc["next_id"]
+                doc["next_id"] += 1
+                write_json_atomic(path, doc)
+                return pid, 0
+            entry = doc["transactional"].get(transactional_id)
+            if entry is None:
+                entry = {"producer_id": doc["next_id"], "epoch": 0}
+                doc["next_id"] += 1
+            else:
+                entry = {"producer_id": entry["producer_id"], "epoch": entry["epoch"] + 1}
+            doc["transactional"][transactional_id] = entry
+            write_json_atomic(path, doc)
+        if entry["epoch"] > 0:
+            # fence the zombie: its in-flight transaction dies here
+            with file_lock(self._txn_lock_path()):
+                txns = read_json(self._txns_path(), {})
+                t = txns.get(transactional_id)
+                if t is not None and t["state"] == "open":
+                    t["state"] = "aborted"
+                    write_json_atomic(self._txns_path(), txns)
+        return entry["producer_id"], entry["epoch"]
+
+    def txn_offset_commit(
+        self, txn_id: str, group: str, offsets: dict[tuple[str, int], int]
+    ) -> None:
+        """TxnOffsetCommit / AddOffsetsToTxn: stage consumer offsets
+        INSIDE a transaction — they become the group's committed cursor
+        only when the txn commits, and vanish on abort. This is the
+        consume-transform-produce exactly-once loop: offsets move
+        atomically with the produced records (the reference's
+        txn_offset_commit tables, pg.rs:3407+)."""
+        with file_lock(self._txn_lock_path()):
+            txns = read_json(self._txns_path(), {})
+            t = txns.setdefault(
+                txn_id, {"state": "open", "topics": {}, "started_at": time.time()}
+            )
+            if t["state"] != "open":
+                raise InvalidTxnState(
+                    f"txn offset commit into {t['state']} txn {txn_id!r}"
+                )
+            staged = t.setdefault("offsets", [])
+            for (topic, p), off in offsets.items():
+                staged.append([group, topic, int(p), int(off)])
+            write_json_atomic(self._txns_path(), txns)
+
     def end_transaction(self, txn_id: str, commit: bool) -> None:
         """EndTxn (pg.rs:3187-3647 simplified; txn state machine
         lib.rs:1288-1341): flip the STORE-GLOBAL txn state in one atomic
@@ -883,7 +943,17 @@ class Broker:
                     f"{'commit' if commit else 'abort'}"
                 )
             txns[txn_id]["state"] = "committed" if commit else "aborted"
+            staged = txns[txn_id].get("offsets", [])
             write_json_atomic(self._txns_path(), txns)
+        if commit and staged:
+            # Apply transactionally-staged consumer offsets (last staged
+            # value per (group, topition) wins) — visible only now, the
+            # TxnOffsetCommit contract.
+            by_group: dict[str, dict[tuple[str, int], int]] = {}
+            for group, topic, p, off in staged:
+                by_group.setdefault(group, {})[(topic, int(p))] = int(off)
+            for group, offs in by_group.items():
+                self.commit_offsets(group, offs)
 
     def end_txn(self, topic: str, txn_id: str, commit: bool) -> None:
         """Single-topic-signature EndTxn kept for API symmetry with the

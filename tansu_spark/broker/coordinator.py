@@ -66,6 +66,8 @@ from tansu_spark.broker.state import file_lock, read_json, write_json_atomic
 class ErrorCode(str, Enum):
     NONE = "NONE"
     INVALID_REQUEST = "INVALID_REQUEST"
+    NON_EMPTY_GROUP = "NON_EMPTY_GROUP"
+    GROUP_ID_NOT_FOUND = "GROUP_ID_NOT_FOUND"
     INCONSISTENT_GROUP_PROTOCOL = "INCONSISTENT_GROUP_PROTOCOL"
     MEMBER_ID_REQUIRED = "MEMBER_ID_REQUIRED"
     UNKNOWN_MEMBER_ID = "UNKNOWN_MEMBER_ID"
@@ -213,6 +215,33 @@ class GroupCoordinator:
             }
             for gid, g in sorted(self._groups.items())
         ]
+
+    def delete_groups(self, group_ids: list[str]) -> list[tuple[str, ErrorCode]]:
+        """DeleteGroups: a group is deletable only when it has no live
+        members (Kafka's GROUP_NOT_EMPTY contract — members must leave
+        or time out first); deleting removes the coordinator document
+        and the group's committed offsets."""
+        import os
+
+        out: list[tuple[str, ErrorCode]] = []
+        with self._lock():
+            for gid in group_ids:
+                g = self._groups.get(gid)
+                on_disk = os.path.exists(self._path(gid))
+                if g is None and not on_disk:
+                    out.append((gid, ErrorCode.GROUP_ID_NOT_FOUND))
+                    continue
+                if g is not None and g.members:
+                    out.append((gid, ErrorCode.NON_EMPTY_GROUP))
+                    continue
+                self._groups.pop(gid, None)
+                if on_disk:
+                    os.remove(self._path(gid))
+                cursor = os.path.join(self.broker.root, "groups", f"{gid}.json")
+                if os.path.exists(cursor):
+                    os.remove(cursor)
+                out.append((gid, ErrorCode.NONE))
+        return out
 
     def describe(self, group_id: str) -> dict[str, Any]:
         g = self._group(group_id)

@@ -602,3 +602,57 @@ def test_consumer_lag_report(broker):
     # caught-up consumer shows zero lag
     broker.commit_offsets("g", {("lagt", 0): marks[0], ("lagt", 1): marks[1]})
     assert all(v["lag"] == 0 for v in broker.consumer_lag("g", "lagt").values())
+
+
+def test_init_producer_id_allocation_and_zombie_fencing(broker):
+    """InitProducerId: idempotent-only producers get fresh ids; a
+    transactional producer re-initializing keeps its id with a bumped
+    epoch and its in-flight transaction is ABORTED (zombie fencing)."""
+    from tansu_spark.broker.broker import InvalidTxnState
+
+    a, ea = broker.init_producer_id()
+    b, eb = broker.init_producer_id()
+    assert a != b and ea == eb == 0
+
+    pid1, e1 = broker.init_producer_id("app-1")
+    assert e1 == 0
+    broker.create_topic("t", partitions=1)
+    broker.produce_rows("t", _rows(3), txn_id="app-1")
+    assert broker.transactions()["app-1"]["state"] == "open"
+
+    # the app restarts: same transactional id, epoch bumps, zombie txn dies
+    pid2, e2 = broker.init_producer_id("app-1")
+    assert pid2 == pid1 and e2 == 1
+    assert broker.transactions()["app-1"]["state"] == "aborted"
+    assert broker.fetch("t", isolation="read_committed").count() == 0
+    with pytest.raises(InvalidTxnState):
+        broker.produce_rows("t", _rows(1), txn_id="app-1")  # old txn is dead
+
+
+def test_txn_offset_commit_atomic_with_produce(broker):
+    """TxnOffsetCommit: consumer offsets staged in a transaction apply
+    only on commit — the consume-transform-produce EOS loop. Abort
+    discards them."""
+    from tansu_spark.broker.broker import InvalidTxnState
+
+    broker.create_topic("src", partitions=1)
+    broker.create_topic("dst", partitions=1)
+    broker.produce_rows("src", _rows(4))
+
+    # consume src, produce to dst, stage the cursor — all under one txn
+    broker.produce_rows("dst", _rows(4, prefix="out"), txn_id="etl")
+    broker.txn_offset_commit("etl", "g-etl", {("src", 0): 4})
+    assert broker.fetch_offsets("g-etl", "src") == {}  # not visible yet
+    assert broker.fetch("dst", isolation="read_committed").count() == 0
+
+    broker.end_transaction("etl", commit=True)
+    assert broker.fetch_offsets("g-etl", "src") == {0: 4}  # atomic with data
+    assert broker.fetch("dst", isolation="read_committed").count() == 4
+
+    # aborted txn: staged offsets never land
+    broker.produce_rows("dst", _rows(1), txn_id="etl2")
+    broker.txn_offset_commit("etl2", "g-etl", {("src", 0): 99})
+    broker.end_transaction("etl2", commit=False)
+    assert broker.fetch_offsets("g-etl", "src") == {0: 4}
+    with pytest.raises(InvalidTxnState):
+        broker.txn_offset_commit("etl2", "g-etl", {("src", 0): 5})

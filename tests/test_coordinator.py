@@ -283,3 +283,16 @@ def test_coordinator_requests_counter(coord):
     assert got["method=heartbeat"] == 1
     assert got["method=offset_commit"] == 1
     assert got["method=leave"] == 1
+
+
+def test_delete_groups_contract(coord):
+    """DeleteGroups: unknown → GROUP_ID_NOT_FOUND; live members →
+    NON_EMPTY_GROUP; after leave the group and its offsets delete."""
+    members, gen = _form(coord, "dg")
+    coord.offset_commit("dg", {("t", 0): 3}, gen, members[0])
+    assert coord.delete_groups(["missing"]) == [("missing", ErrorCode.GROUP_ID_NOT_FOUND)]
+    assert coord.delete_groups(["dg"]) == [("dg", ErrorCode.NON_EMPTY_GROUP)]
+    coord.leave("dg", members=members)
+    assert coord.delete_groups(["dg"]) == [("dg", ErrorCode.NONE)]
+    assert "dg" not in [g["group_id"] for g in coord.list_groups()]
+    assert coord.offset_fetch("dg", "t") == {}  # cursor gone too
