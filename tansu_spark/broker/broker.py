@@ -967,6 +967,19 @@ class Broker:
         the describe side of the coordinator)."""
         return read_json(self._txns_path(), {})
 
+    def describe_cluster(self) -> dict[str, Any]:
+        """DescribeCluster: stable cluster identity (UUIDv5 over the
+        store root path — every broker on this store derives the same id
+        with no coordination) plus topic/partition totals."""
+        topics = self.topics()
+        return {
+            "cluster_id": str(
+                uuid.uuid5(uuid.NAMESPACE_URL, f"tag:nisshi.io,2026-04:cluster:{os.path.abspath(self.root)}")
+            ),
+            "n_topics": len(topics),
+            "n_partitions": sum(self.describe_topic(t).partitions for t in topics),
+        }
+
     # ------------------------------------------------------------ broker config
     def _config_path(self) -> str:
         return os.path.join(self.root, "config.json")

@@ -75,23 +75,33 @@ def _cmd_topic(args, out) -> int:
 
 def _cmd_produce(args, out) -> int:
     b = _broker(args)
-    src = open(args.file) if args.file else sys.stdin
-    rows = []
-    for line in src:
-        line = line.strip()
-        if not line:
-            continue
-        doc = json.loads(line)
-        rows.append(
-            {
-                "key": doc.get("key"),
-                "value": (
-                    v if isinstance(v := doc.get("value"), (str, type(None))) else json.dumps(v)
-                ),
-            }
-        )
     if args.file:
-        src.close()
+        text = open(args.file).read().strip()
+        # nisshi-cat accepts a JSON ARRAY file (etc/data/trips.json) or
+        # JSON lines
+        docs = (
+            json.loads(text)
+            if text.startswith("[")
+            else [json.loads(line) for line in text.splitlines() if line.strip()]
+        )
+    else:
+        docs = [json.loads(line) for line in sys.stdin if line.strip()]
+
+    wire = b.describe_topic(args.topic).config.get("tansu.schema.wire", "json")
+    rows = []
+    for doc in docs:
+        key, value = doc.get("key"), doc.get("value", doc if "key" not in doc else None)
+        if b.registry is not None:
+            # the `cat produce` contract: JSON in, topic's wire format out
+            k, v = b.registry.encode_record(args.topic, key, value, wire=wire)
+        else:
+            k = key.encode() if isinstance(key, str) else key
+            v = (
+                value
+                if isinstance(value, (bytes, type(None)))
+                else (value if isinstance(value, str) else json.dumps(value)).encode()
+            )
+        rows.append({"key": k, "value": v})
     offsets = b.produce_rows(args.topic, rows)
     _emit({"produced": len(rows), "base_offsets": {str(k): v for k, v in offsets.items()}}, out)
     return 0

@@ -125,6 +125,10 @@ def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
         logical = node.get("logicalType")
         if logical == "decimal":
             scale = node.get("scale", 0)
+            if isinstance(value, (float, str)):
+                # JSON-sourced input (the `cat produce` path): exact via
+                # the decimal string constructor, never float arithmetic
+                value = Decimal(str(value))
             unscaled = int(
                 (value.scaleb(scale)).to_integral_value() if isinstance(value, Decimal) else value
             )
@@ -145,9 +149,13 @@ def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
             )
             return
         if logical == "date":
+            if isinstance(value, str):  # JSON-sourced ISO date
+                value = datetime.date.fromisoformat(value)
             _write_long(out, (value - _EPOCH_DATE).days if isinstance(value, datetime.date) else int(value))
             return
         if logical in ("timestamp-millis", "timestamp-micros"):
+            if isinstance(value, str):  # JSON-sourced ISO timestamp
+                value = datetime.datetime.fromisoformat(value)
             if isinstance(value, datetime.datetime):
                 us = round((value.replace(tzinfo=None) - _EPOCH).total_seconds() * 1e6)
                 value = us // 1000 if logical == "timestamp-millis" else us

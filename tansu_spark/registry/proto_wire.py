@@ -158,6 +158,8 @@ class ProtoCodec:
             self._encode_field(f, v, out)
 
     def _encode_timestamp(self, value: Any, out: io.BytesIO) -> None:
+        if isinstance(value, str):  # JSON-sourced ISO timestamp
+            value = datetime.datetime.fromisoformat(value)
         if isinstance(value, datetime.datetime):
             delta = value.replace(tzinfo=None) - _EPOCH
             seconds = int(delta.total_seconds() // 1)

@@ -201,6 +201,42 @@ class SchemaRegistry:
         counts = df.select(*present).mapInPandas(kernel, "bad long").collect()
         return sum(r["bad"] for r in counts)
 
+    # ----------------------------------------------------------------- encode
+    def encode_record(
+        self, topic: str, key: Any, value: Any, wire: str = "json"
+    ) -> tuple[bytes | None, bytes | None]:
+        """The `cat produce` direction (nisshi-cat/src/produce.rs): a
+        JSON-shaped record encoded into the topic's wire format — Avro
+        binary, Protobuf binary, or JSON bytes — per the registered
+        schema. Schema-less topics pass JSON bytes through."""
+        import json as _json
+
+        ts = self.schema_for(topic)
+
+        def enc(which: str, obj: Any) -> bytes | None:
+            if obj is None:
+                return None
+            if ts is not None and wire == "avro" and ts.dialect == "avro":
+                from tansu_spark.registry import avro_wire as W
+
+                part = ts._part(which)
+                if part is not None:
+                    return W.encode(part, obj)
+            if ts is not None and wire == "proto" and ts.dialect == "proto":
+                from tansu_spark.registry.proto_wire import ProtoCodec
+
+                msg = {"key": "Key", "value": "Value"}[which]
+                if msg in ts.raw["messages"]:
+                    codec = ProtoCodec(ts.raw["messages"], ts.raw["enums"])
+                    return codec.encode(msg, obj)
+            if isinstance(obj, bytes):
+                return obj
+            if isinstance(obj, str):
+                return obj.encode("utf-8")
+            return _json.dumps(obj).encode("utf-8")
+
+        return enc("key", key), enc("value", value)
+
     # ----------------------------------------------------------------- decode
     def decode(self, topic: str, df: DataFrame, wire: str = "json") -> DataFrame:
         """Typed view of a topic DataFrame: key/value bytes → schema'd

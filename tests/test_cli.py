@@ -69,3 +69,60 @@ def test_produce_consume_offsets_lag(store, tmp_path):
 
     report = run(store, "maintain")[0]
     assert "ev" in report["maintained"]
+
+
+def test_cat_produce_encodes_wire_and_lake_is_duckdb_readable(spark, tmp_path):
+    """The reference README's signature flow (README.md:128-175): `cat
+    produce` reads a JSON ARRAY file and ENCODES each message into the
+    topic's schema wire format (here protobuf); the lake materialization
+    is then plain typed parquet that DuckDB reads directly."""
+    import duckdb
+
+    from tansu_spark.broker import Broker
+    from tansu_spark.lake.sink import LakeSink
+    from tansu_spark.registry import SchemaRegistry
+    from tansu_spark.session import get_spark
+
+    schemas = tmp_path / "schemas"
+    schemas.mkdir()
+    (schemas / "ride.proto").write_text(
+        """
+        syntax = "proto3";
+        message Value {
+          int64 vendor_id = 1;
+          int64 ride_id = 2;
+          double distance = 3;
+          double fare = 4;
+        }
+        """
+    )
+    store = str(tmp_path / "store")
+    run(store, "--schemas", str(schemas), "topic", "create", "ride",
+        "--config", "tansu.schema.wire=proto")
+
+    data = tmp_path / "rides.json"
+    data.write_text(json.dumps([
+        {"value": {"vendor_id": 1, "ride_id": 1000371, "distance": 1.8, "fare": 15.32}},
+        {"value": {"vendor_id": 2, "ride_id": 1000372, "distance": 2.5, "fare": 22.15}},
+        {"value": {"vendor_id": 2, "ride_id": 1000373, "distance": 0.9, "fare": 9.01}},
+        {"value": {"vendor_id": 1, "ride_id": 1000374, "distance": 8.4, "fare": 42.13}},
+    ]))
+    got = run(store, "--schemas", str(schemas), "produce", "ride", "--file", str(data))[0]
+    assert got["produced"] == 4
+
+    # raw segments hold PROTO bytes, not JSON
+    b = Broker(get_spark(), store, registry=SchemaRegistry(str(schemas)))
+    raw = b.fetch("ride").select("value").first()["value"]
+    assert not bytes(raw).lstrip().startswith(b"{")
+
+    # lake materialization decodes to typed parquet; DuckDB reads it raw
+    sink = LakeSink(b, str(tmp_path / "lake"))
+    assert sink.store("ride") == 4
+    rows = duckdb.sql(
+        f"SELECT value.vendor_id AS v, value.ride_id AS r, value.fare AS f "
+        f"FROM '{sink.table_dir('ride')}/*.parquet' ORDER BY r"
+    ).fetchall()
+    assert rows == [
+        (1, 1000371, 15.32), (2, 1000372, 22.15),
+        (2, 1000373, 9.01), (1, 1000374, 42.13),
+    ]
