@@ -382,3 +382,48 @@ def containment_verify(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def incremental_lsh_pairs(
+    base: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL dedup: candidate (doc_a=base, doc_b=new) pairs where a
+    NEW document LSH-collides with the EXISTING corpus — the production
+    recipe for a growing corpus: never re-pair the base against itself
+    (that work was done when the base was ingested), only hash the new
+    batch and equi-join its bands against the base's band index.
+
+    Scale shape: the base's (band, band_sig) index is computed once and
+    in production persists between batches; per ingest the cost is
+    O(|new|) signature work + one equi-join keyed on band signatures —
+    the join fans out only on true collisions. `max_bucket` drops
+    band-buckets whose BASE side exceeds the cap (boilerplate walls,
+    same valve as lsh_candidate_pairs)."""
+    bb = lsh_bands(
+        minhash_signatures(with_shingles(base, text_col, id_col), id_col, num_hashes),
+        id_col, rows_per_band, num_hashes,
+    ).select(F.col(id_col).alias("doc_a"), "band", "band_sig")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_sig")
+        bb = (
+            bb.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    nb = lsh_bands(
+        minhash_signatures(with_shingles(new, text_col, id_col), id_col, num_hashes),
+        id_col, rows_per_band, num_hashes,
+    ).select(F.col(id_col).alias("doc_b"), "band", "band_sig")
+    return (
+        bb.join(nb, ["band", "band_sig"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

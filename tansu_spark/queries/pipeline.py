@@ -1862,3 +1862,57 @@ def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("id_sum"),
         F.sum("n_chars").cast("long").alias("kept_chars"),
     )
+
+
+@query(
+    "dedup_incremental_new_vs_base",
+    oracle=_SH_CTE
+    + """,
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
+            FROM e CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     string_agg(mh, '|' ORDER BY seed) AS band_sig
+              FROM sig GROUP BY doc_id, seed // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_sig = b.band_sig
+             WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                   / greatest(len(sa.shingles) + len(sb.shingles)
+                              - len(list_intersect(sa.shingles, sb.shingles)), 1), 6)
+               AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b)
+    SELECT doc_b AS new_doc,
+           count(*) AS n_candidates,
+           CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           max(jaccard) AS best_jaccard,
+           min(doc_a) AS first_base_match
+    FROM verified GROUP BY doc_b
+    """,
+)
+def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an INGEST batch against the standing corpus
+    (functions/dedup.py::incremental_lsh_pairs): the new 20% of documents
+    (doc_id % 10 >= 8) LSH-probe the existing 80%'s band index — the base
+    is never self-paired — then exact Jaccard verifies the collisions.
+    Per new doc: candidate count, verified-duplicate count, best score,
+    first matching base doc. At a growing 100 TB corpus this is THE
+    dedup shape: per-batch cost follows the batch, not the corpus."""
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") % 10 < 8)
+    new = docs.where(F.col("doc_id") % 10 >= 8)
+    pairs = D.incremental_lsh_pairs(base, new)
+    sh = D.with_shingles(docs)
+    verified = D.jaccard_verify(pairs, sh, threshold=0.0)
+    return verified.groupBy(F.col("doc_b").alias("new_doc")).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum((F.col("jaccard") >= 0.5).cast("int")).cast("long").alias("n_dups"),
+        F.max("jaccard").alias("best_jaccard"),
+        F.min("doc_a").alias("first_base_match"),
+    )

@@ -425,3 +425,53 @@ def sim_ivfpq_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 8), cents, books, k=5, n_probe=2
     )
     return out.withColumn("approx_cosine", F.round("approx_cosine", 10))
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS q_label
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding AS ce, label FROM embeddings)
+    SELECT query_id, q_label, vec_id, label AS neg_label,
+           {_cos_sql("qe", "ce")} AS cosine
+    FROM c CROSS JOIN q
+    WHERE vec_id != query_id AND label != q_label
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY {_cos_sql("qe", "ce")} DESC, vec_id) <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training (the
+    retrieval-training recipe): for each anchor, the top-5 most similar
+    vectors carrying a DIFFERENT label — maximally confusable negatives.
+    Same broadcast-anchors/corpus-never-shuffles shape as brute-force
+    top-k with a label-inequality residual on the join; at billion-vector
+    scale the anchor set batches and the corpus side streams once per
+    batch (or prunes through the IVF index first)."""
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(S.cosine("q_vec", "embedding"), 10).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= 5
+    ).drop("_rn")

@@ -40,7 +40,7 @@ def test_q1_column_pruning(spark, sf_dir):
 def test_joins_never_cartesian(spark, sf_dir):
     """No query may degrade to CartesianProduct / BroadcastNestedLoop —
     except the two that broadcast a tiny query-vector set by design."""
-    by_design = {"sim_cosine_topk"}
+    by_design = {"sim_cosine_topk", "sim_hard_negatives"}
     for name in sorted(QUERIES):
         if name in by_design:
             continue
