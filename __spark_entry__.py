@@ -61,7 +61,13 @@ def _ordered_names() -> list[str]:
     # A few per-group members whose machinery is vouched for by their
     # group-mates ride late so the whole sample/corpus group fits a
     # strict 50-entry gate window; the rotation picks them up next round.
-    deferred = {"text_top_tokens", "text_type_token_ratio", "text_fingerprint"}
+    deferred = {
+        "text_top_tokens",
+        "text_type_token_ratio",
+        "text_fingerprint",
+        "text_token_stats",
+        "lake_partition_stats",
+    }
 
     def prio(name: str) -> int:
         if name in deferred:
