@@ -137,3 +137,31 @@ def resize_plan(assets: DataFrame, max_side: int = 512) -> DataFrame:
         F.ceil(F.col("width") * scale).cast("int").alias("target_width"),
         F.ceil(F.col("height") * scale).cast("int").alias("target_height"),
     )
+
+
+def audio_frame_plan(
+    assets: DataFrame, window_ms: int = 25, hop_ms: int = 10
+) -> DataFrame:
+    """STFT-style framing plan for audio assets: the standard
+    25 ms-window / 10 ms-hop layout every speech feature front end uses.
+    n_frames = 1 + floor((duration - window) / hop) when the clip covers
+    at least one window, else 0; covered_ms is the span the last frame
+    reaches. Pure integer column math (the sample decode is the stubbed
+    kernel) — the plan a 100 TB audio pipeline uses to budget feature
+    storage before touching a single byte of PCM."""
+    d = F.coalesce(F.col("duration_ms"), F.lit(0))
+    n = F.when(
+        d >= window_ms, F.lit(1) + ((d - window_ms) / hop_ms).cast("long")
+    ).otherwise(F.lit(0))
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select(
+            "asset_id",
+            d.alias("duration_ms"),
+            n.alias("n_frames"),
+            F.when(n > 0, (n - 1) * hop_ms + window_ms)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("covered_ms"),
+        )
+    )

@@ -1916,3 +1916,44 @@ def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("jaccard").alias("best_jaccard"),
         F.min("doc_a").alias("first_base_match"),
     )
+
+
+@query(
+    "multimodal_audio_framing",
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id AS asset_id, (n_chars % 5000) + 1 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    plan AS (
+      SELECT asset_id, duration_ms,
+             CASE WHEN duration_ms >= 25
+                  THEN 1 + (duration_ms - 25) // 10 ELSE 0 END AS n_frames
+      FROM audio
+    )
+    SELECT count(*) AS n_clips,
+           CAST(sum(n_frames) AS BIGINT) AS total_frames,
+           CAST(sum(CASE WHEN n_frames > 0 THEN (n_frames - 1) * 10 + 25
+                         ELSE 0 END) AS BIGINT) AS covered_ms,
+           CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+           CAST(sum(CASE WHEN n_frames = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS too_short
+    FROM plan
+    """,
+)
+def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction budgeting (functions/multimodal.py::
+    audio_frame_plan): 25 ms / 10 ms STFT framing over the audio assets,
+    aggregated to the corpus-level frame budget — the number that sizes
+    feature storage and GPU hours before any PCM is decoded. Map-only
+    integer math + one single-row aggregate."""
+    from tansu_spark.functions.multimodal import audio_frame_plan
+
+    plan = audio_frame_plan(_assets(spark, sf_dir))
+    return plan.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.sum("covered_ms").cast("long").alias("covered_ms"),
+        F.sum("duration_ms").cast("long").alias("total_ms"),
+        F.sum((F.col("n_frames") == 0).cast("int")).cast("long").alias("too_short"),
+    )
