@@ -67,6 +67,7 @@ def _ordered_names() -> list[str]:
         "text_fingerprint",
         "text_token_stats",
         "lake_partition_stats",
+        "text_quality_score",
     }
 
     def prio(name: str) -> int:

@@ -1957,3 +1957,57 @@ def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("duration_ms").cast("long").alias("total_ms"),
         F.sum((F.col("n_frames") == 0).cast("int")).cast("long").alias("too_short"),
     )
+
+
+@query(
+    "dedup_canonical_by_quality",
+    oracle=_EDGE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    walk AS (SELECT a AS node, a AS lbl FROM ed
+             UNION
+             SELECT e2.b, w.lbl FROM walk w JOIN ed e2 ON e2.a = w.node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+             FROM walk GROUP BY node),
+    scored AS (SELECT c.doc_id, c.component_id, d.n_chars
+               FROM comp c JOIN documents d USING (doc_id)),
+    ranked AS (SELECT *, row_number() OVER (
+                   PARTITION BY component_id
+                   ORDER BY n_chars DESC, doc_id) AS rn
+               FROM scored)
+    SELECT doc_id, component_id, n_chars,
+           (rn = 1) AS keep,
+           min(CASE WHEN rn = 1 THEN doc_id END)
+             OVER (PARTITION BY component_id) AS kept_doc
+    FROM ranked
+    """,
+)
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-aware canonical selection — the decision list a dedup run
+    actually executes: within each Jaccard-verified near-dup cluster keep
+    the highest-quality member (here: longest; ties → lowest id) and drop
+    the rest, each drop row naming the survivor that replaces it. One
+    window over the component table after a slim join back to the doc
+    metadata; the cluster topology comes from the same LSH → verify → CC
+    chain the oracle replays with a recursive CTE."""
+    from pyspark.sql import Window
+
+    from tansu_spark.operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    sh = D.with_shingles(docs).cache()
+    pairs = D.minhash_lsh_pairs(docs, shingled=sh)
+    edges = D.jaccard_verify(pairs, sh, threshold=0.5).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    scored = cc.withColumnRenamed("node", "doc_id").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("component_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("component_id")
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    return ranked.select(
+        "doc_id",
+        "component_id",
+        "n_chars",
+        (F.col("_rn") == 1).alias("keep"),
+        F.min(F.when(F.col("_rn") == 1, F.col("doc_id"))).over(wc).alias("kept_doc"),
+    )
