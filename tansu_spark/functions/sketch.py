@@ -154,3 +154,102 @@ def kmv_merge_pairs(
             F.round(inter / est_u, round_digits).alias("jaccard"),
         )
     )
+
+
+def cms_cells(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Count-Min sketch CELLS (Cormode & Muthukrishnan 2005): one row per
+    (row, col) bucket with its summed weight. Each key hashes to `depth`
+    buckets (md5-seeded, so the sketch is identical on any engine or
+    partitioning); a cell's count is the sum of every colliding key's
+    weight. The cell table IS the sketch — mergeable by summing cells
+    across sketches/partitions, the property production sketch stores
+    rely on.
+
+    Scale: one groupBy on (row, col) — at most depth x width cells leave
+    each map partition regardless of input size."""
+    w = F.lit(1).cast("long") if weight is None else weight
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(str(r)),
+                                    F.lit(":"),
+                                    F.col(key_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(w.alias("_w"), F.explode(rows).alias("b"))
+        .select(F.col("b.r").alias("row"), F.col("b.c").alias("col"), "_w")
+        .groupBy("row", "col")
+        .agg(F.sum("_w").cast("long").alias("cell"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point queries against a CMS cell table: estimate(key) = min over
+    the depth rows of the key's cell — never under the true count,
+    over-counts bounded by collisions (eps ~ e/width with prob
+    1 - e^-depth). The probe set joins the (tiny, <= depth x width) cell
+    table; keys hashing to an untouched cell read 0."""
+    probes = keys.select(F.col(key_col).alias("key")).distinct()
+    probe_cells = probes.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(str(r)),
+                                            F.lit(":"),
+                                            F.col("key").cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("b"),
+    ).select("key", "b.row", "b.col")
+    return (
+        probe_cells.join(F.broadcast(cells), ["row", "col"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cell", F.lit(0))).cast("long").alias("estimate"))
+    )

@@ -1919,3 +1919,33 @@ def events_props_inferred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@query(
+    "sketch_cms_user_frequency",
+    oracle='\n    WITH cells AS (\n      SELECT r.r AS "row",\n             CAST(CAST(concat(\'0x\', substr(md5(concat(CAST(r.r AS VARCHAR), \':\', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS BIGINT) AS col,\n             count(*) AS cell\n      FROM events CROSS JOIN (SELECT unnest(range(4)) AS r) r\n      GROUP BY 1, 2\n    ),\n    probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 16),\n    pc AS (\n      SELECT p.user_id, r.r AS "row",\n             CAST(CAST(concat(\'0x\', substr(md5(concat(CAST(r.r AS VARCHAR), \':\', CAST(p.user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS BIGINT) AS col\n      FROM probes p CROSS JOIN (SELECT unnest(range(4)) AS r) r\n    ),\n    est AS (\n      SELECT pc.user_id, min(coalesce(c.cell, 0)) AS estimate\n      FROM pc LEFT JOIN cells c USING ("row", col)\n      GROUP BY pc.user_id\n    ),\n    truth AS (SELECT user_id, count(*) AS true_count\n              FROM events WHERE user_id < 16 GROUP BY user_id)\n    SELECT t.user_id AS key,\n           CAST(e.estimate AS BIGINT) AS estimate,\n           CAST(t.true_count AS BIGINT) AS true_count,\n           CAST(e.estimate - t.true_count AS BIGINT) AS overcount\n    FROM est e JOIN truth t USING (user_id)\n    ',
+)
+def sketch_cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (functions/sketch.py::cms_cells /
+    cms_estimate): per-user event counts estimated from a 4x256-cell
+    sketch, compared against the exact counts. md5-seeded bucket hashes
+    make the sketch BIT-IDENTICAL on any engine (unlike library CMS
+    implementations), so the oracle checks the estimates themselves --
+    never under the truth, overcount = collisions. The third mergeable
+    sketch family next to KMV distinct and bottom-k quantiles; at 100 TB
+    the shuffle carries <= depth x width cells per map partition."""
+    from tansu_spark.functions.sketch import cms_cells, cms_estimate
+
+    ev = load(spark, sf_dir, "events")
+    cells = cms_cells(ev, "user_id", depth=4, width=256)
+    probes = ev.where(F.col("user_id") < 16)
+    est = cms_estimate(cells, probes, "user_id", depth=4, width=256)
+    truth = probes.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    return est.join(truth, "key").select(
+        "key",
+        "estimate",
+        "true_count",
+        (F.col("estimate") - F.col("true_count")).cast("long").alias("overcount"),
+    )
