@@ -1949,3 +1949,59 @@ def sketch_cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_count",
         (F.col("estimate") - F.col("true_count")).cast("long").alias("overcount"),
     )
+
+
+@query(
+    "text_keywords_per_doc",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+                 FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT t.doc_id, t.term, t.tf,
+                  round(t.tf * (n.n_docs + 1.0) / (d.df + 1.0), 6) AS score
+           FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document KEYWORD EXTRACTION: top-3 terms by tf x rational idf
+    ((N+1)/(df+1) — the ln-free idf the BM25 query also uses, exact in
+    both engines). The df table is the inverted-index aggregation (one
+    partial-agg shuffle, map-side combine absorbs stop words); the
+    per-doc rank is a window over the slim (doc, term, tf) frame. The
+    standard tag-generation / topic-drift signal over a crawl."""
+    from tansu_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0), 6
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "score", F.col("rank").cast("int"))
+    )
