@@ -68,6 +68,7 @@ def _ordered_names() -> list[str]:
         "text_token_stats",
         "lake_partition_stats",
         "text_quality_score",
+        "text_lang_id",
     }
 
     def prio(name: str) -> int:
