@@ -69,6 +69,7 @@ def _ordered_names() -> list[str]:
         "lake_partition_stats",
         "text_quality_score",
         "text_lang_id",
+        "lake_generated_columns",
     }
 
     def prio(name: str) -> int:

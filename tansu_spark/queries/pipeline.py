@@ -2011,3 +2011,62 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_rn") == 1).alias("keep"),
         F.min(F.when(F.col("_rn") == 1, F.col("doc_id"))).over(wc).alias("kept_doc"),
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=_EDGE_CTES
+    + """,
+    srcs AS (SELECT j.doc_a, j.doc_b, da.source AS src_a, db.source AS src_b
+             FROM jp j
+             JOIN documents da ON da.doc_id = j.doc_a
+             JOIN documents db ON db.doc_id = j.doc_b),
+    sym AS (SELECT least(src_a, src_b) AS source_x,
+                   greatest(src_a, src_b) AS source_y,
+                   doc_a, doc_b
+            FROM srcs)
+    SELECT source_x, source_y,
+           count(*) AS n_pairs,
+           count(DISTINCT doc_a) + count(DISTINCT doc_b) AS n_docs_involved,
+           CAST(sum(CASE WHEN source_x = source_y THEN 1 ELSE 0 END) AS BIGINT)
+             AS within_source
+    FROM sym GROUP BY source_x, source_y
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE contamination matrix: Jaccard-verified near-dup pairs
+    aggregated by unordered source pair — which feeds duplicate which
+    (mirror sites, syndication, scraped re-posts). The decision input for
+    source-level dedup priorities: a hot off-diagonal cell means one
+    source is largely a copy of another and can be down-weighted
+    wholesale. Two slim joins from the pair list to doc metadata + one
+    groupBy; the pair list itself is the LSH output, so the matrix costs
+    nothing extra at any scale."""
+    docs = _docs(spark, sf_dir)
+    sh = D.with_shingles(docs).cache()
+    pairs = D.minhash_lsh_pairs(docs, shingled=sh)
+    verified = D.jaccard_verify(pairs, sh, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    srcs = (
+        verified.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+            "doc_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    return srcs.groupBy("source_x", "source_y").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.countDistinct("doc_a") + F.countDistinct("doc_b")).alias("n_docs_involved"),
+        F.sum((F.col("source_x") == F.col("source_y")).cast("int"))
+        .cast("long")
+        .alias("within_source"),
+    )
