@@ -62,7 +62,9 @@ def test_joins_never_cartesian(spark, sf_dir):
                             # broadcasts the single-row min/max frame
                             "events_value_histogram",
                             # broadcasts the single-row max-chars frame
-                            "corpus_importance_sample"}, name
+                            "corpus_importance_sample",
+                            # broadcasts the single-row doc-count frame
+                            "text_keywords_per_doc"}, name
 
 
 def test_asof_join_is_single_shuffle_window(spark, sf_dir):
