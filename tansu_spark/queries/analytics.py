@@ -2005,3 +2005,116 @@ def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "score", F.col("rank").cast("int"))
     )
+
+
+@query(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(28,2)))
+                  AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m,
+             frequency, monetary
+      FROM per_cust
+    )
+    SELECT r, f, m,
+           count(*) AS n_customers,
+           CAST(sum(frequency) AS BIGINT) AS orders,
+           round(CAST(sum(CAST(monetary AS DECIMAL(28,2))) AS DOUBLE), 2) AS revenue
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (the classic CRM lattice): per customer
+    recency (last order date), frequency, and decimal-exact monetary,
+    quintiled with deterministic tie-breaks (customer key), aggregated to
+    the 5x5x5 segment lattice. ntile follows the SQL-standard fill rule
+    on both engines; monetary sums go through DECIMAL so the revenue per
+    cell hashes identically. Scale note: the three ntiles are global
+    sorts of the per-CUSTOMER table (|customers| rows, not |orders|) —
+    at 100 TB the per-cust agg shrinks the data 10-100x before any
+    sort, and each sort is a single skinny column pair."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    from pyspark.sql import Window
+
+    r = F.ntile(5).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+    f = F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+    scored = per_cust.select(
+        "o_custkey", "frequency", "monetary", r.alias("r"), f.alias("f"), m.alias("m")
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("frequency").cast("long").alias("orders"),
+        F.round(F.sum(F.col("monetary").cast("decimal(28,2)")).cast("double"), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
+    "events_outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           round(any_value(d.med), 6) AS median_value,
+           round(any_value(a.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(min(CASE WHEN d.adev > 3 * a.mad THEN d.value END) AS DOUBLE)
+             AS min_outlier_value
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via MEDIAN ABSOLUTE DEVIATION — the
+    heavy-tail-safe twin of the z-score query (one extreme value shifts a
+    mean/stddev fence, never a median/MAD fence). Two exact medians per
+    group (Spark `percentile` == DuckDB `quantile_cont`, bit-equal), the
+    deviations joined back through a broadcast of the tiny per-type model
+    rows; flag = |x - med| > 3 x MAD. Per-group in-reducer sorts, no
+    global shuffle beyond the two groupBys."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    d = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.col("adev") > 3 * F.col("mad")
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("med"), 6).alias("median_value"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.sum(is_out.cast("int")).cast("long").alias("n_outliers"),
+        F.min(F.when(is_out, F.col("value"))).cast("double").alias("min_outlier_value"),
+    )
