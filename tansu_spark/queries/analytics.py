@@ -2118,3 +2118,87 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_out.cast("int")).cast("long").alias("n_outliers"),
         F.min(F.when(is_out, F.col("value"))).cast("double").alias("min_outlier_value"),
     )
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess
+          FROM g)
+    SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SECOND real Structured Streaming run under the oracle: per-user
+    SESSION windows (30-minute gap) through the native
+    `session_window` streaming aggregation — stateful session merging,
+    the operator class the reference's engine cannot express — into a
+    complete-mode memory sink, checked against the batch gaps-and-islands
+    formulation in DuckDB. Session ids are normalized to per-user
+    start-order so both engines name sessions identically.
+
+    Scale: production runs the same operator in update mode with a
+    watermark; state per user is one open session, merged as events
+    arrive."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    ts_is_long = schema["ts"].dataType.typeName() == "long"
+    ts_col = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", ts_col.alias("timestamp"))
+    )
+    agg = stream.groupBy(
+        F.session_window("timestamp", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    name = "stream_session_oracle"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    out = spark.table(name).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("raw_end"),
+        "n_events",
+    )
+    # Spark's session end = last event + gap; the batch formulation ends
+    # at the last EVENT. Recover it: end = raw_end - gap. Session ids =
+    # per-user rank by start (1-based, matching the oracle's cumulative
+    # break sum).
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return out.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        "session_start",
+        (F.col("raw_end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
