@@ -2202,3 +2202,58 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("raw_end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day, user_id FROM events GROUP BY 1, 2
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM days GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT a.user_id) AS wau
+      FROM (SELECT DISTINCT day FROM days) d
+      JOIN days a ON a.day > d.day - 7 AND a.day <= d.day
+      GROUP BY d.day
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product-health
+    trio. The (day, user) distinct table shrinks the stream first; the
+    trailing window is a bounded range join of the tiny day list against
+    it (7 candidate days per row), never a self-join of raw events. Exact
+    integer counts; one rounded division."""
+    ev = load(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    day_list = days.select("day").distinct()
+    wau = (
+        day_list.alias("d")
+        .join(
+            days.alias("a"),
+            (F.col("a.day") > F.date_sub(F.col("d.day"), 7))
+            & (F.col("a.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("a.user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long"),
+            F.col("wau").cast("long"),
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

@@ -2070,3 +2070,92 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("within_source"),
     )
+
+
+@query(
+    "dedup_lsh_recall_report",
+    oracle=_SH_CTE
+    + """,
+    sub AS (SELECT doc_id, shingles FROM sh WHERE doc_id < 200),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / greatest(len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles)), 1) >= 0.5
+    ),
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sub),
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
+            FROM e CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     string_agg(mh, '|' ORDER BY seed) AS band_sig
+              FROM sig GROUP BY doc_id, seed // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id),
+    vcand AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN sub sa ON sa.doc_id = c.doc_a
+                  JOIN sub sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / greatest(len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles)), 1) >= 0.5
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM vcand) AS n_found,
+           round((SELECT count(*) FROM vcand)::DOUBLE
+                 / greatest((SELECT count(*) FROM truth), 1), 6) AS recall,
+           round((SELECT count(*) FROM vcand)::DOUBLE
+                 / greatest((SELECT count(*) FROM cand), 1), 6) AS precision
+    """,
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index TUNING report: on a deterministic audit slice (doc_id <
+    200, small enough that the exact all-pairs ground truth is
+    computable), measure the candidate pipeline's RECALL (verified
+    near-dup pairs found / true pairs at Jaccard >= 0.5) and PRECISION
+    (verified / candidates). This is how band/row parameters get chosen
+    before committing a 100 TB run — the audit slice stays fixed-size
+    however big the corpus, so the report costs O(slice^2) forever while
+    the index it certifies scales with the data."""
+    docs = _docs(spark, sf_dir)
+    sub = docs.where(F.col("doc_id") < 200)
+    sh = D.with_shingles(sub).cache()
+    # exact ground truth over the audit slice
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select((inter / F.greatest(union, F.lit(1))).alias("j"))
+        .where(F.col("j") >= 0.5)
+        .agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    )
+    cand = D.minhash_lsh_pairs(sub, shingled=sh).localCheckpoint(eager=True)
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    found = D.jaccard_verify(cand, sh, threshold=0.5).agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return (
+        truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(found))
+        .select(
+            F.col("n_true_pairs").cast("long"),
+            F.col("n_candidates").cast("long"),
+            F.col("n_found").cast("long"),
+            F.round(
+                F.col("n_found").cast("double")
+                / F.greatest(F.col("n_true_pairs"), F.lit(1)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.col("n_found").cast("double")
+                / F.greatest(F.col("n_candidates"), F.lit(1)),
+                6,
+            ).alias("precision"),
+        )
+    )
