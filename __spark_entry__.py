@@ -70,6 +70,7 @@ def _ordered_names() -> list[str]:
         "text_quality_score",
         "text_lang_id",
         "lake_generated_columns",
+        "text_vocab_prune",
     }
 
     def prio(name: str) -> int:
