@@ -40,7 +40,14 @@ def test_q1_column_pruning(spark, sf_dir):
 def test_joins_never_cartesian(spark, sf_dir):
     """No query may degrade to CartesianProduct / BroadcastNestedLoop —
     except the two that broadcast a tiny query-vector set by design."""
-    by_design = {"sim_cosine_topk", "sim_hard_negatives"}
+    by_design = {
+        "sim_cosine_topk",
+        "sim_hard_negatives",
+        # fixed-size audit slice: exact all-pairs ground truth on purpose
+        "dedup_lsh_recall_report",
+        # bounded 7-day range join over the tiny distinct-day list
+        "events_dau_wau_stickiness",
+    }
     for name in sorted(QUERIES):
         if name in by_design:
             continue
