@@ -2257,3 +2257,98 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+@query(
+    "events_weekly_percentile_bands",
+    oracle="""
+    SELECT date_trunc('week', ts) AS week,
+           event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY week, event_type
+    """,
+)
+def events_weekly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed latency-band profile: weekly p50/p90/p99 per event
+    type — the SLO dashboard shape. Exact interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont` bit-for-bit) inside a
+    single groupBy on (week, type); per-group in-reducer sorts, no
+    global shuffle."""
+    ev = load(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.timestamp_micros(F.expr("ts div 1000")))
+    pcts = F.percentile("value", F.lit([0.5, 0.9, 0.99]))
+    return (
+        ev.select(week.alias("week"), "event_type", "value")
+        .groupBy("week", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(pcts.getItem(0), 6).alias("p50"),
+            F.round(pcts.getItem(1), 6).alias("p90"),
+            F.round(pcts.getItem(2), 6).alias("p99"),
+        )
+    )
+
+
+@query(
+    "orders_pareto_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(28,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+             count(*) OVER () AS n_cust,
+             sum(rev) OVER () AS total_rev
+      FROM per_cust
+    ),
+    deciles AS (
+      SELECT CAST(ceil(rn * 10.0 / n_cust) AS INTEGER) AS decile,
+             rev, total_rev
+      FROM ranked
+    )
+    SELECT decile,
+           count(*) AS n_customers,
+           CAST(sum(rev) AS DOUBLE) AS revenue,
+           round(CAST(sum(rev) AS DOUBLE) / CAST(any_value(total_rev) AS DOUBLE), 6)
+             AS revenue_share
+    FROM deciles GROUP BY decile
+    """,
+)
+def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the Pareto check): customers ranked by
+    decimal-exact revenue, split into top-rank deciles, each decile's
+    share of total revenue — does the top 10% carry the business?
+    Per-customer agg shrinks first; the rank is one skinny global sort;
+    sums stay DECIMAL until the final share division."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    from pyspark.sql import Window
+
+    ranked = per_cust.select(
+        "rev",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev"), F.asc("o_custkey")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cust"),
+        F.sum("rev").over(Window.partitionBy()).alias("total_rev"),
+    )
+    deciles = ranked.select(
+        F.ceil(F.col("rn") * 10.0 / F.col("n_cust")).cast("int").alias("decile"),
+        "rev",
+        "total_rev",
+    )
+    return deciles.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").cast("double").alias("revenue"),
+        F.round(
+            F.sum("rev").cast("double") / F.first("total_rev").cast("double"), 6
+        ).alias("revenue_share"),
+    )

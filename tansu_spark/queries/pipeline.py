@@ -2159,3 +2159,26 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+@query(
+    "dedup_simhash_hamming_histogram",
+    oracle=_simhash64_oracle().replace(
+        "SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 3",
+        """SELECT hamming, count(*) AS n_pairs,
+                  min(doc_a) AS min_doc_a, max(doc_b) AS max_doc_b
+           FROM pr WHERE hamming <= 3 GROUP BY hamming""",
+    ),
+)
+def dedup_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram of the SimHash candidate pairs — the
+    threshold-tuning view: where does the distance mass sit relative to
+    the hamming <= 3 cut? One groupBy over the pair list (itself the
+    pigeonhole-join output), so the histogram costs nothing beyond the
+    candidates it profiles."""
+    pairs = D.simhash64_pairs(D.simhash64(_docs(spark, sf_dir)))
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("doc_a").alias("min_doc_a"),
+        F.max("doc_b").alias("max_doc_b"),
+    )
