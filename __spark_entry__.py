@@ -71,6 +71,7 @@ def _ordered_names() -> list[str]:
         "text_lang_id",
         "lake_generated_columns",
         "text_vocab_prune",
+        "lake_normalize_flatten",
     }
 
     def prio(name: str) -> int:
