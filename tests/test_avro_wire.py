@@ -299,3 +299,36 @@ def test_avro_wire_decode_composes_with_streaming(avro_store, tmp_path):
         .collect()
     }
     assert got == expect and len(got) == 3
+
+
+def test_decimal_edge_values():
+    """Two's-complement boundaries: -1, -128, -129, 0, and scale
+    handling for fixed-size decimals."""
+    from decimal import Decimal
+
+    sch = {"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 2}
+    for v in ("-0.01", "-1.28", "-1.29", "0.00", "0.01", "12345678.90", "-99999999.99"):
+        assert W.decode(sch, W.encode(sch, Decimal(v))) == Decimal(v), v
+    # minimal byte lengths: -1 scaled -> one 0xff byte
+    assert W.encode(sch, Decimal("-0.01")) == b"\x02\xff"
+    fsch = {"type": "fixed", "name": "F", "size": 4,
+            "logicalType": "decimal", "precision": 9, "scale": 0}
+    assert W.decode(fsch, W.encode(fsch, Decimal(-1))) == Decimal(-1)
+    assert W.encode(fsch, Decimal(-1)) == b"\xff\xff\xff\xff"  # sign-extended
+
+
+def test_json_sourced_coercions():
+    """The cat-produce path: ISO strings and float/str decimals encode
+    exactly."""
+    import datetime
+    from decimal import Decimal
+
+    d = {"type": "int", "logicalType": "date"}
+    assert W.decode(d, W.encode(d, "2026-08-14")) == datetime.date(2026, 8, 14)
+    t = {"type": "long", "logicalType": "timestamp-micros"}
+    assert W.decode(t, W.encode(t, "2026-08-14T01:02:03.000004")) == datetime.datetime(
+        2026, 8, 14, 1, 2, 3, 4
+    )
+    dec = {"type": "bytes", "logicalType": "decimal", "precision": 6, "scale": 2}
+    assert W.decode(dec, W.encode(dec, "12.34")) == Decimal("12.34")
+    assert W.decode(dec, W.encode(dec, 12.34)) == Decimal("12.34")  # str(float) exact

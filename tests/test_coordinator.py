@@ -296,3 +296,39 @@ def test_delete_groups_contract(coord):
     assert coord.delete_groups(["dg"]) == [("dg", ErrorCode.NONE)]
     assert "dg" not in [g["group_id"] for g in coord.list_groups()]
     assert coord.offset_fetch("dg", "t") == {}  # cursor gone too
+
+
+def test_concurrent_joins_converge(spark, tmp_path):
+    """Threaded two-step joins against one coordinator: the store lock
+    serializes mutations — every member registers exactly once, one
+    leader emerges, and the leader's roster covers all members."""
+    import threading
+
+    broker = Broker(spark, str(tmp_path / "store"))
+    broker.create_topic("t", partitions=8)
+    coord = GroupCoordinator(broker)
+    results, errors = {}, []
+
+    def worker(i):
+        try:
+            first = coord.join("g", protocols=PROTOS, client_id=f"c{i}", now=0.0)
+            assert first["error"] is ErrorCode.MEMBER_ID_REQUIRED
+            r = coord.join("g", member_id=first["member_id"], protocols=PROTOS, now=0.0)
+            results[i] = r
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert all(r["error"] is ErrorCode.NONE for r in results.values())
+    leaders = {r["leader"] for r in results.values() if r["leader"]}
+    d = coord.describe("g")
+    assert d["leader"] in leaders
+    assert len(d["members"]) == 6
+    # the leader (whoever re-joins last sees the full roster) can finish
+    roster = coord.join("g", member_id=d["leader"], protocols=PROTOS, now=0.0)
+    assert {m["member_id"] for m in roster["members"]} == set(d["members"])
