@@ -2352,3 +2352,48 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("double") / F.first("total_rev").cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "orders_fulfillment_latency",
+    oracle="""
+    WITH delays AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           CAST(min(delay_days) AS BIGINT) AS min_days,
+           round(quantile_cont(delay_days, 0.5), 6) AS p50_days,
+           round(quantile_cont(delay_days, 0.9), 6) AS p90_days,
+           CAST(max(delay_days) AS BIGINT) AS max_days,
+           CAST(sum(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS late_lines
+    FROM delays GROUP BY o_orderpriority
+    """,
+)
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency profile per order priority: order-date →
+    ship-date delay in whole days, exact percentiles, and a >90-day
+    late-line count — the supply-chain SLA view. One fact⋈fact equi-join
+    on the order key (AQE-planned) feeding a groupBy on the tiny
+    priority domain; the day arithmetic is exact integer datediff in
+    both engines."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    delays = orders.join(
+        li, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("delay_days"),
+    )
+    pcts = F.percentile("delay_days", F.lit([0.5, 0.9]))
+    return delays.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("delay_days").cast("long").alias("min_days"),
+        F.round(pcts.getItem(0), 6).alias("p50_days"),
+        F.round(pcts.getItem(1), 6).alias("p90_days"),
+        F.max("delay_days").cast("long").alias("max_days"),
+        F.sum((F.col("delay_days") > 90).cast("int")).cast("long").alias("late_lines"),
+    )
