@@ -2397,3 +2397,66 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("delay_days").cast("long").alias("max_days"),
         F.sum((F.col("delay_days") > 90).cast("int")).cast("long").alias("late_lines"),
     )
+
+
+@query(
+    "events_type_audience_overlap",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS overlap
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1)
+    SELECT p.type_a, p.type_b,
+           CAST(p.overlap AS BIGINT) AS overlap,
+           CAST(sa.n_users AS BIGINT) AS users_a,
+           CAST(sb.n_users AS BIGINT) AS users_b,
+           round(CAST(p.overlap AS DOUBLE)
+                 / (sa.n_users + sb.n_users - p.overlap), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+)
+def events_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: exact |A∩B| and Jaccard per
+    unordered type pair over DISTINCT (type, user) — which behaviors
+    share an audience. The distinct table shrinks the stream first; the
+    self-join keys on user_id (uniform), and the pair fan-out is bounded
+    by types-per-user, never |types|² x |users|. The KMV-sketch twin
+    (kmv_supplier_overlap_by_brand) serves the same question when the
+    distinct table itself is too big to join."""
+    ev = load(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"),
+                                     F.col("n_users").alias("users_a"))), "type_a")
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"),
+                                     F.col("n_users").alias("users_b"))), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.col("overlap").cast("long"),
+            F.col("users_a").cast("long"),
+            F.col("users_b").cast("long"),
+            F.round(
+                F.col("overlap").cast("double")
+                / (F.col("users_a") + F.col("users_b") - F.col("overlap")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
