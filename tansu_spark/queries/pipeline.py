@@ -2182,3 +2182,46 @@ def dedup_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFra
         F.min("doc_a").alias("min_doc_a"),
         F.max("doc_b").alias("max_doc_b"),
     )
+
+
+@query(
+    "pipeline_label_text_quality",
+    oracle="""
+    WITH joined AS (
+      SELECT e.label, d.n_chars,
+             len(regexp_extract_all(d.text, '[^ ]+')) AS n_tok
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    )
+    SELECT label,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(n_tok) AS BIGINT) AS tokens,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM joined GROUP BY label
+    """,
+)
+def pipeline_label_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-MODALITY integration: the embedding table's cluster labels
+    joined back to the text corpus they were computed from — per label,
+    the text-volume profile of its member documents. The join keys the
+    two extension tables on the shared id; at 100 TB the embedding side
+    is the smaller projection and broadcasts or AQE-plans. The shape
+    every labeled-dataset audit uses: does any cluster hold suspiciously
+    short/long documents."""
+    docs = _docs(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    joined = emb.join(docs, "doc_id").select(
+        "label",
+        "n_chars",
+        F.size(F.regexp_extract_all("text", F.lit("[^ ]+"), F.lit(0))).alias("n_tok"),
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

@@ -188,3 +188,30 @@ def test_cc_matches_union_find_on_random_graphs(spark):
             for r in connected_components(e).collect()
         }
         assert got == want, f"trial {trial}: {sorted(edges)}"
+
+
+def test_incremental_lsh_equals_cross_slice_of_full(spark, sf_dir):
+    """Correctness invariant: incremental (base vs new) candidates are
+    EXACTLY the full-corpus candidate pairs that cross the split — no
+    pair lost by indexing separately, none invented."""
+    from pyspark.sql import functions as F
+
+    from tansu_spark.functions.dedup import incremental_lsh_pairs, minhash_lsh_pairs
+    from tansu_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 10 < 8)
+    new = docs.where(F.col("doc_id") % 10 >= 8)
+
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_pairs(base, new).collect()
+    }
+    full = minhash_lsh_pairs(docs).collect()
+    cross = set()
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % 10 < 8) != (b % 10 < 8):
+            base_id, new_id = (a, b) if a % 10 < 8 else (b, a)
+            cross.add((base_id, new_id))
+    assert inc == cross
