@@ -2225,3 +2225,77 @@ def pipeline_label_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@query(
+    "pipeline_post_dedup_token_budget",
+    oracle=_EDGE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    walk AS (SELECT a AS node, a AS lbl FROM ed
+             UNION
+             SELECT e2.b, w.lbl FROM walk w JOIN ed e2 ON e2.a = w.node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+             FROM walk GROUP BY node),
+    ranked AS (
+      SELECT c.doc_id, row_number() OVER (
+               PARTITION BY c.component_id
+               ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d USING (doc_id)),
+    drops AS (SELECT doc_id FROM ranked WHERE rn > 1),
+    toks AS (SELECT doc_id, source,
+                    len(regexp_extract_all(text, '[^ ]+')) AS n_tok
+             FROM documents)
+    SELECT t.source,
+           count(*) AS n_docs,
+           CAST(sum(t.n_tok) AS BIGINT) AS tokens_before,
+           CAST(sum(CASE WHEN dr.doc_id IS NULL THEN t.n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_after,
+           CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_dropped
+    FROM toks t LEFT JOIN drops dr USING (doc_id)
+    GROUP BY t.source
+    """,
+)
+def pipeline_post_dedup_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation CAPSTONE number: per source, the training-token
+    budget BEFORE and AFTER executing the near-dup decisions (keep the
+    highest-quality member per verified cluster, drop the rest) — what a
+    dedup run actually buys in context-lengths. Composes the whole
+    chain: LSH candidates → Jaccard verify → connected components →
+    quality-canonical keep flags → token accounting; the drop list is a
+    slim anti-join against the token table."""
+    from pyspark.sql import Window
+
+    from tansu_spark.functions.packing import token_count
+    from tansu_spark.operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    sh = D.with_shingles(docs).cache()
+    pairs = D.minhash_lsh_pairs(docs, shingled=sh)
+    edges = D.jaccard_verify(pairs, sh, threshold=0.5).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    ranked = (
+        cc.withColumnRenamed("node", "doc_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("component_id").orderBy(
+                    F.desc("n_chars"), F.asc("doc_id")
+                )
+            ),
+        )
+    )
+    drops = ranked.where(F.col("rn") > 1).select("doc_id", F.lit(1).alias("_drop"))
+    toks = docs.select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tok")
+    )
+    t = toks.join(drops, "doc_id", "left")
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens_before"),
+        F.sum(F.when(F.col("_drop").isNull(), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_after"),
+        F.sum(F.col("_drop").isNotNull().cast("int")).cast("long").alias("docs_dropped"),
+    )

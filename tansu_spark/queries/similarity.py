@@ -475,3 +475,64 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= 5
     ).drop("_rn")
+
+
+@query(
+    "embeddings_shard_drift",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS shard,
+             unnest(list_transform(embedding, (x, i) -> struct_pack(dim := i, x := x)),
+                    recursive := true)
+      FROM embeddings),
+    cents AS (
+      SELECT label, shard, dim,
+             CAST(round(avg(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))), 10) AS DOUBLE)
+               AS m,
+             count(*) AS n
+      FROM ex GROUP BY label, shard, dim),
+    wide AS (
+      SELECT a.label, a.dim, a.m AS m0, b.m AS m1, a.n AS n0, b.n AS n1
+      FROM cents a JOIN cents b
+        ON a.label = b.label AND a.dim = b.dim AND a.shard = 0 AND b.shard = 1)
+    SELECT label,
+           round(sum(abs(m0 - m1)), 8) AS l1_drift,
+           round(max(abs(m0 - m1)), 8) AS max_dim_drift,
+           CAST(min(n0) AS BIGINT) AS n_shard0,
+           CAST(min(n1) AS BIGINT) AS n_shard1
+    FROM wide GROUP BY label
+    """,
+)
+def embeddings_shard_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DRIFT detection: per-class centroids computed
+    independently on two deterministic halves of the corpus (vec_id
+    parity — in production: yesterday's batch vs today's) and compared
+    dimension-wise; L1 and max-dim drift per label. Decimal-exact means
+    make the drift statistic itself reproducible — a monitoring alert
+    that cannot flap with partitioning. Same posexplode + partial-agg
+    shape as the centroid query, keyed by (label, shard, dim)."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("shard"),
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select("label", "shard", (F.col("dim0") + 1).alias("dim"), "x")
+    cents = ex.groupBy("label", "shard", "dim").agg(
+        F.round(F.avg(F.col("x").cast("double").cast("decimal(28,12)")), 10)
+        .cast("double")
+        .alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = cents.where(F.col("shard") == 0).select(
+        "label", "dim", F.col("m").alias("m0"), F.col("n").alias("n0")
+    )
+    b = cents.where(F.col("shard") == 1).select(
+        "label", "dim", F.col("m").alias("m1"), F.col("n").alias("n1")
+    )
+    wide = a.join(b, ["label", "dim"])
+    return wide.groupBy("label").agg(
+        F.round(F.sum(F.abs(F.col("m0") - F.col("m1"))), 8).alias("l1_drift"),
+        F.round(F.max(F.abs(F.col("m0") - F.col("m1"))), 8).alias("max_dim_drift"),
+        F.min("n0").cast("long").alias("n_shard0"),
+        F.min("n1").cast("long").alias("n_shard1"),
+    )
