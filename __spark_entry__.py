@@ -72,6 +72,7 @@ def _ordered_names() -> list[str]:
         "lake_generated_columns",
         "text_vocab_prune",
         "lake_normalize_flatten",
+        "sim_cosine_topk",
     }
 
     def prio(name: str) -> int:
