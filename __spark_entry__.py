@@ -48,52 +48,39 @@ def _driver_verified() -> set[str]:
 
 
 def _ordered_names() -> list[str]:
-    from tansu_spark.queries import QUERIES
+    """Deterministic rotation: queries without a driver-green row from ANY
+    prior round go first (registry order within each priority band), so
+    the gate's bounded window converges on full verification across
+    rounds; already-verified queries follow in registry order and are
+    re-checked whenever the window allows. Set TANSU_GATE_ROTATION=0 for
+    plain registry order (no CORRECTNESS_r*.json dependence)."""
+    from tansu_spark.queries import ORACLE, QUERIES
+
+    if os.environ.get("TANSU_GATE_ROTATION", "1") == "0":
+        return list(QUERIES)
 
     passed = _driver_verified()
     unverified = [n for n in QUERIES if n not in passed]
 
-    # Within the unverified block, order by group priority so the groups
-    # with zero driver-side rows so far (dedup/sim/text/lake/sampling) all
-    # land inside the gate's ~50-entry window; TPC-H goes last — its family
-    # already has nine driver-green members vouching for the shared
-    # join/agg machinery. Registry order is preserved within a group.
-    # A few per-group members whose machinery is vouched for by their
-    # group-mates ride late so the whole sample/corpus group fits a
-    # strict 50-entry gate window; the rotation picks them up next round.
-    deferred = {
+    # Round-3 window math: 55 oracled-unverified queries compete for the
+    # gate's ~50 slots. Five text singles ride last among the unverified
+    # (their machinery is vouched for by 13 driver-green text queries);
+    # rows-only entries (no oracle, so the gate can only count rows) go
+    # after ALL oracled unverified so they never burn an exact-check slot.
+    late_text = {
         "text_top_tokens",
         "text_type_token_ratio",
         "text_fingerprint",
-        "text_token_stats",
-        "lake_partition_stats",
         "text_quality_score",
-        "text_lang_id",
-        "lake_generated_columns",
         "text_vocab_prune",
-        "lake_normalize_flatten",
-        "sim_cosine_topk",
     }
 
     def prio(name: str) -> int:
-        if name in deferred:
-            return 60
-        for i, prefixes in enumerate(
-            [
-                ("events_approx_aggregates",),  # round-1 err — recheck first
-                ("dedup_",),
-                ("sim_", "embeddings_"),
-                ("text_",),
-                ("lake_",),
-                ("sample_", "corpus_"),
-                ("multimodal_",),
-                ("graph_", "pipeline_"),
-                ("tpch_",),
-            ]
-        ):
-            if any(name.startswith(p) or name == p for p in prefixes):
-                return i if i < 8 else 100
-        return 50  # everything else between the named groups and tpch
+        if name not in ORACLE:
+            return 95  # rows-only: weakest check, last among unverified
+        if name in late_text:
+            return 90
+        return 0
 
     head = sorted(unverified, key=prio)
     return head + [n for n in QUERIES if n in passed]

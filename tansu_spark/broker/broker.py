@@ -145,6 +145,7 @@ class Broker:
         os.makedirs(os.path.join(root, "topics"), exist_ok=True)
         os.makedirs(os.path.join(root, "groups"), exist_ok=True)
         self._migrate_legacy_txns()
+        self._replay_pending_txn_offsets()
 
     def _migrate_legacy_txns(self) -> None:
         """One-time fold of legacy per-topic ``topics/<name>/txns.json``
@@ -455,6 +456,12 @@ class Broker:
             # footers carry the codec per column chunk, the exact
             # mechanism the reference's record-batch attribute plays).
             codec = _PARQUET_CODECS[cfg.config.get("compression.type", "producer")]
+            pre_files: set[str] = set()
+            if txn_id is not None:
+                # Snapshot segments BEFORE the write so a terminal-txn
+                # race can scrub exactly the files this produce landed
+                # (we hold the topic lock — no concurrent writer).
+                pre_files = self._segment_files(topic)
             observed.write.mode("append").option(
                 "compression", codec
             ).partitionBy("partition").parquet(self._data_dir(topic))
@@ -475,14 +482,19 @@ class Broker:
                 m = marks.setdefault(str(p), {"low": 0, "high": 0})
                 result[p] = int(m["high"])
                 m["high"] = int(m["high"]) + int(n)
-            write_json_atomic(self._state(topic, "watermarks.json"), marks)
-            self._refresh_segment_stats(topic)
 
             if txn_id is not None:
                 # AddPartitionsToTxn (lib.rs:1480-1517): register this
                 # topic's produced ranges under the STORE-GLOBAL txn —
                 # one transaction spans topics, like the reference's
-                # txn_topition/txn_produce_offset tables.
+                # txn_topition/txn_produce_offset tables. The terminal-txn
+                # re-check, range registration AND the watermark bump all
+                # happen under the txn lock: if EndTxn/the sweep flipped
+                # the txn terminal while the segment write ran, we scrub
+                # the just-landed files and raise WITHOUT bumping the
+                # watermark — unregistered transactional records can never
+                # enter the visible offset space, and the next produce
+                # reuses these offsets against a clean directory.
                 with file_lock(self._txn_lock_path()):
                     txns = read_json(self._txns_path(), {})
                     t = txns.setdefault(
@@ -490,8 +502,8 @@ class Broker:
                         {"state": "open", "topics": {}, "started_at": time.time()},
                     )
                     if t["state"] != "open":
-                        # Raced against EndTxn/sweep between the upfront
-                        # check and registration.
+                        for f in self._segment_files(topic) - pre_files:
+                            os.remove(f)
                         raise InvalidTxnState(
                             f"produce into {t['state']} txn {txn_id!r}"
                         )
@@ -500,6 +512,10 @@ class Broker:
                         lo, _ = ranges.get(str(p), [result[p], result[p]])
                         ranges[str(p)] = [min(lo, result[p]), result[p] + n]
                     write_json_atomic(self._txns_path(), txns)
+                    write_json_atomic(self._state(topic, "watermarks.json"), marks)
+            else:
+                write_json_atomic(self._state(topic, "watermarks.json"), marks)
+            self._refresh_segment_stats(topic)
         return result
 
     def produce_rows(self, topic: str, rows: list[dict[str, Any]], **kw) -> dict[int, int]:
@@ -577,6 +593,17 @@ class Broker:
 
     def _segment_stats_path(self, topic: str) -> str:
         return os.path.join(self._data_dir(topic), "_segment_stats.json")
+
+    def _segment_files(self, topic: str) -> set[str]:
+        """Absolute paths of every parquet segment in the topic's data dir
+        (driver-side listing; used to scrub the exact files a raced
+        transactional produce landed)."""
+        out: set[str] = set()
+        for root, _dirs, names in os.walk(self._data_dir(topic)):
+            out.update(
+                os.path.join(root, n) for n in names if n.endswith(".parquet")
+            )
+        return out
 
     def _refresh_segment_stats(self, topic: str) -> None:
         """Footer-read segments that appeared since the last refresh; drop
@@ -944,16 +971,56 @@ class Broker:
                 )
             txns[txn_id]["state"] = "committed" if commit else "aborted"
             staged = txns[txn_id].get("offsets", [])
+            if commit and staged:
+                # The state flip and the staged offsets persist in ONE
+                # atomic swap, with an offsets_pending marker: a crash
+                # after the flip but before the offsets land is replayed
+                # idempotently on the next broker startup instead of
+                # silently dropping the consume half of the EOS loop.
+                txns[txn_id]["offsets_pending"] = True
+            else:
+                txns[txn_id].pop("offsets", None)  # aborted: staged vanish
             write_json_atomic(self._txns_path(), txns)
         if commit and staged:
-            # Apply transactionally-staged consumer offsets (last staged
-            # value per (group, topition) wins) — visible only now, the
-            # TxnOffsetCommit contract.
-            by_group: dict[str, dict[tuple[str, int], int]] = {}
-            for group, topic, p, off in staged:
-                by_group.setdefault(group, {})[(topic, int(p))] = int(off)
-            for group, offs in by_group.items():
-                self.commit_offsets(group, offs)
+            self._apply_staged_offsets(staged)
+            self._clear_pending_offsets(txn_id)
+
+    def _apply_staged_offsets(self, staged: list) -> None:
+        """Apply transactionally-staged consumer offsets (last staged
+        value per (group, topition) wins) — visible only at commit, the
+        TxnOffsetCommit contract. Idempotent: re-applying sets the same
+        committed cursor values."""
+        by_group: dict[str, dict[tuple[str, int], int]] = {}
+        for group, topic, p, off in staged:
+            by_group.setdefault(group, {})[(topic, int(p))] = int(off)
+        for group, offs in by_group.items():
+            self.commit_offsets(group, offs)
+
+    def _clear_pending_offsets(self, txn_id: str) -> None:
+        with file_lock(self._txn_lock_path()):
+            txns = read_json(self._txns_path(), {})
+            t = txns.get(txn_id)
+            if t is not None and (t.get("offsets_pending") or t.get("offsets")):
+                t.pop("offsets", None)
+                t.pop("offsets_pending", None)
+                write_json_atomic(self._txns_path(), txns)
+
+    def _replay_pending_txn_offsets(self) -> None:
+        """Startup recovery for the commit/offset-apply crash window:
+        any COMMITTED txn still carrying offsets_pending had its staged
+        consumer offsets interrupted mid-apply — replay them (idempotent
+        overwrite) and clear the marker."""
+        with file_lock(self._txn_lock_path()):
+            txns = read_json(self._txns_path(), {})
+            pending = {
+                tid: t.get("offsets", [])
+                for tid, t in txns.items()
+                if t.get("state") == "committed" and t.get("offsets_pending")
+            }
+        for tid, staged in pending.items():
+            if staged:
+                self._apply_staged_offsets(staged)
+            self._clear_pending_offsets(tid)
 
     def end_txn(self, topic: str, txn_id: str, commit: bool) -> None:
         """Single-topic-signature EndTxn kept for API symmetry with the

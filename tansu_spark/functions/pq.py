@@ -167,14 +167,16 @@ def pq_encode(
     return packed.join(norms, id_col)
 
 
-def _lut_df(spark, books: list[Codebook], q_rows) -> DataFrame:
+def _lut_df(spark, books: list[Codebook], q_rows, id_type: str = "bigint") -> DataFrame:
     """The serving lookup tables as a broadcast TABLE
     (query_id, sub, code, dot, qn) instead of per-query literal arrays:
     plan size stays CONSTANT in the number of queries (the literal form
     grew O(Q x n_sub x n_codes) expression nodes — the exact plan-growth
     trade _books_df already made for training). dot is computed
     driver-side on the tiny model state with the same left-to-right
-    Python fold as before, so scores stay bit-identical."""
+    Python fold as before, so scores stay bit-identical. ``id_type`` is
+    the simpleString of the caller's query-id column so non-integer ids
+    (string keys) survive the createDataFrame round-trip."""
     d = len(books[0][0][1])
     rows = []
     for qr in q_rows:
@@ -187,7 +189,7 @@ def _lut_df(spark, books: list[Codebook], q_rows) -> DataFrame:
                     (qr[0], s, cid, sum(a * b for a, b in zip(qs, v)), qn)
                 )
     return spark.createDataFrame(
-        rows, "query_id bigint, sub int, code int, dot double, qn double"
+        rows, f"query_id {id_type}, sub int, code int, dot double, qn double"
     )
 
 
@@ -233,7 +235,12 @@ def pq_topk(
     the per-sub dots map-side, so the shuffle carries ~|Q|x|N| slim rows
     and the plan is constant-size however many queries are served.
     Output: (query_id, vec_id, approx_cosine)."""
-    lut = _lut_df(encoded.sparkSession, books, queries.select(id_col, vec_col).collect())
+    lut = _lut_df(
+        encoded.sparkSession,
+        books,
+        queries.select(id_col, vec_col).collect(),
+        queries.schema[id_col].dataType.simpleString(),
+    )
     scored = _adc_scores(encoded, lut, id_col).filter(
         F.col(id_col) != F.col("query_id")
     )
@@ -264,13 +271,16 @@ def ivf_pq_topk(
     32-fold — the scan that remains reads 8-byte codes from 1/8th of
     the corpus.
 
-    Probe selection happens driver-side on the tiny model state (same
-    f64 left-fold cosine the JVM computes); candidates are pruned to the
+    Probe selection is itself a DataFrame computation (the same
+    literal-centroid argmax `ivf_assign` uses, top-n_probe via a
+    reverse-sorted slice), so serving scales to arbitrarily many queries
+    — no driver-side per-query Python loop; candidates are pruned to the
     probed clusters BEFORE any scoring by a broadcast (query, cluster)
     probe join, then scored through the broadcast LUT table — both model
     artifacts travel as data, so the plan is constant-size in the number
-    of queries."""
-    from tansu_spark.functions.similarity import ivf_assign
+    of queries. The one remaining collect feeds the LUT build (tiny model
+    arithmetic, O(Q x n_sub x n_codes) rows)."""
+    from tansu_spark.functions.similarity import _score_array, ivf_assign
 
     # The (codes, norm, cluster) index is built once and served many
     # times in production; materialize it so scoring scans the 8-byte
@@ -284,22 +294,24 @@ def ivf_pq_topk(
         .localCheckpoint(eager=True)
     )
 
-    def _py_cos(a: list[float], b: list[float]) -> float:
-        num = 0.0
-        for x, y in zip(a, b):
-            num += x * y
-        return num / (_py_norm(a) * _py_norm(b))
-
-    q_rows = queries.select(id_col, vec_col).collect()
     spark = corpus.sparkSession
-    probe_rows = [
-        (qr[0], cid)
-        for qr in q_rows
-        for cid, _ in sorted(
-            cents, key=lambda c: (-_py_cos([float(x) for x in qr[1]], c[1]), c[0])
-        )[:n_probe]
-    ]
-    probes = spark.createDataFrame(probe_rows, "query_id bigint, cluster int")
+
+    # Probe selection as a scan over the query DataFrame: score every
+    # centroid with the same f64 left-fold cosine the Python loop used
+    # (identical IEEE sequence -> identical probes), then take the
+    # n_probe best per query. reverse(array_sort(struct<c, nid>)) orders
+    # by cosine DESC with ties -> lowest centroid id (nid = -id).
+    q_scored = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_vn", norm("_qv"))
+    top_probes = F.slice(
+        F.reverse(F.array_sort(_score_array("_qv", cents, F.col("_vn")))),
+        1,
+        n_probe,
+    )
+    probes = q_scored.select(
+        "query_id", F.explode(top_probes).alias("p")
+    ).select("query_id", (-F.col("p.nid")).alias("cluster"))
 
     # Prune first: only rows in a probed cluster are ever exploded or
     # scored — at a billion vectors the scan that remains reads
@@ -307,7 +319,10 @@ def ivf_pq_topk(
     cand = enc.join(F.broadcast(probes), "cluster").filter(
         F.col(id_col) != F.col("query_id")
     )
-    lut = _lut_df(spark, books, q_rows)
+    q_rows = queries.select(id_col, vec_col).collect()
+    lut = _lut_df(
+        spark, books, q_rows, queries.schema[id_col].dataType.simpleString()
+    )
     exploded = cand.select(
         "query_id", id_col, "vnorm", F.posexplode("codes").alias("sub", "code")
     )

@@ -29,6 +29,81 @@ from pyspark.sql.types import StructType
 from tansu_spark.broker.state import file_lock, read_json, write_json_atomic
 
 
+class LakeRuntimeUnavailable(RuntimeError):
+    """A `tansu.lake.format` names a table runtime this environment does
+    not ship. The message lists exactly what would activate it — the
+    machine-checked form of the S4/S5 'partial' status (SURVEY §2.1)."""
+
+
+# What each non-parquet lake format needs before store() may use it.
+# Checked at write time (and by tests/test_lake.py's gate report) so the
+# Delta/Iceberg story is an explicit, testable environment gate instead
+# of prose: drop the jars + packages in, and the same topic config turns
+# the sink into a native Delta/Iceberg writer.
+_LAKE_RUNTIME_REQUIREMENTS: dict[str, list[str]] = {
+    "delta": [
+        "python package delta-spark (importable as `delta`)",
+        "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension",
+        "spark.sql.catalog.spark_catalog="
+        "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+    ],
+    "iceberg": [
+        "org.apache.iceberg:iceberg-spark-runtime jar on the classpath",
+        "an Iceberg catalog (spark.sql.catalog.<name>="
+        "org.apache.iceberg.spark.SparkCatalog)",
+    ],
+}
+
+
+def lake_runtime_status(spark, fmt: str) -> tuple[bool, list[str]]:
+    """(available, missing-requirements) for a lake format. Parquet is
+    always available (Spark-native); delta/iceberg probe the actual
+    runtime, never assume it."""
+    if fmt == "parquet":
+        return True, []
+    if fmt not in _LAKE_RUNTIME_REQUIREMENTS:
+        return False, [f"unknown lake format {fmt!r} (parquet|delta|iceberg)"]
+    reqs = _LAKE_RUNTIME_REQUIREMENTS[fmt]
+    missing: list[str] = []
+    if fmt == "delta":
+        try:
+            import delta  # noqa: F401
+        except ImportError:
+            missing.append(reqs[0])
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        if "io.delta.sql.DeltaSparkSessionExtension" not in ext:
+            missing.append(reqs[1])
+        cat = spark.conf.get("spark.sql.catalog.spark_catalog", "") or ""
+        if "DeltaCatalog" not in cat:
+            missing.append(reqs[2])
+    elif fmt == "iceberg":
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+        except Exception:
+            missing.append(reqs[0])
+        jconf = spark.sparkContext._jsc.sc().conf().getAll()
+        has_catalog = any(
+            str(kv._1()).startswith("spark.sql.catalog.")
+            and "iceberg" in str(kv._2()).lower()
+            for kv in jconf
+        )
+        if not has_catalog:
+            missing.append(reqs[1])
+    return (not missing), missing
+
+
+def require_lake_runtime(spark, fmt: str) -> None:
+    """Raise LakeRuntimeUnavailable naming every missing piece, or return
+    silently when the format is usable in this session."""
+    ok, missing = lake_runtime_status(spark, fmt)
+    if not ok:
+        raise LakeRuntimeUnavailable(
+            f"lake format {fmt!r} needs: " + "; ".join(missing)
+        )
+
+
 def flatten_structs(df: DataFrame, separator: str = ".") -> DataFrame:
     """Normalize: recursively expand struct columns to top-level columns
     named parent<sep>child (Arrow RecordBatch::normalize equivalent)."""
@@ -93,6 +168,7 @@ class LakeSink:
         }
         return {
             "sink": cfg.get("tansu.lake.sink", "true") != "false",
+            "format": cfg.get("tansu.lake.format", "parquet"),
             "partition": _split_specs(cfg.get("tansu.lake.partition", "")),
             "generate": generated,
             "normalize": cfg.get("tansu.lake.normalize", "false") == "true",
@@ -222,6 +298,9 @@ class LakeSink:
         cfg = self._lake_config(topic)
         if not cfg["sink"]:
             return 0
+        # Fail fast, by name, if the topic asks for a table runtime the
+        # environment doesn't ship (S4/S5 gate — parquet always works).
+        require_lake_runtime(self.spark, cfg["format"])
         highs = self.broker.list_offsets(topic, "latest")
 
         state_key = f"{self.database}.{topic}"
@@ -252,12 +331,19 @@ class LakeSink:
                 writer = out.write.mode("append").option("mergeSchema", "true")
                 if part_cols:
                     writer = writer.partitionBy(*part_cols)
-                writer.parquet(self.table_dir(topic))
-                # Table version per committed append (Delta-log equivalent;
-                # maintenance rewrites add their own versions).
-                from tansu_spark.lake.snapshots import commit_snapshot
+                if cfg["format"] == "parquet":
+                    writer.parquet(self.table_dir(topic))
+                    # Table version per committed append (Delta-log
+                    # equivalent; maintenance rewrites add their own
+                    # versions).
+                    from tansu_spark.lake.snapshots import commit_snapshot
 
-                commit_snapshot(self.table_dir(topic), "append")
+                    commit_snapshot(self.table_dir(topic), "append")
+                else:
+                    # Native Delta/Iceberg runtime (gate passed above):
+                    # the format's own transaction log IS the snapshot
+                    # mechanism — no parquet-side commit marker.
+                    writer.format(cfg["format"]).save(self.table_dir(topic))
 
             state[state_key] = {str(p): h for p, h in highs.items()}
             write_json_atomic(self._state_path(), state)

@@ -149,10 +149,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
-@query("sim_ivf_kmeans_topk")  # rows-only: float k-means training is not
-# hash-reproducible across engines (the per-cluster means are data-derived
-# model state, not SQL-expressible deterministically) — invariants are
-# pytest-checked in tests/test_similarity.py instead.
+# Retired from the registry in round 3 (was rows-only): float k-means
+# training is model state, not hash-reproducible across engines, so the
+# driver gate could never verify it beyond a row count. The oracle-backed
+# serving coverage lives in sim_ivf_ann_topk (same probe/re-rank plan,
+# seeded quantizer) and the TRAINING invariants (argmax, objective
+# descent, partition-independence, hash-sample) stay pytest-checked in
+# tests/test_similarity.py — the function remains the public trained-IVF
+# entry point.
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: 2 Lloyd iterations of
     k-means (decimal-exact means, so the model is identical on any
@@ -268,9 +272,12 @@ def embeddings_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("sim_pq_topk")  # rows-only: float codebook training is model
-# state, not SQL-reproducible across engines — recall and determinism
-# invariants are pytest-checked in tests/test_pq.py.
+# Retired from the registry in round 3 (was rows-only): trained float
+# codebooks are model state, not SQL-reproducible, so the gate saw only a
+# row count. The oracle-backed PQ coverage lives in sim_pq_encode_seeded
+# (bit-exact assignment) and sim_ivfpq_topk_seeded (bit-exact full
+# serving path); recall/determinism of TRAINED books stays pytest-checked
+# in tests/test_pq.py — the function remains the public trained-PQ entry.
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (functions/pq.py): 8 subspace codebooks
     trained on a 50% hash-sample, corpus encoded to 8 one-byte codes +

@@ -125,13 +125,13 @@ def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
         logical = node.get("logicalType")
         if logical == "decimal":
             scale = node.get("scale", 0)
-            if isinstance(value, (float, str)):
-                # JSON-sourced input (the `cat produce` path): exact via
-                # the decimal string constructor, never float arithmetic
+            if not isinstance(value, Decimal):
+                # JSON-sourced input (the `cat produce` path): int, float
+                # and str all mean the LOGICAL value ({"price": 5} is
+                # 5.00 at scale 2, same as 5.0 or "5") — exact via the
+                # decimal string constructor, never float arithmetic.
                 value = Decimal(str(value))
-            unscaled = int(
-                (value.scaleb(scale)).to_integral_value() if isinstance(value, Decimal) else value
-            )
+            unscaled = int(value.scaleb(scale).to_integral_value())
             nbytes = max(1, ((unscaled.bit_length() if unscaled >= 0 else (~unscaled).bit_length()) + 8) // 8)
             raw = unscaled.to_bytes(nbytes, "big", signed=True)
             if node["type"] == "fixed":

@@ -332,3 +332,15 @@ def test_json_sourced_coercions():
     dec = {"type": "bytes", "logicalType": "decimal", "precision": 6, "scale": 2}
     assert W.decode(dec, W.encode(dec, "12.34")) == Decimal("12.34")
     assert W.decode(dec, W.encode(dec, 12.34)) == Decimal("12.34")  # str(float) exact
+
+
+def test_decimal_int_json_input_means_logical_value():
+    """ADVICE r2: {"price": 5} at scale 2 must encode 5.00 — integral
+    JSON numbers mean the logical value, exactly like 5.0 and "5"."""
+    from decimal import Decimal
+
+    sch = {"type": "bytes", "logicalType": "decimal", "precision": 6, "scale": 2}
+    forms = [5, 5.0, "5", Decimal("5")]
+    encs = {W.encode(sch, v) for v in forms}
+    assert len(encs) == 1, "int/float/str/Decimal 5 must encode identically"
+    assert W.decode(sch, encs.pop()) == Decimal("5.00")

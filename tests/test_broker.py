@@ -656,3 +656,103 @@ def test_txn_offset_commit_atomic_with_produce(broker):
     assert broker.fetch_offsets("g-etl", "src") == {0: 4}
     with pytest.raises(InvalidTxnState):
         broker.txn_offset_commit("etl2", "g-etl", {("src", 0): 5})
+
+
+def test_txn_produce_raced_terminal_leaves_no_orphan_records(spark, tmp_path):
+    """ADVICE r2: if the sweep/EndTxn flips a txn terminal while a
+    transactional produce's segment write is in flight, the produce must
+    raise WITHOUT bumping the watermark and WITHOUT leaving orphan rows
+    that would collide with offsets the next produce assigns."""
+    from tansu_spark.broker.broker import Broker, InvalidTxnState
+
+    class RacingBroker(Broker):
+        """Flips the txn aborted between the upfront check and the
+        under-lock re-check (the pre-write segment snapshot is the first
+        hook inside that window)."""
+
+        def _segment_files(self, topic):
+            files = super()._segment_files(topic)
+            if getattr(self, "_race_once", False):
+                self._race_once = False
+                from tansu_spark.broker.state import file_lock, read_json, write_json_atomic
+
+                with file_lock(self._txn_lock_path()):
+                    txns = read_json(self._txns_path(), {})
+                    txns["racy2"]["state"] = "aborted"
+                    write_json_atomic(self._txns_path(), txns)
+            return files
+
+    b = RacingBroker(spark, str(tmp_path / "store"))
+    b.create_topic("t", partitions=1)
+    b.produce_rows("t", _rows(3))  # offsets 0..2
+    b.produce_rows("t", _rows(1), txn_id="racy")  # opens the txn
+    b.end_transaction("racy", commit=False)
+    # reset: fresh open txn, then race it during the NEXT produce
+    b.produce_rows("t", _rows(2), txn_id="racy2")
+    b._race_once = False
+
+    b2_rows_before = b.fetch("t", isolation="read_uncommitted").count()
+    from tansu_spark.broker.state import read_json
+    import os
+
+    marks_before = read_json(b._state("t", "watermarks.json"), {})
+    files_before = b._segment_files("t")
+
+    b._race_once = True
+    with pytest.raises(InvalidTxnState):
+        b.produce_rows("t", _rows(5), txn_id="racy2")
+
+    # watermark unchanged, no orphan files, visible rows unchanged
+    assert read_json(b._state("t", "watermarks.json"), {}) == marks_before
+    assert b._segment_files("t") == files_before
+    assert b.fetch("t", isolation="read_uncommitted").count() == b2_rows_before
+
+    # the offset space is clean: a fresh produce reuses those offsets
+    res = b.produce_rows("t", _rows(2))
+    df = b.fetch("t", isolation="read_uncommitted")
+    offs = sorted(r["offset"] for r in df.select("offset").collect())
+    assert offs == sorted(set(offs)), "duplicate offsets after raced produce"
+
+
+def test_committed_pending_offsets_replayed_on_startup(spark, tmp_path):
+    """ADVICE r2: crash between the committed state-flip and the staged
+    consumer-offset apply must not drop the offsets — startup replays
+    them idempotently and clears the staged list."""
+    from tansu_spark.broker.broker import Broker
+    from tansu_spark.broker.state import read_json, write_json_atomic
+
+    root = str(tmp_path / "store")
+    b = Broker(spark, root)
+    b.create_topic("src", partitions=1)
+    b.create_topic("dst", partitions=1)
+    b.produce_rows("dst", _rows(2), txn_id="etl")
+    b.txn_offset_commit("etl", "g", {("src", 0): 7})
+
+    # Simulate the crash window: state flipped + offsets_pending persisted,
+    # but the apply never ran (exactly what end_transaction's first atomic
+    # swap writes).
+    txns = read_json(b._txns_path(), {})
+    txns["etl"]["state"] = "committed"
+    txns["etl"]["offsets_pending"] = True
+    write_json_atomic(b._txns_path(), txns)
+    assert b.fetch_offsets("g", "src") == {}
+
+    b2 = Broker(spark, root)  # startup replay
+    assert b2.fetch_offsets("g", "src") == {0: 7}
+    t = read_json(b2._txns_path(), {})["etl"]
+    assert "offsets" not in t and "offsets_pending" not in t
+
+    # normal commit path also clears the staged list
+    b2.produce_rows("dst", _rows(1), txn_id="etl2")
+    b2.txn_offset_commit("etl2", "g", {("src", 0): 9})
+    b2.end_transaction("etl2", commit=True)
+    t2 = read_json(b2._txns_path(), {})["etl2"]
+    assert "offsets" not in t2 and "offsets_pending" not in t2
+    assert b2.fetch_offsets("g", "src") == {0: 9}
+
+    # aborted txns drop their staged list from txns.json
+    b2.produce_rows("dst", _rows(1), txn_id="etl3")
+    b2.txn_offset_commit("etl3", "g", {("src", 0): 99})
+    b2.end_transaction("etl3", commit=False)
+    assert "offsets" not in read_json(b2._txns_path(), {})["etl3"]
+    assert b2.fetch_offsets("g", "src") == {0: 9}

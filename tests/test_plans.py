@@ -118,6 +118,10 @@ def test_pq_serving_broadcast_lut(spark, sf_dir):
     """PQ top-k joins the LUT via BroadcastHashJoin (never shuffles the
     encoded corpus on the join key) and partial-aggregates before its
     exchange."""
-    plan = _plan(spark, sf_dir, "sim_pq_topk")
+    from tansu_spark.queries.similarity import sim_pq_topk
+
+    df = sim_pq_topk(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan

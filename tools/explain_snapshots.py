@@ -82,7 +82,7 @@ SNAPSHOTS: dict[str, str] = {
         "groupBy on source, which moves one row per source per task. No "
         "Python anywhere."
     ),
-    "sim_pq_topk": (
+    "sim_ivfpq_topk_seeded": (
         "PQ serving via the broadcast LUT table: the encoded-corpus scan "
         "reads 8-byte code arrays, `posexplode` is map-only, the LUT join "
         "is a `BroadcastHashJoin` on (sub, code) — plan size CONSTANT in "
