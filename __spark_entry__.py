@@ -74,12 +74,17 @@ def _ordered_names() -> list[str]:
         "text_quality_score",
         "text_vocab_prune",
     }
+    # Queries ADDED in round 3: ride behind the long-unverified backlog
+    # (they must not displace the tpch deep cuts from the window edge).
+    new_in_r3 = {"dedup_semantic_cluster"}
 
     def prio(name: str) -> int:
         if name not in ORACLE:
             return 95  # rows-only: weakest check, last among unverified
         if name in late_text:
             return 90
+        if name in new_in_r3:
+            return 80
         return 0
 
     head = sorted(unverified, key=prio)

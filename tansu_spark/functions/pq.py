@@ -280,7 +280,7 @@ def ivf_pq_topk(
     artifacts travel as data, so the plan is constant-size in the number
     of queries. The one remaining collect feeds the LUT build (tiny model
     arithmetic, O(Q x n_sub x n_codes) rows)."""
-    from tansu_spark.functions.similarity import _score_array, ivf_assign
+    from tansu_spark.functions.similarity import ivf_assign
 
     # The (codes, norm, cluster) index is built once and served many
     # times in production; materialize it so scoring scans the 8-byte
@@ -296,22 +296,41 @@ def ivf_pq_topk(
 
     spark = corpus.sparkSession
 
-    # Probe selection as a scan over the query DataFrame: score every
-    # centroid with the same f64 left-fold cosine the Python loop used
-    # (identical IEEE sequence -> identical probes), then take the
-    # n_probe best per query. reverse(array_sort(struct<c, nid>)) orders
-    # by cosine DESC with ties -> lowest centroid id (nid = -id).
-    q_scored = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).withColumn("_vn", norm("_qv"))
-    top_probes = F.slice(
-        F.reverse(F.array_sort(_score_array("_qv", cents, F.col("_vn")))),
-        1,
-        n_probe,
+    # Probe selection as a scan over the query DataFrame joined to the
+    # centroids as a broadcast TABLE (cent_id, cvec, cnorm) — the same
+    # constant-plan-size trade _books_df makes for the codebooks: the
+    # literal-centroid form costs O(n_clusters x n_dims) expression
+    # nodes in codegen per fresh plan. Scores use the same f64
+    # left-fold cosine the literal form produced (identical IEEE
+    # sequence -> identical probes); ties -> lowest centroid id. The
+    # join key is a constant so the tiny centroid table broadcasts as a
+    # hash join, and top-n_probe is a per-query window over Q x
+    # n_clusters slim rows.
+    cents_df = spark.createDataFrame(
+        [(cid, [float(x) for x in v], _py_norm(v)) for cid, v in cents],
+        "cent_id int, cvec array<double>, cnorm double",
     )
-    probes = q_scored.select(
-        "query_id", F.explode(top_probes).alias("p")
-    ).select("query_id", (-F.col("p.nid")).alias("cluster"))
+    q_scored = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+        .withColumn("_vn", norm("_qv"))
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(cents_df.withColumn("_one", F.lit(1))), "_one")
+        .select(
+            "query_id",
+            "cent_id",
+            (dot("_qv", "cvec") / (F.col("_vn") * F.col("cnorm"))).alias("_c"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("_c"), F.asc("cent_id")
+    )
+    probes = (
+        q_scored.withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", F.col("cent_id").alias("cluster"))
+    )
 
     # Prune first: only rows in a probed cluster are ever exploded or
     # scored — at a billion vectors the scan that remains reads

@@ -149,6 +149,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
+@query(
+    "dedup_semantic_cluster",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec
+                  FROM embeddings WHERE vec_id < 16),
+    scored AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                      {_cos_raw_sql("e.embedding", "c.c_vec")} AS cs
+               FROM embeddings e CROSS JOIN cent c),
+    assign AS (SELECT vec_id, embedding, cent_id AS cluster, cs AS cent_cos
+               FROM (SELECT *, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+                     FROM scored)
+               WHERE rn = 1),
+    drops AS (SELECT DISTINCT a.vec_id
+              FROM assign a JOIN assign b
+                ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+              WHERE {_cos_raw_sql("a.embedding", "b.embedding")} >= 0.3
+                AND (b.cent_cos > a.cent_cos
+                     OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id)))
+    SELECT a.vec_id, a.cluster, round(a.cent_cos, 10) AS cent_cosine,
+           (d.vec_id IS NULL) AS keep
+    FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id
+    """,
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, compare pairs only WITHIN a cluster, and drop any vector
+    that has a >= tau semantic duplicate ranking better (closer to the
+    centroid; ties -> lower id). Output is the per-vector decision list
+    (vec_id, cluster, cent_cosine, keep).
+
+    The 100 TB story is the blocking: candidate generation is a
+    self-equi-join on cluster id — ONE corpus shuffle, quadratic cost
+    bounded per cluster (n²/k spread across executors, k chosen so
+    clusters fit a task), never all-pairs; the assignment itself is a
+    map-only scan against literal centroids. Threshold 0.3 for the same
+    reason dedup_embedding_cosine uses 0.35: the synthetic embeddings'
+    cosine ceiling is ~0.6, so a production 0.95 would be vacuous."""
+    emb = _emb(spark, sf_dir)
+    cents = S._centroid_rows(emb, 16, "vec_id", "embedding")
+    with_n = emb.withColumn("_vn", S.norm("embedding"))
+    best = F.array_max(S._score_array("embedding", cents, F.col("_vn")))
+    assigned = with_n.select(
+        "vec_id",
+        "embedding",
+        (-best.getField("nid")).alias("cluster"),
+        best.getField("c").alias("cent_cos"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    drops = (
+        a.join(b, "cluster")
+        .where(
+            (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (S.cosine("a.embedding", "b.embedding") >= 0.3)
+            & (
+                (F.col("b.cent_cos") > F.col("a.cent_cos"))
+                | (
+                    (F.col("b.cent_cos") == F.col("a.cent_cos"))
+                    & (F.col("b.vec_id") < F.col("a.vec_id"))
+                )
+            )
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return assigned.join(drops, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.round("cent_cos", 10).alias("cent_cosine"),
+        F.col("_drop").isNull().alias("keep"),
+    )
+
+
 # Retired from the registry in round 3 (was rows-only): float k-means
 # training is model state, not hash-reproducible across engines, so the
 # driver gate could never verify it beyond a row count. The oracle-backed

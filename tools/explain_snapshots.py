@@ -82,6 +82,14 @@ SNAPSHOTS: dict[str, str] = {
         "groupBy on source, which moves one row per source per task. No "
         "Python anywhere."
     ),
+    "dedup_semantic_cluster": (
+        "SemDeDup cluster blocking: assignment is a map-only scan against "
+        "literal centroids (no shuffle, no UDF), the pairwise stage is a "
+        "self `SortMergeJoin`/`ShuffledHashJoin` on cluster id — ONE "
+        "corpus shuffle, quadratic cost bounded per cluster — and the "
+        "keep-decision is a broadcast-able anti-join of the slim drop "
+        "list. Never all-pairs."
+    ),
     "sim_ivfpq_topk_seeded": (
         "PQ serving via the broadcast LUT table: the encoded-corpus scan "
         "reads 8-byte code arrays, `posexplode` is map-only, the LUT join "
