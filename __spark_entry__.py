@@ -76,7 +76,11 @@ def _ordered_names() -> list[str]:
     }
     # Queries ADDED in round 3: ride behind the long-unverified backlog
     # (they must not displace the tpch deep cuts from the window edge).
-    new_in_r3 = {"dedup_semantic_cluster"}
+    new_in_r3 = {
+        "dedup_semantic_cluster",
+        "sim_kmeans_trained_topk",
+        "sim_pq_trained_encode",
+    }
 
     def prio(name: str) -> int:
         if name not in ORACLE:

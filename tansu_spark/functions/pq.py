@@ -35,6 +35,15 @@ from pyspark.sql import functions as F
 
 from tansu_spark.functions.similarity import _py_norm, dot, norm
 
+
+def _py_sumsq(v) -> float:
+    """Left-fold sum of squares in f64 — the exact arithmetic DuckDB's
+    list_reduce over x*x performs (no sqrt round trip)."""
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return acc
+
 Codebook = list[tuple[int, list[float]]]
 
 
@@ -62,7 +71,10 @@ def _books_df(spark, books: list[Codebook]):
     in n_sub x n_codes — giant literal trees fall out of whole-stage
     codegen and cost seconds per fresh plan."""
     rows = [
-        (s, cid, [float(x) for x in v], 0.5 * _py_norm(v) ** 2)
+        # bias = half the DIRECT sum of squares (not 0.5*norm**2 — the
+        # sqrt-then-square round trip is ~1 ULP off the fold the oracle
+        # computes, and a 1-ULP bias skew can flip an argmax near ties).
+        (s, cid, [float(x) for x in v], 0.5 * _py_sumsq(v))
         for s, book in enumerate(books)
         for cid, v in book
     ]

@@ -225,6 +225,100 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_kmeans_trained_topk",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec
+                  FROM embeddings WHERE vec_id < 16),
+    scored0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                       {_cos_raw_sql("e.embedding", "c.c_vec")} AS cs
+                FROM embeddings e CROSS JOIN cent c),
+    assign0 AS (SELECT vec_id, embedding, cent_id AS cluster
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+                      FROM scored0)
+                WHERE rn = 1),
+    ex AS (SELECT cluster,
+                  unnest(list_transform(embedding,
+                         (x, i) -> struct_pack(dim := i, x := x)),
+                         recursive := true)
+           FROM assign0),
+    tcent AS (SELECT cluster,
+                     list(m ORDER BY dim) AS t_vec
+              FROM (SELECT cluster, dim,
+                           CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+                                AS DOUBLE) / count(*) AS m
+                    FROM ex GROUP BY cluster, dim)
+              GROUP BY cluster),
+    scored1 AS (SELECT e.vec_id, e.embedding, t.cluster AS cent_id,
+                       list_reduce(list_transform(range(1, {N_DIMS + 1}),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * t.t_vec[i]),
+                         (x, y) -> x + y)
+                       / (sqrt({_dot_sql("e.embedding", "e.embedding")})
+                          * sqrt(list_reduce(list_transform(range(1, {N_DIMS + 1}),
+                              i -> t.t_vec[i] * t.t_vec[i]), (x, y) -> x + y)))
+                         AS cs
+                FROM embeddings e CROSS JOIN tcent t),
+    assign1 AS (SELECT vec_id, embedding AS ce, cent_id AS cluster
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+                      FROM scored1)
+                WHERE rn = 1),
+    probes1 AS (SELECT vec_id AS query_id, embedding AS qe, cent_id AS cluster
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+                      FROM scored1 WHERE vec_id < 8)
+                WHERE rn <= 2)
+    SELECT query_id, vec_id, {_cos_sql("qe", "ce")} AS cosine
+    FROM assign1 JOIN probes1 USING (cluster)
+    WHERE vec_id != query_id
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY {_cos_sql("qe", "ce")} DESC, vec_id) <= 5
+    """,
+)
+def sim_kmeans_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED quantizer under the EXACT-VALUE gate — the
+    upgrade round 2 deemed impossible ("float k-means training is not
+    SQL-reproducible"). The trick is the mean formula: per (cluster,
+    dim), sum the f32 values as exact DECIMAL(28,12) (after an exact
+    f32->f64 widening), cast the exact sum to DOUBLE (one correctly-
+    rounded step both engines perform identically), then divide by the
+    member count in f64 — every step is IEEE-deterministic, so the
+    trained centroids are bit-identical to the oracle's CTE replay and
+    the downstream assignment/probe/re-rank matches hash-exact. One
+    Lloyd round from the seeded init (vec_id < 16).
+
+    Scale: training is ONE partial-agg shuffle on (cluster, dim) —
+    map-side combine does the heavy summing; the collected model is
+    n_clusters x n_dims state (bounded, like every broadcast model
+    here). Production multi-round training stays in kmeans_centroids;
+    this query pins the training ARITHMETIC under the exact gate."""
+    emb = _emb(spark, sf_dir)
+    seeds = S._centroid_rows(emb, 16, "vec_id", "embedding")
+    means = (
+        S.ivf_assign(emb, seeds)
+        .select("cluster", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(28,12)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    byc: dict[int, dict[int, float]] = {}
+    for r in means:
+        byc.setdefault(r["cluster"], {})[r["dim"]] = float(r["m"])
+    cents = [
+        (cid, [byc[cid][d] for d in range(N_DIMS)]) for cid in sorted(byc)
+    ]
+    return S.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_probe=2, cents=cents
+    )
+
+
 # Retired from the registry in round 3 (was rows-only): float k-means
 # training is model state, not hash-reproducible across engines, so the
 # driver gate could never verify it beyond a row count. The oracle-backed
@@ -416,6 +510,110 @@ def sim_pq_encode_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     books = P.train_codebooks(emb, n_sub=8, n_codes=16, n_iter=0)
+    return P.pq_encode(emb, books).select(
+        "vec_id",
+        F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes"),
+        "vnorm",
+    )
+
+
+@query(
+    "sim_pq_trained_encode",
+    oracle=f"""
+    WITH seeds AS (SELECT vec_id AS code, embedding AS cv
+                   FROM embeddings ORDER BY vec_id LIMIT 16),
+    subs AS (SELECT unnest(range(8)) AS sub),
+    scored0 AS (
+      SELECT e.vec_id, s.sub, sd.code,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(e.embedding[s.sub * 8 + i] AS DOUBLE)
+                    * CAST(sd.cv[s.sub * 8 + i] AS DOUBLE)), (x, y) -> x + y)
+             - 0.5 * list_reduce(list_transform(range(1, 9),
+               i -> CAST(sd.cv[s.sub * 8 + i] AS DOUBLE)
+                    * CAST(sd.cv[s.sub * 8 + i] AS DOUBLE)), (x, y) -> x + y)
+               AS sc
+      FROM embeddings e CROSS JOIN subs s CROSS JOIN seeds sd),
+    best0 AS (SELECT vec_id, sub, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY sc DESC, code) AS rn
+                FROM scored0) WHERE rn = 1),
+    trx AS (
+      SELECT b.sub, b.code,
+             unnest(list_transform(range(1, 9),
+                    i -> struct_pack(dim := i,
+                                     x := e.embedding[b.sub * 8 + i])),
+                    recursive := true)
+      FROM best0 b JOIN embeddings e ON e.vec_id = b.vec_id),
+    tb AS (SELECT sub, code, list(m ORDER BY dim) AS tcv
+           FROM (SELECT sub, code, dim,
+                        CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+                             AS DOUBLE) / count(*) AS m
+                 FROM trx GROUP BY sub, code, dim)
+           GROUP BY sub, code),
+    books1 AS (
+      SELECT s.sub, sd.code,
+             coalesce(tb.tcv,
+                      list_transform(range(1, 9),
+                        i -> CAST(sd.cv[s.sub * 8 + i] AS DOUBLE))) AS tcv
+      FROM subs s CROSS JOIN seeds sd
+      LEFT JOIN tb ON tb.sub = s.sub AND tb.code = sd.code),
+    scored1 AS (
+      SELECT e.vec_id, b.sub, b.code,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(e.embedding[b.sub * 8 + i] AS DOUBLE) * b.tcv[i]),
+               (x, y) -> x + y)
+             - 0.5 * list_reduce(list_transform(range(1, 9),
+               i -> b.tcv[i] * b.tcv[i]), (x, y) -> x + y) AS sc
+      FROM embeddings e CROSS JOIN books1 b),
+    best1 AS (SELECT vec_id, sub, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY sc DESC, code) AS rn
+                FROM scored1) WHERE rn = 1)
+    SELECT b.vec_id,
+           string_agg(b.code, '-' ORDER BY b.sub) AS codes,
+           sqrt({_dot_sql("e.embedding", "e.embedding")}) AS vnorm
+    FROM best1 b JOIN embeddings e ON e.vec_id = b.vec_id
+    GROUP BY b.vec_id, e.embedding
+    """,
+)
+def sim_pq_trained_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ TRAINING under the exact-value gate — the companion upgrade to
+    sim_kmeans_trained_topk: one Lloyd round per subspace from the
+    seeded codebooks, per-(sub, code, dim) means via the cross-engine-
+    exact formula (exact DECIMAL(28,12) sum of exactly-widened f32
+    values -> one correctly-rounded cast to DOUBLE -> f64 division by
+    the count), then the corpus re-encoded against the TRAINED books.
+    The oracle replays seed assignment, training means (empty codes
+    fall back to their seed codeword) and re-assignment; codes match
+    bit-for-bit. Training is ONE partial-agg shuffle on
+    (sub, code, dim); the model stays n_sub x n_codes x d broadcast
+    state."""
+    from tansu_spark.functions import pq as P
+
+    emb = _emb(spark, sf_dir)
+    books0 = P.train_codebooks(emb, n_sub=8, n_codes=16, n_iter=0)
+    sub_df = P._exploded_subvecs(emb, "vec_id", "embedding", 8, 8)
+    codes0 = P._assign_codes(sub_df, P._books_df(spark, books0), "vec_id")
+    rows = (
+        codes0.join(sub_df, ["vec_id", "sub"])
+        .select("sub", "code", F.posexplode("sv").alias("dim", "x"))
+        .groupBy("sub", "code", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(28,12)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    new: list[dict[int, list[float]]] = [{} for _ in range(8)]
+    for r in rows:
+        new[r["sub"]].setdefault(r["code"], [0.0] * 8)[r["dim"]] = float(r["m"])
+    books = [
+        [(cid, new[s].get(cid, vec)) for cid, vec in book]
+        for s, book in enumerate(books0)
+    ]
     return P.pq_encode(emb, books).select(
         "vec_id",
         F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes"),
