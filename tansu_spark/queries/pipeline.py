@@ -110,8 +110,12 @@ def _dedup_chain(spark: SparkSession, sf_dir: str) -> dict:
         except Exception:
             _CHAIN_CACHE.pop(key, None)
     docs = _docs(spark, sf_dir)
-    sh = D.with_shingles(docs).cache()
     before = _persistent_rdd_ids(spark)
+    # sh is corpus-sized but hot across the whole text/dedup family —
+    # checkpointing it (RDD-level persist, immune to clearCache) means
+    # every consumer reads materialized shingles instead of re-running
+    # tokenize+n-gram over the corpus.
+    sh = D.with_shingles(docs).localCheckpoint(eager=True)
     pairs = D.minhash_lsh_pairs(docs, shingled=sh).localCheckpoint(eager=True)
     verified = D.jaccard_verify(pairs, sh, threshold=0.5).localCheckpoint(
         eager=True
@@ -849,8 +853,7 @@ def text_repeated_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     split handles stock-phrase buckets. Counts use count-FILTER, not
     SUM(CASE), because DuckDB widens integer SUM to HUGEINT while count
     stays BIGINT on both engines."""
-    docs = _docs(spark, sf_dir)
-    sh = D.with_shingles(docs)
+    sh = _dedup_chain(spark, sf_dir)["sh"]
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     dfq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -1002,9 +1005,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one partial-agg shuffle on doc_id for the counts). The flag is pure
     integer math (hits*5 >= shingles), so no float threshold crosses the
     engines."""
-    from tansu_spark.functions.dedup import with_shingles
-
-    sh = with_shingles(_docs(spark, sf_dir))
+    sh = _dedup_chain(spark, sf_dir)["sh"]
     e = sh.select("doc_id", F.explode("shingles").alias("s"))
     ev = (
         e.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
@@ -1428,7 +1429,7 @@ def text_novelty_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle key so AQE skew-split covers stock phrases — the same plan
     skeleton as the repeated-shingles boilerplate query, answering the
     asymmetric question that symmetric document frequency can't."""
-    sh = D.with_shingles(_docs(spark, sf_dir))
+    sh = _dedup_chain(spark, sf_dir)["sh"]
     e = sh.select("doc_id", F.explode("shingles").alias("s"))
     first = e.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     return (
@@ -1954,7 +1955,7 @@ def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame
     base = docs.where(F.col("doc_id") % 10 < 8)
     new = docs.where(F.col("doc_id") % 10 >= 8)
     pairs = D.incremental_lsh_pairs(base, new)
-    sh = D.with_shingles(docs)
+    sh = _dedup_chain(spark, sf_dir)["sh"]
     verified = D.jaccard_verify(pairs, sh, threshold=0.0)
     return verified.groupBy(F.col("doc_b").alias("new_doc")).agg(
         F.count(F.lit(1)).alias("n_candidates"),

@@ -192,19 +192,27 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S._centroid_rows(emb, 16, "vec_id", "embedding")
     with_n = emb.withColumn("_vn", S.norm("embedding"))
     best = F.array_max(S._score_array("embedding", cents, F.col("_vn")))
+    # Norms ride the assignment row (computed once per VECTOR, not per
+    # pair): the pairwise stage then does ONE fold per pair instead of
+    # three — same IEEE value, the oracle's sqrt(dot(x,x)) is exactly
+    # this _vn.
     assigned = with_n.select(
         "vec_id",
         "embedding",
+        "_vn",
         (-best.getField("nid")).alias("cluster"),
         best.getField("c").alias("cent_cos"),
-    )
+    ).localCheckpoint(eager=True)  # assignment scan runs once, not 3x
     a = assigned.alias("a")
     b = assigned.alias("b")
+    pair_cos = S.dot("a.embedding", "b.embedding") / (
+        F.col("a._vn") * F.col("b._vn")
+    )
     drops = (
         a.join(b, "cluster")
         .where(
             (F.col("a.vec_id") != F.col("b.vec_id"))
-            & (S.cosine("a.embedding", "b.embedding") >= 0.3)
+            & (pair_cos >= 0.3)
             & (
                 (F.col("b.cent_cos") > F.col("a.cent_cos"))
                 | (
