@@ -71,7 +71,11 @@ def test_joins_never_cartesian(spark, sf_dir):
                             # broadcasts the single-row max-chars frame
                             "corpus_importance_sample",
                             # broadcasts the single-row doc-count frame
-                            "text_keywords_per_doc"}, name
+                            "text_keywords_per_doc",
+                            # broadcasts the 16-row centroid table against
+                            # the query set for probe selection (plan-size
+                            # constant in n_clusters x n_dims)
+                            "sim_ivfpq_topk_seeded"}, name
 
 
 def test_asof_join_is_single_shuffle_window(spark, sf_dir):
