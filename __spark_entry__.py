@@ -80,6 +80,8 @@ def _ordered_names() -> list[str]:
         "dedup_semantic_cluster",
         "sim_kmeans_trained_topk",
         "sim_pq_trained_encode",
+        "pipeline_leakage_safe_split",
+        "sim_random_projection",
     }
 
     def prio(name: str) -> int:

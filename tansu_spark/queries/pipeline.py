@@ -102,10 +102,12 @@ def _dedup_chain(spark: SparkSession, sf_dir: str) -> dict:
     hit = _CHAIN_CACHE.get(key)
     if hit is not None:
         try:
-            # Cheap probes (tables are pair/component-sized): a dropped
-            # checkpoint block raises here and we rebuild below.
-            hit["verified"].count()
-            hit["cc"].count()
+            # Probe EVERY checkpointed table (a dropped sh/pairs with a
+            # live verified would crash whichever consumer reads it):
+            # counts over materialized blocks are cheap; any dropped
+            # block raises here and we rebuild below.
+            for k in ("sh", "pairs", "verified", "cc"):
+                hit[k].count()
             return hit
         except Exception:
             _CHAIN_CACHE.pop(key, None)
@@ -2334,4 +2336,68 @@ def pipeline_post_dedup_token_budget(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("long")
         .alias("tokens_after"),
         F.sum(F.col("_drop").isNotNull().cast("int")).cast("long").alias("docs_dropped"),
+    )
+
+
+@query(
+    "pipeline_leakage_safe_split",
+    oracle=_EDGE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    walk AS (SELECT a AS node, a AS lbl FROM ed
+             UNION
+             SELECT e2.b, w.lbl FROM walk w JOIN ed e2 ON e2.a = w.node),
+    comp AS (SELECT node, min(lbl) AS component_id FROM walk GROUP BY node),
+    allc AS (SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+    SELECT doc_id, component_id,
+           CASE WHEN md5(concat('7', ':', CAST(component_id AS VARCHAR)))
+                     < '19999999'
+                THEN 'eval' ELSE 'train' END AS split,
+           count(*) OVER (PARTITION BY component_id) AS component_size
+    FROM allc
+    """,
+)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/eval split: the unit of assignment is the
+    near-duplicate COMPONENT, not the document — a doc and its near-dups
+    always land on the same side, so eval can never contain a paraphrase
+    of a training document (the classic contamination bug in naive
+    row-hash splits). Docs outside any component are their own singleton
+    component. The split is a deterministic md5 threshold on the
+    component's canonical id (~10% eval), so it is reproducible across
+    runs, engines, and partitionings.
+
+    Scale: one left join of the doc list against the (small) component
+    table + a map-only hash — the expensive part is the chain, shared
+    and materialized once per session (_dedup_chain)."""
+    from pyspark.sql import Window
+
+    from tansu_spark.functions.sampling import fraction_threshold, hash_bucket
+
+    ch = _dedup_chain(spark, sf_dir)
+    docs, cc = ch["docs"], ch["cc"]
+    comp = (
+        docs.select("doc_id")
+        .join(
+            cc.select(F.col("node").alias("doc_id"), "component_id"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+        )
+    )
+    w = Window.partitionBy("component_id")
+    return comp.select(
+        "doc_id",
+        "component_id",
+        F.when(
+            hash_bucket("component_id", seed=7)
+            < F.lit(fraction_threshold(0.1)),
+            "eval",
+        )
+        .otherwise("train")
+        .alias("split"),
+        F.count(F.lit(1)).over(w).alias("component_size"),
     )

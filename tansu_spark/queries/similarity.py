@@ -526,6 +526,43 @@ def sim_pq_encode_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_random_projection",
+    oracle="""
+    SELECT vec_id,
+           round(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([-1.0,-1.0,1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0])[i]), (x, y) -> x + y), 10) AS p0,
+           round(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([-1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,1.0,1.0,1.0,1.0,1.0,1.0,-1.0,1.0,1.0,1.0,1.0,1.0,1.0,-1.0,1.0])[i]), (x, y) -> x + y), 10) AS p1,
+           round(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0])[i]), (x, y) -> x + y), 10) AS p2,
+           round(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0])[i]), (x, y) -> x + y), 10) AS p3,
+           round(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0])[i]), (x, y) -> x + y), 10) AS p4,
+           round(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0])[i]), (x, y) -> x + y), 10) AS p5,
+           round(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,1.0])[i]), (x, y) -> x + y), 10) AS p6,
+           round(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([-1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0])[i]), (x, y) -> x + y), 10) AS p7
+    FROM embeddings
+    """,
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style RANDOM PROJECTION to 8 dims via the
+    same md5-derived +-1 hyperplanes the LSH bucketer uses (Achlioptas
+    2003: +-1 entries preserve pairwise distances in expectation like
+    Gaussian ones, with integer-only plane state) — the cheap
+    dimensionality-reduction sketch a pipeline stores next to the full
+    vectors for coarse pre-filtering (8 doubles instead of 64 floats).
+    Map-only: one fold per output dim over the scan, no shuffle, no UDF;
+    the oracle replays each fold with literal planes and values match to
+    the cosmetic round."""
+    planes = S.hyperplanes(8, N_DIMS)
+    emb = _emb(spark, sf_dir)
+    cols = [
+        F.round(
+            S.dot("embedding", F.array(*[F.lit(float(c)) for c in plane])),
+            10,
+        ).alias(f"p{i}")
+        for i, plane in enumerate(planes)
+    ]
+    return emb.select("vec_id", *cols)
+
+
+@query(
     "sim_pq_trained_encode",
     oracle=f"""
     WITH seeds AS (SELECT vec_id AS code, embedding AS cv

@@ -215,3 +215,25 @@ def test_incremental_lsh_equals_cross_slice_of_full(spark, sf_dir):
             base_id, new_id = (a, b) if a % 10 < 8 else (b, a)
             cross.add((base_id, new_id))
     assert inc == cross
+
+
+def test_dedup_chain_self_heals_after_unpersist(spark):
+    """The shared chain's checkpointed tables must survive an external
+    bulk-unpersist (bench-style release or a driver harness doing its own
+    cleanup): the probe detects dropped blocks and rebuilds instead of
+    failing downstream queries."""
+    from tansu_spark.queries import pipeline as P
+
+    sf = "/root/testdata/sf0.001"
+    ch = P._dedup_chain(spark, sf)
+    n_before = ch["verified"].count()
+
+    # simulate an external cleanup that ignores the protected set
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+    spark.catalog.clearCache()
+
+    ch2 = P._dedup_chain(spark, sf)  # must rebuild, not raise
+    assert ch2["verified"].count() == n_before
+    assert ch2["cc"].count() > 0
