@@ -82,6 +82,7 @@ def _ordered_names() -> list[str]:
         "sim_pq_trained_encode",
         "pipeline_leakage_safe_split",
         "sim_random_projection",
+        "text_chunk_windows",
     }
 
     def prio(name: str) -> int:

@@ -137,6 +137,60 @@ def _dedup_chain(spark: SparkSession, sf_dir: str) -> dict:
 
 
 @query(
+    "text_chunk_windows",
+    oracle=_TOK_CTE
+    + """,
+    n AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    idx AS (SELECT doc_id, t, n,
+                   unnest(range(0, (greatest(n, 17) - 17) // 48 + 1))
+                     AS chunk_index
+            FROM n)
+    SELECT doc_id, CAST(chunk_index AS INTEGER) AS chunk_index,
+           CAST(chunk_index * 48 + 1 AS BIGINT) AS token_start,
+           CAST(len(list_slice(t, chunk_index * 48 + 1,
+                               chunk_index * 48 + 64)) AS INTEGER)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(t, chunk_index * 48 + 1,
+                                          chunk_index * 48 + 64), ' '))
+             AS chunk_md5
+    FROM idx
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DOCUMENT CHUNKING — the retrieval/packing substrate
+    (RAG passage windows, long-doc training samples): 64-token chunks at
+    stride 48 (16-token overlap), each identified by (doc_id,
+    chunk_index, token_start) with an md5 fingerprint of the re-joined
+    text. Chunk count uses INTEGER-only math ((max(n,17)-17) div 48 + 1,
+    = ceil((n-64)/48)+1 clamped to >= 1) so both engines agree without
+    any float division; slice clamping at the tail chunk matches
+    element-for-element across engines.
+
+    Scale: map-only — tokenize once, explode one row per chunk (~n/48
+    amplification of row COUNT but each output row is a fingerprint, not
+    text), no shuffle at all; downstream consumers groupBy/join on the
+    fingerprint."""
+    d = _docs(spark, sf_dir)
+    tk = d.select("doc_id", T.tokens("text").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    idx = tk.withColumn(
+        "chunk_index",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("(greatest(n, 17) - 17) div 48"))
+        ),
+    )
+    chunk = F.expr("slice(t, chunk_index * 48 + 1, 64)")
+    return idx.select(
+        "doc_id",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        (F.col("chunk_index").cast("bigint") * 48 + 1).alias("token_start"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+@query(
     "text_token_stats",
     oracle=_TOK_CTE
     + f"""
