@@ -83,6 +83,7 @@ def _ordered_names() -> list[str]:
         "pipeline_leakage_safe_split",
         "sim_random_projection",
         "text_chunk_windows",
+        "dedup_chunk_exact",
     }
 
     def prio(name: str) -> int:

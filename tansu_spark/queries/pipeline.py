@@ -191,6 +191,53 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_chunk_exact",
+    oracle=_TOK_CTE
+    + """,
+    n AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    idx AS (SELECT doc_id, t, n,
+                   unnest(range(0, (greatest(n, 17) - 17) // 48 + 1))
+                     AS chunk_index
+            FROM n),
+    ch AS (SELECT doc_id, chunk_index,
+                  md5(array_to_string(list_slice(t, chunk_index * 48 + 1,
+                                                 chunk_index * 48 + 64), ' '))
+                    AS chunk_md5
+           FROM idx)
+    SELECT chunk_md5,
+           count(*) AS n_copies,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM ch
+    GROUP BY chunk_md5
+    HAVING count(*) > 1
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-level exact dedup — document-level dedup misses the
+    boilerplate PARAGRAPH repeated across otherwise-distinct documents
+    (headers, licenses, navigation); fingerprinting the same 64-token
+    windows text_chunk_windows emits and grouping on the fingerprint
+    finds every repeated passage, its copy count, and its first owner
+    (the occurrence a dedup pass would keep). Composition of the
+    chunking substrate with the exact-dedup shape: map-only chunking ->
+    ONE partial-agg shuffle on the md5 key (uniform by construction, so
+    no skew) -> HAVING filter. Fingerprints shuffle, never text."""
+    from tansu_spark.queries.pipeline import text_chunk_windows
+
+    ch = text_chunk_windows(spark, sf_dir)
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
     "text_token_stats",
     oracle=_TOK_CTE
     + f"""

@@ -129,3 +129,17 @@ def test_pq_serving_broadcast_lut(spark, sf_dir):
     plan = df._jdf.queryExecution().explainString(mode)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunking_family_minimal_shuffles(spark, sf_dir):
+    """Chunking is map-only (zero Exchange); chunk-level dedup adds
+    exactly one partial-agg shuffle on the uniform md5 key; random
+    projection is a pure scan."""
+    plan = _plan(spark, sf_dir, "text_chunk_windows")
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    plan = _plan(spark, sf_dir, "sim_random_projection")
+    assert "Exchange" not in plan, "projection must not shuffle"
+    plan = _plan(spark, sf_dir, "dedup_chunk_exact")
+    # formatted output lists each node twice (tree + detail)
+    assert plan.count("Exchange") <= 4, "chunk dedup: one real exchange"
+    assert "partial_count" in plan or "HashAggregate" in plan
