@@ -82,6 +82,20 @@ SNAPSHOTS: dict[str, str] = {
         "groupBy on source, which moves one row per source per task. No "
         "Python anywhere."
     ),
+    "pipeline_leakage_safe_split": (
+        "Split assignment is component-granular: the doc list LEFT-joins "
+        "the (small) component table — broadcastable — and the split is a "
+        "map-side md5 threshold on the canonical id. The expensive part "
+        "(LSH -> verify -> CC) is the shared session chain, materialized "
+        "once; this query itself adds one slim join."
+    ),
+    "dedup_chunk_exact": (
+        "Composition shape: chunking is map-only (tokenize + sequence "
+        "explode, zero Exchange), fingerprints are md5 (uniform keys, no "
+        "skew), and the repeat-detection is ONE partial-agg shuffle — "
+        "`HashAggregate(partial)` before the Exchange moves one row per "
+        "distinct chunk per task, never text."
+    ),
     "dedup_semantic_cluster": (
         "SemDeDup cluster blocking: assignment is a map-only scan against "
         "literal centroids (no shuffle, no UDF), the pairwise stage is a "
