@@ -84,6 +84,7 @@ def _ordered_names() -> list[str]:
         "sim_random_projection",
         "text_chunk_windows",
         "dedup_chunk_exact",
+        "corpus_temperature_plan",
     }
 
     def prio(name: str) -> int:

@@ -501,6 +501,54 @@ def text_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_temperature_plan",
+    oracle="""
+    WITH per AS (SELECT source, count(*) AS n_docs,
+                        sqrt(CAST(count(*) AS DOUBLE)) AS w
+                 FROM documents GROUP BY source),
+    tot AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                               (x, y) -> x + y) AS t
+            FROM per)
+    SELECT source, n_docs, round(w / t, 10) AS share,
+           CAST(floor(w / t * 100000) AS BIGINT) AS target_alloc
+    FROM per CROSS JOIN tot
+    """,
+)
+def corpus_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-based mixing PLAN (the standard pretraining recipe:
+    sample sources proportional to n^alpha, here alpha = 0.5): per-source
+    sqrt-damped weights, normalized shares, and a 100k-sample allocation.
+    Upweights the tail, damps the head — the data-DERIVED planner that
+    feeds fixed-weight executors like corpus_mix_upsample.
+
+    Cross-engine exactness: sqrt is correctly rounded IEEE in both
+    engines, and the normalizing total is an ORDERED left fold over the
+    per-source weights (0.0 + w_src0 + w_src1 + ...) — the same
+    prepend-zero/list_reduce replay the PQ ADC fold uses — so shares and
+    floor allocations match bit-for-bit. Scale: one partial-agg shuffle
+    on source; the single-row total broadcasts."""
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("w", F.sqrt(F.col("n_docs").cast("double")))
+    )
+    tot = per.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0),
+            lambda a, x: a + x.getField("w"),
+        ).alias("t")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("w") / F.col("t"), 10).alias("share"),
+        F.floor(F.col("w") / F.col("t") * 100000).cast("bigint").alias("target_alloc"),
+    )
+
+
+@query(
     "corpus_mix_upsample",
     oracle="""
     WITH w AS (

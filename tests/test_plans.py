@@ -72,6 +72,8 @@ def test_joins_never_cartesian(spark, sf_dir):
                             "corpus_importance_sample",
                             # broadcasts the single-row doc-count frame
                             "text_keywords_per_doc",
+                            # broadcasts the single-row weight-total frame
+                            "corpus_temperature_plan",
                             # broadcasts the 16-row centroid table against
                             # the query set for probe selection (plan-size
                             # constant in n_clusters x n_dims)
