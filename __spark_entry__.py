@@ -85,6 +85,9 @@ def _ordered_names() -> list[str]:
         "text_chunk_windows",
         "dedup_chunk_exact",
         "corpus_temperature_plan",
+        "text_gopher_filter",
+        "text_decontaminate_bloom",
+        "dedup_chunk_minhash",
     }
 
     def prio(name: str) -> int:

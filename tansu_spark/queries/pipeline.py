@@ -238,6 +238,112 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_chunk_minhash",
+    oracle=_TOK_CTE
+    + """,
+    n AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    idx AS (SELECT doc_id, t, n,
+                   unnest(range(0, (greatest(n, 17) - 17) // 48 + 1))
+                     AS chunk_index
+            FROM n),
+    ch AS (SELECT doc_id * 1000000 + chunk_index AS cid,
+                  list_slice(t, chunk_index * 48 + 1, chunk_index * 48 + 64)
+                    AS t
+           FROM idx),
+    sh AS (SELECT cid,
+                  list_distinct(CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t)-1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [array_to_string(t, ' ')] END) AS shingles
+           FROM ch),
+    e AS (SELECT cid, unnest(shingles) AS s FROM sh),
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    sig AS (SELECT cid, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
+            FROM e CROSS JOIN seeds GROUP BY cid, seed),
+    bands AS (SELECT cid, seed // 2 AS band,
+                     string_agg(mh, '|' ORDER BY seed) AS band_sig
+              FROM sig GROUP BY cid, seed // 2),
+    pairs AS (SELECT DISTINCT a.cid AS cid_a, b.cid AS cid_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.cid // 1000000 < b.cid // 1000000)
+    SELECT cid_a // 1000000 AS doc_a,
+           CAST(cid_a % 1000000 AS INTEGER) AS chunk_a,
+           cid_b // 1000000 AS doc_b,
+           CAST(cid_b % 1000000 AS INTEGER) AS chunk_b
+    FROM pairs
+    """,
+)
+def dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-grain MinHash+LSH near-duplicate pairs — paragraph-level
+    near-dup, the grain real pretraining pipelines dedup at when
+    documents share boilerplate passages that document-level LSH dilutes
+    below threshold. Reuses the exact chunking grid of
+    text_chunk_windows (64-token windows, stride 48) and the exact LSH
+    topology of dedup_minhash_lsh (8 minhashes, 4 bands of 2), keyed by
+    the composite (doc, chunk) id packed as ``doc_id*1e6 + chunk_index``
+    so the shared machinery's single-id contract applies unchanged.
+    Same-document collisions (overlapping neighbor chunks share 16
+    tokens by construction) are excluded by requiring doc_a < doc_b.
+
+    Scale: chunking is map-only (~n_tokens/48 row amplification);
+    signatures are ONE explode + ONE 8-min-agg groupBy on cid; candidate
+    generation is the bucket-groupBy expansion (never a self-join, never
+    all-pairs) with the same max_bucket valve available as the document
+    grain. Cost scales with chunk count — for fixed-size chunks that is
+    corpus tokens / stride, independent of document skew (a 1 GB
+    document becomes many bounded chunks instead of one mega-row)."""
+    from tansu_spark.functions.dedup import lsh_bands, lsh_candidate_pairs
+
+    tk = _docs(spark, sf_dir).select(
+        "doc_id", T.tokens("text").alias("t")
+    ).withColumn("n", F.size("t"))
+    ch = (
+        tk.withColumn(
+            "chunk_index",
+            F.explode(
+                F.sequence(F.lit(0), F.expr("(greatest(n, 17) - 17) div 48"))
+            ),
+        )
+        .select(
+            (F.col("doc_id") * 1000000 + F.col("chunk_index")).alias("cid"),
+            F.expr("slice(t, chunk_index * 48 + 1, 64)").alias("t"),
+        )
+    )
+    zipped = "slice(t, 3, size(t)-2)"
+    for j in (2, 1):
+        zipped = (
+            f"zip_with(slice(t, {j}, size(t)-2), {zipped}, "
+            "(x, y) -> concat(x, ' ', y))"
+        )
+    sh = ch.select(
+        "cid",
+        F.expr(
+            f"array_distinct(CASE WHEN size(t) >= 3 THEN {zipped} "
+            "ELSE array(concat_ws(' ', t)) END)"
+        ).alias("shingles"),
+    )
+    e = sh.select("cid", F.explode("shingles").alias("s"))
+    sig = e.groupBy("cid").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(str(k)), F.lit(":"), F.col("s")))
+            ).alias(f"mh{k}")
+            for k in range(8)
+        ]
+    )
+    pairs = lsh_candidate_pairs(lsh_bands(sig, "cid"), "cid").filter(
+        F.expr("doc_a div 1000000 < doc_b div 1000000")
+    )
+    return pairs.select(
+        F.expr("doc_a div 1000000").alias("doc_a"),
+        F.expr("CAST(doc_a % 1000000 AS INT)").alias("chunk_a"),
+        F.expr("doc_b div 1000000").alias("doc_b"),
+        F.expr("CAST(doc_b % 1000000 AS INT)").alias("chunk_b"),
+    )
+
+
+@query(
     "text_token_stats",
     oracle=_TOK_CTE
     + f"""
@@ -336,6 +442,120 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document quality score (length/punct/digit/stopword mix)."""
     return _docs(spark, sf_dir).select(
         "doc_id", F.round(T.quality_score("text"), 6).alias("quality")
+    )
+
+
+# Ordered (non-distinct) trigram list, branch-free in both engines: the
+# three staggered slices are clamped to max(n-2, 0) elements, so short
+# documents yield an empty list instead of a null-padded zip.
+_TRI_SPARK = (
+    "zip_with(slice(t, 1, greatest(size(t) - 2, 0)), "
+    "zip_with(slice(t, 2, greatest(size(t) - 2, 0)), "
+    "slice(t, 3, greatest(size(t) - 2, 0)), "
+    "(x, y) -> concat(x, ' ', y)), (x, y) -> concat(x, ' ', y))"
+)
+_TRI_DUCK = (
+    "list_transform(range(1, greatest(len(t) - 1, 1)), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+
+
+@query(
+    "text_gopher_filter",
+    oracle=_TOK_CTE
+    + f""",
+    feat AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             list_sum(list_transform(t, x -> length(x))) AS sum_len,
+             list_max(list_transform(list_distinct(t),
+                      x -> len(list_filter(t, y -> y = x)))) AS top_cnt,
+             len({_TRI_DUCK}) AS n_tri,
+             len(list_distinct({_TRI_DUCK})) AS d_tri,
+             len(list_intersect(list_distinct(t), {_EN})) AS n_stop
+      FROM tok)
+    SELECT doc_id,
+           n_words,
+           round(CAST(sum_len AS DOUBLE) / greatest(n_words, 1), 6)
+             AS mean_word_len,
+           round(CAST(top_cnt AS DOUBLE) / greatest(n_words, 1), 6)
+             AS top_token_frac,
+           round(CAST(n_tri - d_tri AS DOUBLE) / greatest(n_tri, 1), 6)
+             AS dup_trigram_frac,
+           CAST(n_stop AS BIGINT) AS n_stopwords,
+           CAST(CASE WHEN n_words >= 20
+                      AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                      AND top_cnt * 8 <= n_words
+                      AND (n_tri - d_tri) * 20 <= n_tri
+                      AND n_stop >= 2
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM feat
+    """,
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality gates — the rule-based document
+    filter of a pretraining pipeline (word-count floor, mean-word-length
+    band, most-common-token dominance, duplicate-trigram fraction,
+    stopword presence), each reported as a signal plus one combined
+    ``keep`` verdict. Line-based Gopher rules are degenerate on this
+    single-line corpus; the token/n-gram rules are the ones that
+    discriminate here (thresholds sit at the p80-p90 of the corpus
+    distributions so the filter does real work).
+
+    Cross-engine exactness: every gate is INTEGER math (``top_cnt * 8 <=
+    n_words`` is the 1/8 dominance threshold; ``(n_tri - d_tri) * 20 <=
+    n_tri`` is the 5% repetition threshold) — no float comparison ever
+    decides the flag; the reported fractions are exact int-ratio doubles
+    rounded once.
+
+    Scale: map-only — one codegen'd scan, per-document higher-order
+    functions, zero shuffles. The O(distinct x len) dominance count is
+    bounded because documents are (or upstream chunking makes them)
+    length-bounded; on unbounded docs the explode + two keyed
+    aggregations form is the fallback with the same result."""
+    tk = _docs(spark, sf_dir).select("doc_id", T.tokens("text").alias("t"))
+    feat = tk.select(
+        "doc_id",
+        F.size("t").alias("n_words"),
+        F.expr("aggregate(t, 0, (a, x) -> a + length(x))").alias("sum_len"),
+        F.expr(
+            "array_max(transform(array_distinct(t), "
+            "x -> size(filter(t, y -> y = x))))"
+        ).alias("top_cnt"),
+        F.expr(f"size({_TRI_SPARK})").alias("n_tri"),
+        F.expr(f"size(array_distinct({_TRI_SPARK}))").alias("d_tri"),
+        F.size(
+            F.array_intersect(
+                F.expr("array_distinct(t)"),
+                F.array(*[F.lit(w) for w in T.STOPWORDS["en"]]),
+            )
+        ).alias("n_stop"),
+    )
+    one = F.lit(1)
+    keep = (
+        (F.col("n_words") >= 20)
+        & (F.col("sum_len") >= 3 * F.col("n_words"))
+        & (F.col("sum_len") <= 10 * F.col("n_words"))
+        & (F.col("top_cnt") * 8 <= F.col("n_words"))
+        & ((F.col("n_tri") - F.col("d_tri")) * 20 <= F.col("n_tri"))
+        & (F.col("n_stop") >= 2)
+    )
+    return feat.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.col("sum_len").cast("double") / F.greatest("n_words", one), 6
+        ).alias("mean_word_len"),
+        F.round(
+            F.col("top_cnt").cast("double") / F.greatest("n_words", one), 6
+        ).alias("top_token_frac"),
+        F.round(
+            (F.col("n_tri") - F.col("d_tri")).cast("double")
+            / F.greatest("n_tri", one),
+            6,
+        ).alias("dup_trigram_frac"),
+        F.col("n_stop").cast("bigint").alias("n_stopwords"),
+        keep.cast("int").alias("keep"),
     )
 
 
@@ -1169,6 +1389,127 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("contamination"),
         (F.count("_hit") * 5 >= F.count(F.lit(1))).cast("int").alias("flagged"),
+    )
+
+
+# Bloom filter geometry for text_decontaminate_bloom: m bits / k hashes.
+# m = 16384 keeps the bitmap fill rate in the "interesting" band at both
+# test scales (~10% at sf0.01, ~65% at sf0.1) so false positives actually
+# occur and the FP accounting column is exercised, while the bitmap stays
+# a 2 KiB plan literal.
+_BLOOM_M = 16384
+_BLOOM_SEEDS = ("b0", "b1", "b2")
+
+
+def _bloom_pos_sql(seed: str, col: str = "s") -> str:
+    return (
+        f"CAST(concat('0x', substr(md5('{seed}' || ':' || {col}), 1, 8)) "
+        f"AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_spark(seed: str, col) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+@query(
+    "text_decontaminate_bloom",
+    oracle=_SH_CTE
+    + f""",
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ev AS (SELECT DISTINCT s FROM e WHERE doc_id % 50 = 0),
+    evpos AS (SELECT DISTINCT p FROM (
+        SELECT unnest([{", ".join(_bloom_pos_sql(k) for k in _BLOOM_SEEDS)}])
+          AS p FROM ev)),
+    tr AS (SELECT doc_id, s,
+                  {", ".join(f"{_bloom_pos_sql(k)} AS p{i}" for i, k in enumerate(_BLOOM_SEEDS))}
+           FROM e WHERE doc_id % 50 <> 0),
+    fl AS (SELECT tr.doc_id,
+                  CASE WHEN a.p IS NOT NULL AND b.p IS NOT NULL
+                        AND c.p IS NOT NULL THEN 1 ELSE 0 END AS bloom_hit,
+                  CASE WHEN ev2.s IS NULL THEN 0 ELSE 1 END AS exact_hit
+           FROM tr LEFT JOIN evpos a ON tr.p0 = a.p
+                   LEFT JOIN evpos b ON tr.p1 = b.p
+                   LEFT JOIN evpos c ON tr.p2 = c.p
+                   LEFT JOIN ev ev2 ON tr.s = ev2.s)
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(bloom_hit) AS BIGINT) AS n_candidates,
+           CAST(sum(exact_hit) AS BIGINT) AS n_exact,
+           CAST(sum(bloom_hit) - sum(exact_hit) AS BIGINT) AS n_false_pos,
+           CAST(CASE WHEN sum(exact_hit) * 5 >= count(*) THEN 1 ELSE 0 END
+                AS INTEGER) AS flagged
+    FROM fl GROUP BY doc_id
+    """,
+)
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — the SCALE form of
+    text_decontaminate: the eval split's shingles are folded into an
+    m=16384-bit Bloom bitmap (k=3 md5-derived positions per shingle) that
+    travels as a 2 KiB plan literal, and every training shingle tests the
+    bitmap with pure bit arithmetic BEFORE any join. Only Bloom survivors
+    probe the exact shingle set, and the per-document report carries the
+    honest accounting: total shingles, Bloom candidates, exact hits, and
+    Bloom false positives (candidates - exact), plus the same integer
+    flag rule as text_decontaminate (hits*5 >= shingles).
+
+    Why this matters at 100 TB: the broadcast-join decontaminator ships
+    the blocklist's STRINGS to every executor; once the blocklist is
+    billions of n-grams, the strings don't fit but the bitmap still does
+    (m scales as bits-per-key, not bytes-per-string). The Bloom test is
+    then the map-side gate, and only the ~FP-rate fraction of shingles
+    enters the (now shuffle-based) exact join — cost follows candidates,
+    not the corpus. The bitmap is deterministic (md5 positions), so the
+    oracle replays it exactly via a position-set semi-join; the driver
+    collect is bounded model state (<= m distinct positions), the same
+    contract as the PQ LUT and k-means centroids.
+
+    Scale shape: one corpus scan, map-only bit test, broadcast exact join
+    on survivors, ONE partial-agg shuffle on doc_id."""
+    sh = _dedup_chain(spark, sf_dir)["sh"]
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ev = e.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    # Bloom build: distinct bit positions of the eval shingles (bounded by
+    # m), folded into m/64 signed words driver-side.
+    evpos = ev.select(
+        F.explode(
+            F.array(*[_bloom_pos_spark(k, F.col("s")) for k in _BLOOM_SEEDS])
+        ).alias("p")
+    ).distinct()
+    words = [0] * (_BLOOM_M // 64)
+    for row in evpos.collect():
+        words[row.p // 64] |= 1 << (row.p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    tr = e.filter(F.col("doc_id") % 50 != 0)
+    for i, k in enumerate(_BLOOM_SEEDS):
+        tr = tr.withColumn(f"p{i}", _bloom_pos_spark(k, F.col("s")))
+    tr = tr.withColumn("bw", F.array(*[F.lit(w) for w in words]))
+    bit = (
+        "((shiftright(element_at(bw, CAST(p{i} div 64 AS INT) + 1), "
+        "CAST(p{i} % 64 AS INT)) & 1) = 1)"
+    )
+    tr = tr.withColumn(
+        "bloom_hit",
+        F.expr(" AND ".join(bit.format(i=i) for i in range(len(_BLOOM_SEEDS))))
+        .cast("int"),
+    )
+    ev2 = ev.withColumnRenamed("s", "s_ev").withColumn("_ex", F.lit(1))
+    joined = tr.join(
+        F.broadcast(ev2),
+        (F.col("bloom_hit") == 1) & (F.col("s") == F.col("s_ev")),
+        "left",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("bloom_hit").cast("long").alias("n_candidates"),
+        F.count("_ex").cast("long").alias("n_exact"),
+        (F.sum("bloom_hit") - F.count("_ex")).cast("long").alias("n_false_pos"),
+        (F.count("_ex") * 5 >= F.count(F.lit(1))).cast("int").alias("flagged"),
     )
 
 

@@ -109,6 +109,36 @@ def test_sequence_packing_two_exchanges_no_sort_global(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_gopher_filter_map_only(spark, sf_dir):
+    """The Gopher-rule filter is one codegen'd scan: per-document HOFs,
+    no shuffle, no Python stage."""
+    plan = _plan(spark, sf_dir, "text_gopher_filter")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_bloom_decontaminate_shape(spark, sf_dir):
+    """Bloom prefilter stays JVM-side: bitmap bit tests in the projection
+    (no Python), one broadcast HASH join for the exact verify (the
+    bloom_hit conjunct must not defeat equi-key extraction), one
+    partial-agg shuffle on doc_id."""
+    plan = _plan(spark, sf_dir, "text_decontaminate_bloom")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_chunk_minhash_no_self_join(spark, sf_dir):
+    """Chunk-grain LSH keeps the bucket-groupBy topology: no join operator
+    at all (candidate expansion is in-bucket), so the signature pipeline
+    plans exactly once."""
+    plan = _plan(spark, sf_dir, "dedup_chunk_minhash")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, (op, plan)
+
+
 def test_wire_roundtrips_single_python_stage(spark, sf_dir):
     """The binary wire codecs are ONE Arrow-batched MapInPandas stage over
     a pruned scan — no row-at-a-time UDFs, no extra shuffles."""

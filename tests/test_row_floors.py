@@ -47,6 +47,9 @@ FLOORS = {
     "events_zscore_outliers": 100,
     "events_hourly_locf": 10000,
     "text_bm25_search": 10,
+    "text_gopher_filter": 250,
+    "text_decontaminate_bloom": 245,
+    "dedup_chunk_minhash": 20,
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
