@@ -96,6 +96,28 @@ SNAPSHOTS: dict[str, str] = {
         "`HashAggregate(partial)` before the Exchange moves one row per "
         "distinct chunk per task, never text."
     ),
+    "text_gopher_filter": (
+        "Pure map-only filter: every Gopher gate (dominance, trigram "
+        "repetition, stopword presence) is a higher-order function inside "
+        "ONE `WholeStageCodegen` span over the scan — the plan has zero "
+        "Exchange, zero join, zero Python. The filter touches every byte "
+        "once; at 100 TB it is scan-bound by construction."
+    ),
+    "text_decontaminate_bloom": (
+        "Bloom gate shape: the 16384-bit bitmap rides the projection as a "
+        "256-long array literal (constant size in blocklist cardinality), "
+        "the three bit tests are shiftright/& integer ops inside codegen, "
+        "and the exact verify is a `BroadcastHashJoin` whose equi-key "
+        "survived the extra bloom_hit conjunct — followed by one "
+        "partial-agg Exchange on doc_id. No Python anywhere."
+    ),
+    "dedup_chunk_minhash": (
+        "Chunk-grain LSH: the plan contains NO join operator — candidate "
+        "pairs come from the bucket `HashAggregate` (collect_list + "
+        "in-bucket expansion), so the chunk/shingle/signature pipeline "
+        "plans exactly once; the only Exchanges are the signature groupBy "
+        "on cid and the bucket groupBy on (band, band_sig)."
+    ),
     "dedup_semantic_cluster": (
         "SemDeDup cluster blocking: assignment is a map-only scan against "
         "literal centroids (no shuffle, no UDF), the pairwise stage is a "
