@@ -98,3 +98,90 @@ def test_bigram_lm_score_invariants(spark, sf_dir):
             assert 0.0 <= r["known_frac"] <= 1.0
             if r["n_known"]:
                 assert 0.0 < r["cond_score"] <= 1.0
+
+
+def test_bloom_decontaminate_consistent_with_exact(spark, sf_dir):
+    """The Bloom prefilter is an OPTIMIZATION, not a semantics change:
+    exact hits always pass the bitmap (no false negatives), candidates
+    bound exact from above, and the per-document flag decision is
+    identical to text_decontaminate's."""
+    bloom = {
+        r["doc_id"]: r
+        for r in QUERIES["text_decontaminate_bloom"](spark, sf_dir).collect()
+    }
+    plain = {
+        r["doc_id"]: r
+        for r in QUERIES["text_decontaminate"](spark, sf_dir).collect()
+    }
+    assert set(bloom) == set(plain)
+    for doc_id, b in bloom.items():
+        p = plain[doc_id]
+        assert b["n_shingles"] == p["n_shingles"], doc_id
+        assert b["n_exact"] == p["n_contaminated"], doc_id
+        assert b["n_exact"] <= b["n_candidates"] <= b["n_shingles"], doc_id
+        assert b["n_false_pos"] == b["n_candidates"] - b["n_exact"], doc_id
+        assert b["flagged"] == p["flagged"], doc_id
+
+
+def test_chunk_minhash_recalls_exact_chunk_duplicates(spark, sf_dir):
+    """An exact duplicate chunk in two documents has identical shingle
+    sets, hence identical signatures, hence collides in EVERY band —
+    chunk-grain LSH must emit a pair between those documents."""
+    exact = QUERIES["dedup_chunk_exact"](spark, sf_dir).collect()
+    pairs = QUERIES["dedup_chunk_minhash"](spark, sf_dir).collect()
+    linked = {frozenset((r["doc_a"], r["doc_b"])) for r in pairs}
+    assert all(r["doc_a"] < r["doc_b"] for r in pairs)
+    from collections import defaultdict
+
+    from tansu_spark.queries.pipeline import text_chunk_windows
+
+    owners = defaultdict(set)
+    for r in text_chunk_windows(spark, sf_dir).collect():
+        owners[r["chunk_md5"]].add(r["doc_id"])
+    checked = 0
+    for r in exact:
+        docs = sorted(owners[r["chunk_md5"]])
+        if len(docs) < 2:
+            continue
+        for i, a in enumerate(docs):
+            for b in docs[i + 1 :]:
+                assert frozenset((a, b)) in linked, (r["chunk_md5"], a, b)
+                checked += 1
+    assert checked > 0  # the invariant must actually bite
+
+
+def test_gopher_filter_matches_python_reference(spark, sf_dir):
+    """Every Gopher gate recomputed row-by-row in plain Python from the
+    raw text must agree with the Spark HOF expressions."""
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["text_gopher_filter"](spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    stop = {"the", "a", "of", "and", "to", "in", "is", "that"}
+    assert len(rows) == len(docs)
+    for d in docs:
+        t = d["text"].strip().split()
+        n = len(t)
+        sum_len = sum(len(x) for x in t)
+        top = max(t.count(x) for x in set(t))
+        tris = [" ".join(t[i : i + 3]) for i in range(n - 2)] if n >= 3 else []
+        n_tri, d_tri = len(tris), len(set(tris))
+        n_stop = len(set(t) & stop)
+        keep = int(
+            n >= 20
+            and 3 * n <= sum_len <= 10 * n
+            and top * 8 <= n
+            and (n_tri - d_tri) * 20 <= n_tri
+            and n_stop >= 2
+        )
+        g = rows[d["doc_id"]]
+        assert g["n_words"] == n, d["doc_id"]
+        assert g["n_stopwords"] == n_stop, d["doc_id"]
+        assert g["keep"] == keep, d["doc_id"]
+        assert abs(g["mean_word_len"] - round(sum_len / max(n, 1), 6)) < 1e-9
+        assert abs(g["top_token_frac"] - round(top / max(n, 1), 6)) < 1e-9
+        assert (
+            abs(g["dup_trigram_frac"] - round((n_tri - d_tri) / max(n_tri, 1), 6))
+            < 1e-9
+        )
