@@ -88,6 +88,7 @@ def _ordered_names() -> list[str]:
         "text_gopher_filter",
         "text_decontaminate_bloom",
         "dedup_chunk_minhash",
+        "dedup_exact_substring",
     }
 
     def prio(name: str) -> int:

@@ -344,6 +344,124 @@ def dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_exact_substring",
+    oracle=_TOK_CTE
+    + """,
+    n AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    pos AS (SELECT doc_id, unnest(range(0, n - 15)) AS p, t
+            FROM n WHERE n >= 16),
+    w AS (SELECT doc_id, p,
+                 md5(array_to_string(list_slice(t, p + 1, p + 16), ' ')) AS fp
+          FROM pos),
+    cnt AS (SELECT fp, count(*) AS c FROM w GROUP BY fp),
+    fl AS (SELECT w.doc_id, w.p,
+                  CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END AS dup
+           FROM w JOIN cnt ON w.fp = cnt.fp),
+    agg AS (SELECT doc_id, count(*) AS n_windows,
+                   CAST(sum(dup) AS BIGINT) AS n_dup
+            FROM fl GROUP BY doc_id),
+    isl AS (SELECT doc_id,
+                   p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                     AS grp
+            FROM fl WHERE dup = 1),
+    runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, grp),
+    mx AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(agg.n_windows, 0) AS n_windows,
+           coalesce(agg.n_dup, 0) AS n_dup_windows,
+           round(CAST(coalesce(agg.n_dup, 0) AS DOUBLE)
+                 / greatest(coalesce(agg.n_windows, 0), 1), 6)
+             AS dup_window_frac,
+           CAST(CASE WHEN mx.max_run IS NULL THEN 0
+                     ELSE mx.max_run + 15 END AS BIGINT)
+             AS longest_dup_run_tokens
+    FROM documents d
+    LEFT JOIN agg ON d.doc_id = agg.doc_id
+    LEFT JOIN mx ON d.doc_id = mx.doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING duplication signal (Lee et al. 2021's suffix-array
+    dedup, re-expressed Spark-first): every 16-token rolling window
+    (stride 1) is fingerprinted; a window whose fingerprint occurs more
+    than once anywhere in the corpus is duplicated text. Per document:
+    window count, duplicated-window count/fraction, and the LONGEST
+    duplicated run in tokens (consecutive duplicated windows merged via
+    gaps-and-islands — a run of r windows is an r+15-token repeated
+    substring). This is the dedup grain MinHash cannot see: verbatim
+    passages shorter than a document but longer than a shingle.
+
+    The suffix-array formulation is inherently sequential; the rolling-
+    fingerprint formulation is the distributable equivalent (same
+    duplicated-span output for spans >= k tokens) and every stage is a
+    standard shuffle: fingerprint partial-agg (uniform md5 keys),
+    fingerprint join-back (sort-merge at scale, count table is
+    fingerprint-distinct), per-doc window for islands (partitioned by
+    doc, never global). Row amplification is n_tokens per doc — bounded
+    per-row work, no skew amplification because windows of a giant doc
+    spread across its own token range.
+
+    All-integer accounting; the single double (dup fraction) is one
+    exact int ratio rounded once."""
+    d = _docs(spark, sf_dir)
+    tk = d.select("doc_id", T.tokens("text").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    pos = (
+        tk.filter(F.col("n") >= 16)
+        .withColumn("p", F.explode(F.sequence(F.lit(0), F.col("n") - 16)))
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.concat_ws(" ", F.expr("slice(t, p + 1, 16)"))).alias("fp"),
+        )
+    )
+    cnt = pos.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    fl = pos.join(cnt, "fp").select(
+        "doc_id", "p", (F.col("c") > 1).cast("int").alias("dup")
+    )
+    agg = fl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("dup").cast("long").alias("n_dup"),
+    )
+    from pyspark.sql import Window
+
+    isl = (
+        fl.filter(F.col("dup") == 1)
+        .withColumn(
+            "grp",
+            F.col("p")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("p")
+            ),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").alias("max_run"))
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .join(isl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_window_frac"),
+            F.when(F.col("max_run").isNull(), F.lit(0))
+            .otherwise(F.col("max_run") + 15)
+            .cast("bigint")
+            .alias("longest_dup_run_tokens"),
+        )
+    )
+
+
+@query(
     "text_token_stats",
     oracle=_TOK_CTE
     + f"""

@@ -50,6 +50,7 @@ FLOORS = {
     "text_gopher_filter": 250,
     "text_decontaminate_bloom": 245,
     "dedup_chunk_minhash": 20,
+    "dedup_exact_substring": 490,
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
