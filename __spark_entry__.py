@@ -89,6 +89,7 @@ def _ordered_names() -> list[str]:
         "text_decontaminate_bloom",
         "dedup_chunk_minhash",
         "dedup_exact_substring",
+        "corpus_mix_dashboard",
     }
 
     def prio(name: str) -> int:

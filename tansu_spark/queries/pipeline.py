@@ -887,6 +887,147 @@ def corpus_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_mix_dashboard",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, text,
+                        string_split_regex(trim(text), '\\s+') AS t
+                 FROM documents),
+    feat AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+             round(0.4 * least(len(t) / 100.0, 1.0)
+                   + 0.2 * (1.0 - {_PUNCT} / greatest(length(text), 1))
+                   + 0.2 * (1.0 - {_DIGIT} / greatest(length(text), 1))
+                   + 0.2 * {_STOP_EN}, 6) AS quality,
+             len(t) AS n_words,
+             list_sum(list_transform(t, x -> length(x))) AS sum_len,
+             list_max(list_transform(list_distinct(t),
+                      x -> len(list_filter(t, y -> y = x)))) AS top_cnt,
+             len({_TRI_DUCK}) AS n_tri,
+             len(list_distinct({_TRI_DUCK})) AS d_tri,
+             len(list_intersect(list_distinct(t), {_EN})) AS n_stop
+      FROM tok),
+    doc AS (
+      SELECT source, fp, quality,
+             CASE WHEN n_words >= 20
+                   AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                   AND top_cnt * 8 <= n_words
+                   AND (n_tri - d_tri) * 20 <= n_tri
+                   AND n_stop >= 2
+                  THEN 1 ELSE 0 END AS keep
+      FROM feat),
+    per AS (
+      SELECT source,
+             count(*) AS n_docs,
+             count(DISTINCT fp) AS n_unique_contents,
+             CAST(sum(keep) AS BIGINT) AS n_keep,
+             CAST(sum(CAST(quality AS DECIMAL(12,6))) AS DECIMAL(38,6))
+               AS q_sum,
+             sqrt(CAST(sum(keep) AS DOUBLE)) AS w
+      FROM doc GROUP BY source),
+    tot AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                               (x, y) -> x + y) AS t
+            FROM per)
+    SELECT source, n_docs, n_unique_contents, n_keep,
+           round(CAST(n_keep AS DOUBLE) / greatest(n_docs, 1), 6)
+             AS keep_rate,
+           round(CAST(q_sum AS DOUBLE) / greatest(n_docs, 1), 6)
+             AS mean_quality,
+           CAST(floor(w / t * 100000) AS BIGINT) AS target_alloc
+    FROM per CROSS JOIN tot
+    """,
+)
+def corpus_mix_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-grain MIX-DECISION dashboard — the table a pretraining data
+    lead reads before a run: per source, raw volume, distinct contents
+    (exact-dedup survivors), Gopher-gate keep count/rate, decimal-exact
+    mean quality, and the temperature (n_keep^0.5) sampling allocation
+    computed over the POST-FILTER corpus — the planner applied downstream
+    of the quality gate, composing four of the engine's operators
+    (fingerprint dedup, Gopher rules, quality score, sqrt-damped mixing)
+    in one plan.
+
+    Cross-engine exactness: quality is already a 6-dp rounded double, so
+    its per-source mean runs through an exact DECIMAL(12,6) sum (one
+    double division at the end — no float summation-order hazard); keeps
+    are integer; sqrt is correctly-rounded IEEE; the normalizing total is
+    the ordered prepend-zero fold shared with corpus_temperature_plan.
+
+    Scale: doc-grain features are map-only HOFs; ONE partial-agg shuffle
+    on source (count-distinct fp adds its standard two-phase expansion);
+    the single-row total broadcasts. No joins at all — the four composed
+    operators fuse into the same scan."""
+    tk = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        T.fingerprint("text").alias("fp"),
+        F.round(T.quality_score("text"), 6).alias("quality"),
+        T.tokens("text").alias("t"),
+    )
+    feat = tk.select(
+        "source",
+        "fp",
+        "quality",
+        F.size("t").alias("n_words"),
+        F.expr("aggregate(t, 0, (a, x) -> a + length(x))").alias("sum_len"),
+        F.expr(
+            "array_max(transform(array_distinct(t), "
+            "x -> size(filter(t, y -> y = x))))"
+        ).alias("top_cnt"),
+        F.expr(f"size({_TRI_SPARK})").alias("n_tri"),
+        F.expr(f"size(array_distinct({_TRI_SPARK}))").alias("d_tri"),
+        F.size(
+            F.array_intersect(
+                F.expr("array_distinct(t)"),
+                F.array(*[F.lit(w) for w in T.STOPWORDS["en"]]),
+            )
+        ).alias("n_stop"),
+    )
+    keep = (
+        (F.col("n_words") >= 20)
+        & (F.col("sum_len") >= 3 * F.col("n_words"))
+        & (F.col("sum_len") <= 10 * F.col("n_words"))
+        & (F.col("top_cnt") * 8 <= F.col("n_words"))
+        & ((F.col("n_tri") - F.col("d_tri")) * 20 <= F.col("n_tri"))
+        & (F.col("n_stop") >= 2)
+    ).cast("int")
+    per = (
+        feat.withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique_contents"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            F.sum(F.col("quality").cast("decimal(12,6)")).alias("q_sum"),
+        )
+        .withColumn("w", F.sqrt(F.col("n_keep").cast("double")))
+    )
+    tot = per.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0),
+            lambda a, x: a + x.getField("w"),
+        ).alias("t")
+    )
+    one = F.lit(1)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_unique_contents",
+        "n_keep",
+        F.round(
+            F.col("n_keep").cast("double") / F.greatest("n_docs", one), 6
+        ).alias("keep_rate"),
+        F.round(
+            F.col("q_sum").cast("double") / F.greatest("n_docs", one), 6
+        ).alias("mean_quality"),
+        F.floor(F.col("w") / F.col("t") * 100000).cast("bigint").alias(
+            "target_alloc"
+        ),
+    )
+
+
+@query(
     "corpus_mix_upsample",
     oracle="""
     WITH w AS (

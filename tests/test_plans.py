@@ -74,6 +74,7 @@ def test_joins_never_cartesian(spark, sf_dir):
                             "text_keywords_per_doc",
                             # broadcasts the single-row weight-total frame
                             "corpus_temperature_plan",
+                            "corpus_mix_dashboard",
                             # broadcasts the 16-row centroid table against
                             # the query set for probe selection (plan-size
                             # constant in n_clusters x n_dims)
