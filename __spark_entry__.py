@@ -90,6 +90,7 @@ def _ordered_names() -> list[str]:
         "dedup_chunk_minhash",
         "dedup_exact_substring",
         "corpus_mix_dashboard",
+        "sim_int8_rerank_topk",
     }
 
     def prio(name: str) -> int:

@@ -392,3 +392,105 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def int8_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 10,
+) -> DataFrame:
+    """Two-stage quantized serving: symmetric per-vector int8 quantization
+    scores ALL pairs with an INTEGER dot product, the top-`shortlist`
+    candidates per query are re-ranked with the exact f64 cosine, and the
+    final top-`k` is emitted with both scores.
+
+    The quantized cosine needs no scales at all: with q_i = round(x_i/s),
+    cos~ = Σ q_a q_b / (sqrt(Σ q_a²)·sqrt(Σ q_b²)) — the per-vector scales
+    cancel, so stage 1 is exact integer sums plus one IEEE division,
+    bit-identical in any engine. |q| <= 127 and 64 dims keep every sum far
+    inside int64.
+
+    Why this shape at scale: the stage-1 scan reads 64 BYTES per vector
+    (vs 256 for f32) and int8 dot products are the SIMD-friendliest kernel
+    in existence (VNNI/dp4a); the expensive f64 fold runs only on
+    shortlist·Q rows. Queries broadcast; the corpus never shuffles — the
+    only exchanges are the two per-query top-k windows (the second over
+    shortlist·Q rows only).
+
+    Output: (query_id, vec_id, approx_cosine, cosine), k rows per query,
+    ties broken by corpus id at both stages so shortlist membership is
+    deterministic cross-engine."""
+
+    def quant(df: DataFrame, pid: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(pid), F.col(vec_col).alias(f"{pid}_vec")
+            )
+            .withColumn(
+                "_v", F.expr(f"transform({pid}_vec, x -> cast(x as double))")
+            )
+            .withColumn(
+                "_scale",
+                F.greatest(
+                    F.expr("array_max(transform(_v, x -> abs(x)))") / 127.0,
+                    F.lit(1e-30),
+                ),
+            )
+            .withColumn(
+                f"{pid}_q",
+                F.expr("transform(_v, x -> cast(floor(x / _scale + 0.5) as bigint))"),
+            )
+            .withColumn(
+                f"{pid}_qn",
+                F.expr(
+                    f"aggregate({pid}_q, cast(0 as bigint), (a, x) -> a + x * x)"
+                ),
+            )
+            .drop("_v", "_scale")
+        )
+
+    c = quant(corpus, "cid")
+    q = quant(queries, "qid")
+    dot8 = F.expr(
+        "aggregate(zip_with(cid_q, qid_q, (x, y) -> x * y), "
+        "cast(0 as bigint), (a, x) -> a + x)"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias(id_col),
+            "qid_vec",
+            "cid_vec",
+            (
+                dot8.cast("double")
+                / (
+                    F.sqrt(F.col("cid_qn").cast("double"))
+                    * F.sqrt(F.col("qid_qn").cast("double"))
+                )
+            ).alias("approx"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc(id_col))
+    short = (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= shortlist)
+        .drop("_rn")
+    )
+    exact = short.select(
+        "query_id",
+        id_col,
+        F.round("approx", round_digits).alias("approx_cosine"),
+        F.round(cosine("qid_vec", "cid_vec"), round_digits).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        exact.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -51,6 +51,54 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+@query(
+    "sim_int8_rerank_topk",
+    oracle=f"""
+    WITH w AS (SELECT vec_id, embedding,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, embedding, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                          1e-30) AS scale
+          FROM w),
+    qz AS (SELECT vec_id, embedding,
+                  list_transform(v, x -> CAST(floor(x / scale + 0.5)
+                                              AS BIGINT)) AS q
+           FROM s),
+    qn AS (SELECT vec_id, embedding, q,
+                  list_reduce(list_transform(q, x -> x * x),
+                              (a, b) -> a + b) AS nq
+           FROM qz),
+    qs AS (SELECT vec_id AS query_id, embedding AS qe, q AS qq, nq AS qnq
+           FROM qn WHERE vec_id < 8),
+    cs AS (SELECT vec_id, embedding AS ce, q AS cq, nq AS cnq FROM qn),
+    st1 AS (SELECT query_id, vec_id, qe, ce,
+                   CAST(list_reduce(list_transform(range(1, {N_DIMS + 1}),
+                            i -> cq[i] * qq[i]), (a, b) -> a + b) AS DOUBLE)
+                   / (sqrt(CAST(cnq AS DOUBLE)) * sqrt(CAST(qnq AS DOUBLE)))
+                     AS approx
+            FROM cs CROSS JOIN qs
+            WHERE vec_id != query_id
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY approx DESC, vec_id) <= 32)
+    SELECT query_id, vec_id,
+           round(approx, 10) AS approx_cosine,
+           {_cos_sql("qe", "ce")} AS cosine
+    FROM st1
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY {_cos_sql("qe", "ce")} DESC,
+                                        vec_id) <= 5
+    """,
+)
+def sim_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized ANN serving: int8 integer-dot shortlist (top-32,
+    scales cancel so stage 1 is exact integer math) re-ranked by the exact
+    f64 cosine to top-5 — the standard SIMD-quantized serving pattern.
+    See functions/similarity.py::int8_rerank_topk for the scale story."""
+    emb = _emb(spark, sf_dir)
+    return S.int8_rerank_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 def _bucket_sql(vec: str) -> str:
     planes = S.hyperplanes(4, N_DIMS)
     terms = []

@@ -42,6 +42,7 @@ def test_joins_never_cartesian(spark, sf_dir):
     except the two that broadcast a tiny query-vector set by design."""
     by_design = {
         "sim_cosine_topk",
+        "sim_int8_rerank_topk",
         "sim_hard_negatives",
         # fixed-size audit slice: exact all-pairs ground truth on purpose
         "dedup_lsh_recall_report",

@@ -185,3 +185,23 @@ def test_gopher_filter_matches_python_reference(spark, sf_dir):
             abs(g["dup_trigram_frac"] - round((n_tri - d_tri) / max(n_tri, 1), 6))
             < 1e-9
         )
+
+
+def test_int8_rerank_recall_vs_brute_force(spark, sf_dir):
+    """The int8 shortlist must recall (nearly) the exact top-5: 64-dim
+    int8 quantization is close to lossless, so demand >= 4/5 overlap per
+    query and identical exact-cosine values on the recalled ids."""
+    exact = QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+    two_stage = QUERIES["sim_int8_rerank_topk"](spark, sf_dir).collect()
+    t_exact, t_two, cos_exact = {}, {}, {}
+    for r in exact:
+        t_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+        cos_exact[(r["query_id"], r["vec_id"])] = r["cosine"]
+    for r in two_stage:
+        t_two.setdefault(r["query_id"], set()).add(r["vec_id"])
+        if (r["query_id"], r["vec_id"]) in cos_exact:
+            assert r["cosine"] == cos_exact[(r["query_id"], r["vec_id"])]
+        assert r["approx_cosine"] <= 1.0 + 1e-9
+    assert set(t_exact) == set(t_two)
+    for q in t_exact:
+        assert len(t_exact[q] & t_two[q]) >= 4, q
