@@ -91,6 +91,7 @@ def _ordered_names() -> list[str]:
         "dedup_exact_substring",
         "corpus_mix_dashboard",
         "sim_int8_rerank_topk",
+        "dedup_cdc_chunks",
     }
 
     def prio(name: str) -> int:

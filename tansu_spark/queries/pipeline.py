@@ -344,6 +344,113 @@ def dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cdc_chunks",
+    oracle=_TOK_CTE
+    + """,
+    n AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    pos AS (SELECT doc_id, t, unnest(range(1, n + 1)) AS p FROM n),
+    b AS (SELECT doc_id, p, t[p] AS tk,
+                 -- coalesce: array_to_string([]) is NULL in DuckDB and the
+                 -- vectorized AND evaluates the CAST even for p < 8 rows
+                 CASE WHEN p >= 8
+                       AND CAST(concat('0x', substr(md5(coalesce(
+                             array_to_string(list_slice(t, p - 7, p), ' '),
+                             '')), 1, 8)) AS BIGINT) % 16 = 0
+                      THEN 1 ELSE 0 END AS bnd
+          FROM pos),
+    c AS (SELECT doc_id, p, tk,
+                 sum(bnd) OVER (PARTITION BY doc_id ORDER BY p) - bnd
+                   AS chunk_id
+          FROM b),
+    ch AS (SELECT doc_id, chunk_id,
+                  md5(string_agg(tk, ' ' ORDER BY p)) AS fp,
+                  count(*) AS n_tokens
+           FROM c GROUP BY doc_id, chunk_id)
+    SELECT fp AS chunk_md5,
+           count(*) AS n_copies,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS first_doc,
+           CAST(min(n_tokens) AS BIGINT) AS n_tokens
+    FROM ch GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking dedup (Rabin-Karp rolling-hash
+    boundaries): a chunk boundary falls wherever the hash of the last 8
+    tokens is ≡ 0 mod 16 (mean chunk ~16 tokens), so chunk boundaries
+    move WITH the content — inserting one sentence early in a document
+    shifts every fixed-stride window but leaves all downstream CDC
+    chunks identical. This is the insertion-robust dedup grain (the
+    trick storage dedup and CommonCrawl-scale pipelines use), and the
+    complement of text_chunk_windows' fixed grid: grid chunks for
+    training-sample packing, CDC chunks for dedup under edits.
+
+    Output mirrors dedup_chunk_exact (repeated chunk fingerprints with
+    copy counts and first owner) so the two grains are directly
+    comparable.
+
+    Scale: position explode is map-only (~n_tokens rows); the boundary
+    flag is per-row md5 math; chunk assembly is one per-doc window
+    (running boundary sum — partitioned by doc, never global) + one
+    groupBy (doc, chunk); the final dedup is the standard uniform-key
+    fingerprint partial-agg. Everything is integer/md5-exact; chunk text
+    reassembly is order-pinned by the token position."""
+    tk = _docs(spark, sf_dir).select(
+        "doc_id", T.tokens("text").alias("t")
+    ).withColumn("n", F.size("t"))
+    pos = tk.withColumn("p", F.explode(F.sequence(F.lit(1), F.col("n"))))
+    b = pos.select(
+        "doc_id",
+        "p",
+        F.expr("element_at(t, p)").alias("tk"),
+        F.when(
+            (F.col("p") >= 8)
+            & (
+                F.conv(
+                    F.substring(
+                        F.md5(F.expr("concat_ws(' ', slice(t, p - 7, 8))")),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 16
+                == 0
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("bnd"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("p")
+    c = b.withColumn("chunk_id", F.sum("bnd").over(w) - F.col("bnd"))
+    ch = c.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(p, tk))), s -> s.tk)"
+                ),
+            )
+        ).alias("fp"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return (
+        ch.groupBy(F.col("fp").alias("chunk_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
     "dedup_exact_substring",
     oracle=_TOK_CTE
     + """,

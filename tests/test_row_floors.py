@@ -51,6 +51,7 @@ FLOORS = {
     "text_decontaminate_bloom": 245,
     "dedup_chunk_minhash": 20,
     "dedup_exact_substring": 490,
+    "dedup_cdc_chunks": 40,
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
