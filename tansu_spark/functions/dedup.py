@@ -427,3 +427,71 @@ def incremental_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+# --- content-defined chunking --------------------------------------------
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mod: int = 16,
+) -> DataFrame:
+    """(id, chunk_id, fp, n_tokens): content-defined chunks — a boundary
+    falls wherever the md5-derived hash of the last `window` tokens is
+    ≡ 0 mod `mod` (mean chunk ~`mod` tokens), so boundaries move WITH
+    the content: an insertion re-chunks only up to `window` tokens past
+    itself, leaving every downstream chunk fingerprint intact (the
+    property fixed-stride grids lack — see test_dedup.py).
+
+    Scale: position explode is map-only (~n_tokens rows), the boundary
+    flag is per-row hash math, chunk ids are one per-doc running-sum
+    window, and reassembly is a (doc, chunk) groupBy with order pinned
+    by token position. No global operation anywhere."""
+    tk = df.select(
+        F.col(id_col), tokens(text_col).alias("t")
+    ).withColumn("n", F.size("t"))
+    pos = tk.withColumn("p", F.explode(F.sequence(F.lit(1), F.col("n"))))
+    b = pos.select(
+        id_col,
+        "p",
+        F.expr("element_at(t, p)").alias("tk"),
+        F.when(
+            (F.col("p") >= window)
+            & (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.expr(
+                                f"concat_ws(' ', slice(t, p - {window - 1}, {window}))"
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % mod
+                == 0
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("bnd"),
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    c = b.withColumn("chunk_id", F.sum("bnd").over(w) - F.col("bnd"))
+    return c.groupBy(id_col, "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(p, tk))), s -> s.tk)"
+                ),
+            )
+        ).alias("fp"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

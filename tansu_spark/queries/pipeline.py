@@ -395,49 +395,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy (doc, chunk); the final dedup is the standard uniform-key
     fingerprint partial-agg. Everything is integer/md5-exact; chunk text
     reassembly is order-pinned by the token position."""
-    tk = _docs(spark, sf_dir).select(
-        "doc_id", T.tokens("text").alias("t")
-    ).withColumn("n", F.size("t"))
-    pos = tk.withColumn("p", F.explode(F.sequence(F.lit(1), F.col("n"))))
-    b = pos.select(
-        "doc_id",
-        "p",
-        F.expr("element_at(t, p)").alias("tk"),
-        F.when(
-            (F.col("p") >= 8)
-            & (
-                F.conv(
-                    F.substring(
-                        F.md5(F.expr("concat_ws(' ', slice(t, p - 7, 8))")),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % 16
-                == 0
-            ),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("bnd"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("p")
-    c = b.withColumn("chunk_id", F.sum("bnd").over(w) - F.col("bnd"))
-    ch = c.groupBy("doc_id", "chunk_id").agg(
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.expr(
-                    "transform(array_sort(collect_list(struct(p, tk))), s -> s.tk)"
-                ),
-            )
-        ).alias("fp"),
-        F.count(F.lit(1)).alias("n_tokens"),
-    )
+    ch = D.cdc_chunks(_docs(spark, sf_dir))
     return (
         ch.groupBy(F.col("fp").alias("chunk_md5"))
         .agg(

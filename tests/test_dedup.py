@@ -237,3 +237,46 @@ def test_dedup_chain_self_heals_after_unpersist(spark):
     ch2 = P._dedup_chain(spark, sf)  # must rebuild, not raise
     assert ch2["verified"].count() == n_before
     assert ch2["cc"].count() > 0
+
+
+def test_cdc_chunks_survive_prefix_insertion_grid_does_not(spark):
+    """The content-defined chunking claim, proven: prepending tokens to a
+    document leaves every chunk fingerprint after the insertion's hash
+    horizon intact, while the fixed 64/48 grid (whose boundaries are
+    positional) loses essentially all of them."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(500)}" for _ in range(400)]
+    prefix = [f"p{i}" for i in range(11)]
+    rows = [(0, " ".join(words)), (1, " ".join(prefix + words))]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    ch = D.cdc_chunks(docs).collect()
+    fps = {0: set(), 1: set()}
+    n_chunks = {0: 0, 1: 0}
+    for r in ch:
+        fps[r["doc_id"]].add(r["fp"])
+        n_chunks[r["doc_id"]] += 1
+    # every chunk of the original except (at most) the head survives in
+    # the prefixed copy — boundaries re-align within one hash window
+    shared = len(fps[0] & fps[1])
+    assert shared >= n_chunks[0] - 2, (shared, n_chunks)
+    assert shared >= 1
+
+    # the fixed grid: an 11-token shift misaligns every 64-token window
+    grid = {0: set(), 1: set()}
+    from tansu_spark.queries.pipeline import text_chunk_windows
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("syn")
+        ).withColumn("n_chars", F.length("text")).write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        for r in text_chunk_windows(spark, td).collect():
+            grid[r["doc_id"]].add(r["chunk_md5"])
+    assert len(grid[0] & grid[1]) == 0
