@@ -92,6 +92,7 @@ def _ordered_names() -> list[str]:
         "corpus_mix_dashboard",
         "sim_int8_rerank_topk",
         "dedup_cdc_chunks",
+        "events_ewma_anomaly",
     }
 
     def prio(name: str) -> int:

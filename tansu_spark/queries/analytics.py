@@ -2460,3 +2460,86 @@ def events_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "events_ewma_anomaly",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS v,
+             count(*) AS n_events
+      FROM events GROUP BY user_id),
+    folded AS (
+      SELECT user_id, n_events,
+             -- m BEFORE e: DuckDB's fold rebinds struct fields
+             -- sequentially inside larger plans, so a field computed
+             -- after e's reassignment would see the UPDATED ewma
+             -- (observed: m came out exactly 0.75x). With m first, both
+             -- fields read the pre-update accumulator under either
+             -- evaluation semantics.
+             list_reduce(
+               list_prepend(
+                 struct_pack(m := CAST(0.0 AS DOUBLE),
+                             e := CAST(v[1] AS DOUBLE)),
+                 list_transform(v[2:],
+                   x -> struct_pack(m := CAST(-1.0 AS DOUBLE),
+                                    e := CAST(x AS DOUBLE)))),
+               (a, b) -> struct_pack(
+                 m := greatest(a.m, abs(b.e - a.e)),
+                 e := a.e + 0.25 * (b.e - a.e))) AS acc
+      FROM seq)
+    SELECT user_id, n_events,
+           round(acc.e, 6) AS ewma_final,
+           round(acc.m, 6) AS max_deviation,
+           CAST(CASE WHEN acc.m > 300.0 THEN 1 ELSE 0 END AS INTEGER)
+             AS flagged
+    FROM folded
+    """,
+)
+def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing + anomaly flag per user (alpha = 1/4): the
+    RECURSIVE sequential statistic (each state depends on the previous)
+    that looks like it needs a loop, expressed as one ordered fold —
+    collect each user's value sequence pinned by (ts, event_id), seed
+    the accumulator with the first value, and fold e' = e + 0.25*(x-e)
+    while tracking the largest one-step deviation |x - e_prev| (the
+    spike an EWMA monitor would alert on; flagged above 300).
+
+    Cross-engine exactness: alpha = 0.25 is a power of two, the fold
+    order is pinned by the sort, and both engines run the identical
+    IEEE expression sequence (Spark aggregate == DuckDB list_reduce
+    over the same prepend-seeded list — the PQ ADC fold pattern with a
+    STRUCT accumulator).
+
+    Scale: one shuffle (groupBy user); per-user sequences are bounded
+    (sessions/day-partitions at production), so the fold is bounded
+    per-row work — state never leaves the row. The array never carries
+    more than the user's own events."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+            " s -> s.value)"
+        ).alias("v"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    folded = seq.withColumn(
+        "acc",
+        F.aggregate(
+            F.expr("slice(v, 2, size(v) - 1)"),
+            F.expr("struct(element_at(v, 1) AS e, cast(0.0 AS double) AS m)"),
+            lambda a, x: F.struct(
+                (a.getField("e") + 0.25 * (x - a.getField("e"))).alias("e"),
+                F.greatest(
+                    a.getField("m"), F.abs(x - a.getField("e"))
+                ).alias("m"),
+            ),
+        ),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("acc.e"), 6).alias("ewma_final"),
+        F.round(F.col("acc.m"), 6).alias("max_deviation"),
+        (F.col("acc.m") > 300.0).cast("int").alias("flagged"),
+    )

@@ -205,3 +205,30 @@ def test_int8_rerank_recall_vs_brute_force(spark, sf_dir):
     assert set(t_exact) == set(t_two)
     for q in t_exact:
         assert len(t_exact[q] & t_two[q]) >= 4, q
+
+
+def test_ewma_anomaly_matches_python_reference(spark, sf_dir):
+    """The ordered fold recomputed row-by-row in plain Python must agree:
+    same final EWMA, same max deviation, same flag."""
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["events_ewma_anomaly"](spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    seqs: dict = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["value"]))
+    assert set(got) == set(seqs)
+    for uid, rows in seqs.items():
+        vals = [v for _, _, v in sorted(rows)]
+        e, m = vals[0], 0.0
+        for x in vals[1:]:
+            m = max(m, abs(x - e))
+            e = e + 0.25 * (x - e)
+        g = got[uid]
+        assert g["n_events"] == len(vals), uid
+        assert abs(g["ewma_final"] - round(e, 6)) < 1e-9, uid
+        assert abs(g["max_deviation"] - round(m, 6)) < 1e-9, uid
+        assert g["flagged"] == int(m > 300.0), uid
