@@ -118,6 +118,26 @@ SNAPSHOTS: dict[str, str] = {
         "plans exactly once; the only Exchanges are the signature groupBy "
         "on cid and the bucket groupBy on (band, band_sig)."
     ),
+    "dedup_exact_substring": (
+        "Rolling-window dedup: position explode is map-only, the "
+        "fingerprint count is a uniform-key partial agg, the join-back is "
+        "an equi-join on the fingerprint, and the islands window is "
+        "`Window partitionBy doc_id` — every Exchange hashes on an "
+        "unskewed key; nothing is global."
+    ),
+    "dedup_cdc_chunks": (
+        "Content-defined chunking: per-row boundary hash in codegen, ONE "
+        "per-doc running-sum window, chunk reassembly as a (doc, chunk) "
+        "groupBy with order pinned via array_sort(struct(p, tok)), then "
+        "the standard uniform-key fingerprint agg. Boundaries move with "
+        "content, plans move with nothing."
+    ),
+    "events_ewma_anomaly": (
+        "Recursive state without iteration: ONE groupBy user collects the "
+        "ordered sequence, the EWMA + max-deviation fold is a single "
+        "`aggregate` HOF with a struct accumulator inside the projection "
+        "— one Exchange total, state never leaves the row."
+    ),
     "dedup_semantic_cluster": (
         "SemDeDup cluster blocking: assignment is a map-only scan against "
         "literal centroids (no shuffle, no UDF), the pairwise stage is a "
