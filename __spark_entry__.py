@@ -93,6 +93,7 @@ def _ordered_names() -> list[str]:
         "sim_int8_rerank_topk",
         "dedup_cdc_chunks",
         "events_ewma_anomaly",
+        "multimodal_dedup_report",
     }
 
     def prio(name: str) -> int:

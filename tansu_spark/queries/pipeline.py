@@ -1456,6 +1456,69 @@ def multimodal_feature_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_dedup_report",
+    oracle="""
+    WITH a AS (SELECT doc_id AS asset_id,
+                      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS modality,
+                      md5(text) AS digest,
+                      octet_length(encode(text)) AS n_bytes
+               FROM documents),
+    per AS (SELECT modality, digest,
+                   count(*) AS cnt, min(n_bytes) AS n_bytes
+            FROM a GROUP BY modality, digest)
+    SELECT modality,
+           CAST(sum(cnt) AS BIGINT) AS n_assets,
+           count(*) AS n_unique,
+           CAST(sum(n_bytes * cnt) AS BIGINT) AS total_bytes,
+           CAST(sum(n_bytes) AS BIGINT) AS unique_bytes,
+           CAST(sum(n_bytes * cnt) - sum(n_bytes) AS BIGINT) AS dup_bytes,
+           round(CAST(sum(n_bytes) AS DOUBLE)
+                 / CAST(sum(n_bytes * cnt) AS DOUBLE), 6) AS dedup_ratio
+    FROM per GROUP BY modality
+    """,
+)
+def multimodal_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary ASSET-STORE dedup accounting — the content-addressed
+    storage decision for a multimodal corpus: per modality, how many
+    assets collapse to how many distinct payloads (byte-grain md5 over
+    the BINARY column), and exactly how many bytes content-addressing
+    saves. Identical images/audio re-crawled under different ids are the
+    dominant storage waste in media corpora; this is the report that
+    justifies the CAS layout before any decode happens.
+
+    Scale: digest computed map-side over the binary scan (payload bytes
+    never shuffle — only 16-byte digests and integer byte counts move),
+    ONE partial-agg shuffle on (modality, digest) — uniform by
+    construction — then a 3-row modality rollup. All-integer byte
+    accounting; the single ratio is one exact division rounded once."""
+    a = _assets(spark, sf_dir).select(
+        "modality",
+        F.md5("content").alias("digest"),
+        F.length("content").alias("n_bytes"),
+    )
+    per = a.groupBy("modality", "digest").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("n_bytes").alias("n_bytes")
+    )
+    return per.groupBy("modality").agg(
+        F.sum("cnt").cast("bigint").alias("n_assets"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("n_bytes") * F.col("cnt")).cast("bigint").alias(
+            "total_bytes"
+        ),
+        F.sum("n_bytes").cast("bigint").alias("unique_bytes"),
+        (F.sum(F.col("n_bytes") * F.col("cnt")) - F.sum("n_bytes"))
+        .cast("bigint")
+        .alias("dup_bytes"),
+        F.round(
+            F.sum("n_bytes").cast("double")
+            / F.sum(F.col("n_bytes") * F.col("cnt")).cast("double"),
+            6,
+        ).alias("dedup_ratio"),
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id AS asset_id,
