@@ -94,6 +94,7 @@ def _ordered_names() -> list[str]:
         "dedup_cdc_chunks",
         "events_ewma_anomaly",
         "multimodal_dedup_report",
+        "graph_dup_degree_stats",
     }
 
     def prio(name: str) -> int:

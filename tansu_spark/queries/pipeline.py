@@ -843,6 +843,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_dup_degree_stats",
+    oracle=_LSH_CTES
+    + """,
+    v AS (SELECT p.doc_a, p.doc_b
+          FROM pairs p
+          JOIN sh sa ON sa.doc_id = p.doc_a
+          JOIN sh sb ON sb.doc_id = p.doc_b
+          WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+                      / greatest(len(sa.shingles) + len(sb.shingles)
+                                 - len(list_intersect(sa.shingles,
+                                                      sb.shingles)), 1), 6)
+                  >= 0.5),
+    deg AS (SELECT doc_id, count(*) AS degree FROM (
+              SELECT doc_a AS doc_id FROM v
+              UNION ALL SELECT doc_b AS doc_id FROM v)
+            GROUP BY doc_id)
+    SELECT degree, count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_dup_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the VERIFIED near-duplicate graph — the
+    shape diagnostic a dedup run reads before committing deletions: a
+    heavy-degree tail means template/boilerplate hubs (one canonical
+    absorbs many), degree-1 mass means simple pairs. Rides the shared
+    LSH -> verify chain (the pair table is materialized once per
+    session), so the marginal cost is one explode + two tiny integer
+    aggregations on an edge list that is already proportional to true
+    duplicate density, never |docs|^2."""
+    v = _dedup_chain(spark, sf_dir)["verified"]
+    deg = (
+        v.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(v.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+@query(
     "text_type_token_ratio",
     oracle=_TOK_CTE
     + """,
