@@ -62,52 +62,32 @@ def _ordered_names() -> list[str]:
     passed = _driver_verified()
     unverified = [n for n in QUERIES if n not in passed]
 
-    # Round-3 window math: 55 oracled-unverified queries compete for the
-    # gate's ~50 slots. Five text singles ride last among the unverified
-    # (their machinery is vouched for by 13 driver-green text queries);
-    # rows-only entries (no oracle, so the gate can only count rows) go
-    # after ALL oracled unverified so they never burn an exact-check slot.
-    late_text = {
+    # Round-4 window math: only 23 oracled-unverified queries remain and
+    # the gate window holds ~50 — everything fits with room to spare.
+    # Per the round-3 verdict: the five text singles (back-burnered in
+    # r2 AND r3) go FIRST, then the rest of the unverified backlog in
+    # registry order, then already-verified queries for re-checking.
+    # Rows-only entries (no oracle — the gate records them as a
+    # `no_oracle` err) are pinned dead-last, BEHIND the verified
+    # rotation, so they never burn a window slot again.
+    first_text = {
         "text_top_tokens",
         "text_type_token_ratio",
         "text_fingerprint",
         "text_quality_score",
         "text_vocab_prune",
     }
-    # Queries ADDED in round 3: ride behind the long-unverified backlog
-    # (they must not displace the tpch deep cuts from the window edge).
-    new_in_r3 = {
-        "dedup_semantic_cluster",
-        "sim_kmeans_trained_topk",
-        "sim_pq_trained_encode",
-        "pipeline_leakage_safe_split",
-        "sim_random_projection",
-        "text_chunk_windows",
-        "dedup_chunk_exact",
-        "corpus_temperature_plan",
-        "text_gopher_filter",
-        "text_decontaminate_bloom",
-        "dedup_chunk_minhash",
-        "dedup_exact_substring",
-        "corpus_mix_dashboard",
-        "sim_int8_rerank_topk",
-        "dedup_cdc_chunks",
-        "events_ewma_anomaly",
-        "multimodal_dedup_report",
-        "graph_dup_degree_stats",
-    }
 
     def prio(name: str) -> int:
         if name not in ORACLE:
-            return 95  # rows-only: weakest check, last among unverified
-        if name in late_text:
-            return 90
-        if name in new_in_r3:
-            return 80
-        return 0
+            return 95  # rows-only: pinned dead-last (behind verified)
+        if name in first_text:
+            return 0
+        return 10
 
-    head = sorted(unverified, key=prio)
-    return head + [n for n in QUERIES if n in passed]
+    head = sorted((n for n in unverified if n in ORACLE), key=prio)
+    tail_rows_only = [n for n in unverified if n not in ORACLE]
+    return head + [n for n in QUERIES if n in passed] + tail_rows_only
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -387,7 +387,14 @@ class Broker:
                 )
 
         with file_lock(self._state(topic, ".lock")):
-            # Idempotence fence.
+            # Idempotence fence — CHECKED here, but the advanced fence is
+            # persisted only after the produce fully succeeds (with the
+            # watermark bump below): advancing it eagerly meant a produce
+            # that failed mid-flight (e.g. raced-terminal txn scrub) burned
+            # the sequence, so the client's retry of the same batch was
+            # silently dropped as a duplicate even though its records never
+            # landed — retry-after-error lost data.
+            fences: dict | None = None
             if producer_id is not None and base_sequence is not None:
                 fences = read_json(self._state(topic, "producers.json"), {})
                 fence = fences.get(str(producer_id), {"epoch": -1, "last_sequence": -1})
@@ -404,7 +411,6 @@ class Broker:
                     "epoch": producer_epoch,
                     "last_sequence": base_sequence,
                 }
-                write_json_atomic(self._state(topic, "producers.json"), fences)
 
             marks = read_json(self._state(topic, "watermarks.json"), {})
 
@@ -502,8 +508,9 @@ class Broker:
                         {"state": "open", "topics": {}, "started_at": time.time()},
                     )
                     if t["state"] != "open":
-                        for f in self._segment_files(topic) - pre_files:
-                            os.remove(f)
+                        self._scrub_segments(
+                            topic, self._segment_files(topic) - pre_files
+                        )
                         raise InvalidTxnState(
                             f"produce into {t['state']} txn {txn_id!r}"
                         )
@@ -515,6 +522,12 @@ class Broker:
                     write_json_atomic(self._state(topic, "watermarks.json"), marks)
             else:
                 write_json_atomic(self._state(topic, "watermarks.json"), marks)
+            if fences is not None:
+                # Fence advances only once the records are committed to the
+                # visible offset space — AFTER the watermark write, so a
+                # failure anywhere above leaves the sequence unburned and a
+                # client retry re-lands the batch instead of being dropped.
+                write_json_atomic(self._state(topic, "producers.json"), fences)
             self._refresh_segment_stats(topic)
         return result
 
@@ -578,7 +591,18 @@ class Broker:
         data = self._data_dir(topic)
         if not any(e.startswith("partition=") for e in os.listdir(data)):
             return self.spark.createDataFrame([], RECORD_SCHEMA)
-        df = self.spark.read.schema(RECORD_SCHEMA).parquet(data)
+        # ignoreMissingFiles: a raced-terminal-txn scrub (or a retention/
+        # compaction rewrite) may os.remove a segment between this reader's
+        # directory listing and the task actually opening the file; fetch
+        # takes no topic lock, so the read path must tolerate the vanish
+        # instead of failing mid-scan. Scrubbed records were never inside
+        # the visible offset space (the watermark only bumps on success),
+        # so skipping the vanished file never drops a committed record.
+        df = (
+            self.spark.read.schema(RECORD_SCHEMA)
+            .option("ignoreMissingFiles", "true")
+            .parquet(data)
+        )
         return df
 
     # ----------------------------------------------------- segment offset stats
@@ -604,6 +628,26 @@ class Broker:
                 os.path.join(root, n) for n in names if n.endswith(".parquet")
             )
         return out
+
+    def _scrub_segments(self, topic: str, files: set[str]) -> None:
+        """Remove the segments a raced transactional produce landed, plus
+        the write's leftovers: the _SUCCESS marker Spark drops at the data
+        root and any partition=N directory the scrub emptied. Readers that
+        already listed these files tolerate the removal via
+        ignoreMissingFiles on every broker scan."""
+        data = self._data_dir(topic)
+        for f in files:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+        marker = os.path.join(data, "_SUCCESS")
+        if files and os.path.exists(marker):
+            os.remove(marker)
+        for entry in os.listdir(data):
+            sub = os.path.join(data, entry)
+            if entry.startswith("partition=") and os.path.isdir(sub) and not os.listdir(sub):
+                os.rmdir(sub)
 
     def _refresh_segment_stats(self, topic: str) -> None:
         """Footer-read segments that appeared since the last refresh; drop
@@ -659,9 +703,12 @@ class Broker:
         if not keep:
             return self.spark.createDataFrame([], RECORD_SCHEMA)
         # basePath keeps partition=N directory discovery over the file list.
+        # ignoreMissingFiles for the same reason as records(): concurrent
+        # scrubs/rewrites may remove a listed segment before a task opens it.
         return (
             self.spark.read.schema(RECORD_SCHEMA)
             .option("basePath", data)
+            .option("ignoreMissingFiles", "true")
             .parquet(*sorted(keep))
         )
 

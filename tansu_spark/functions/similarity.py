@@ -31,7 +31,14 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # Denominator floored per factor: a zero vector would otherwise be a
+    # divide-by-zero (an ERROR under ANSI mode, NaN/inf in DuckDB). For
+    # any non-degenerate vector greatest(norm, 1e-30) IS norm — the same
+    # double — so scores on real data are unchanged; the oracle side
+    # (_cos_sql) carries the identical floor.
+    return dot(a, b) / (
+        F.greatest(norm(a), F.lit(1e-30)) * F.greatest(norm(b), F.lit(1e-30))
+    )
 
 
 def matrix_scores(
@@ -468,10 +475,15 @@ def int8_rerank_topk(
             "qid_vec",
             "cid_vec",
             (
+                # greatest(…, 1e-30): an all-zero vector quantizes to
+                # qn = 0, and 0/0 is NULL in Spark but NaN/inf in DuckDB —
+                # floor the denominator (same floor as the quant scale) in
+                # BOTH engines so shortlist membership can't diverge on
+                # degenerate input.
                 dot8.cast("double")
                 / (
-                    F.sqrt(F.col("cid_qn").cast("double"))
-                    * F.sqrt(F.col("qid_qn").cast("double"))
+                    F.greatest(F.sqrt(F.col("cid_qn").cast("double")), F.lit(1e-30))
+                    * F.greatest(F.sqrt(F.col("qid_qn").cast("double")), F.lit(1e-30))
                 )
             ).alias("approx"),
         )

@@ -339,15 +339,53 @@ class LakeSink:
                     from tansu_spark.lake.snapshots import commit_snapshot
 
                     commit_snapshot(self.table_dir(topic), "append")
+                elif cfg["format"] == "delta":
+                    # Native Delta runtime (gate passed above): Delta
+                    # supports path-based tables, creates the transaction
+                    # log on first write, and honours mergeSchema — the
+                    # log IS the snapshot mechanism, no parquet-side
+                    # commit marker.
+                    writer.format("delta").save(self.table_dir(topic))
                 else:
-                    # Native Delta/Iceberg runtime (gate passed above):
-                    # the format's own transaction log IS the snapshot
-                    # mechanism — no parquet-side commit marker.
-                    writer.format(cfg["format"]).save(self.table_dir(topic))
+                    # Iceberg (ADVICE r3): the V1 path writer can only
+                    # APPEND to a pre-existing HadoopTables table — it
+                    # cannot create one — and parquet's mergeSchema option
+                    # is a no-op there. Go through the V2 writer against
+                    # the catalog table: create on first store (with the
+                    # topic's partition transforms), append after, with
+                    # Iceberg's own schema-evolution switch.
+                    ident = f"{self._iceberg_catalog()}.{self.database}.{topic}"
+                    w2 = (
+                        out.writeTo(ident)
+                        .option("merge-schema", "true")
+                        .option("mergeSchema", "true")
+                    )
+                    if not self.spark.catalog.tableExists(ident):
+                        if part_cols:
+                            w2 = w2.partitionedBy(*[F.col(c) for c in part_cols])
+                        w2.create()
+                    else:
+                        w2.append()
 
             state[state_key] = {str(p): h for p, h in highs.items()}
             write_json_atomic(self._state_path(), state)
         return n
+
+    def _iceberg_catalog(self) -> str:
+        """Name of the session's configured Iceberg catalog (the gate in
+        require_lake_runtime guarantees one exists when this runs)."""
+        jconf = self.spark.sparkContext._jsc.sc().conf().getAll()
+        for kv in jconf:
+            k, v = str(kv._1()), str(kv._2())
+            if (
+                k.startswith("spark.sql.catalog.")
+                and k.count(".") == 3
+                and "iceberg" in v.lower()
+            ):
+                return k.rsplit(".", 1)[1]
+        raise LakeRuntimeUnavailable(
+            "no spark.sql.catalog.<name> entry names an Iceberg catalog"
+        )
 
     def read(self, topic: str) -> DataFrame:
         """The lake table, schema-merged across file generations."""

@@ -2462,59 +2462,209 @@ def events_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ewma_day_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage A of the two-stage EWMA: per (user, day) — the bounded
+    grain — collect that day's value sequence and reduce it to three
+    scalars: the zero-seeded linear carry (e_out = beta*e_in + c, exact
+    because the EWMA recurrence is affine in its seed), and the
+    first-day-style fold result e1 (seed = first value)."""
+    ev = load(spark, sf_dir, "events")
+    # load() exposes ts as epoch NANOS (bigint); floor-div to the UTC day
+    # index — same partition as the oracle's date_trunc('day', ts).
+    return (
+        ev.groupBy("user_id", F.expr("ts div 86400000000000").alias("d"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+                " s -> s.value)"
+            ).alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn(
+            "lin",
+            F.expr(
+                """
+                aggregate(v,
+                  struct(cast(0.0 as double) as c, cast(1.0 as double) as b),
+                  (a, x) -> struct(a.c + 0.25 * (x - a.c) as c,
+                                   a.b * 0.75 as b))
+                """
+            ),
+        )
+        .withColumn(
+            "e1",
+            F.expr(
+                """
+                aggregate(slice(v, 2, size(v) - 1),
+                  cast(element_at(v, 1) as double),
+                  (a, x) -> a + 0.25 * (x - a))
+                """
+            ),
+        )
+    )
+
+
 @query(
     "events_ewma_anomaly",
     oracle="""
-    WITH seq AS (
-      SELECT user_id, list(value ORDER BY ts, event_id) AS v,
-             count(*) AS n_events
-      FROM events GROUP BY user_id),
-    folded AS (
-      SELECT user_id, n_events,
-             -- m BEFORE e: DuckDB's fold rebinds struct fields
-             -- sequentially inside larger plans, so a field computed
-             -- after e's reassignment would see the UPDATED ewma
-             -- (observed: m came out exactly 0.75x). With m first, both
-             -- fields read the pre-update accumulator under either
-             -- evaluation semantics.
+    WITH day_seq AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             list(value ORDER BY ts, event_id) AS v, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    day_sum AS (
+      SELECT user_id, d, v, n,
+             -- zero-seeded affine carry of the day: e_out = b*e_in + c
              list_reduce(
-               list_prepend(
-                 struct_pack(m := CAST(0.0 AS DOUBLE),
-                             e := CAST(v[1] AS DOUBLE)),
-                 list_transform(v[2:],
-                   x -> struct_pack(m := CAST(-1.0 AS DOUBLE),
-                                    e := CAST(x AS DOUBLE)))),
-               (a, b) -> struct_pack(
-                 m := greatest(a.m, abs(b.e - a.e)),
-                 e := a.e + 0.25 * (b.e - a.e))) AS acc
-      FROM seq)
-    SELECT user_id, n_events,
-           round(acc.e, 6) AS ewma_final,
-           round(acc.m, 6) AS max_deviation,
-           CAST(CASE WHEN acc.m > 300.0 THEN 1 ELSE 0 END AS INTEGER)
+               list_prepend(struct_pack(c := CAST(0.0 AS DOUBLE),
+                                        b := CAST(1.0 AS DOUBLE)),
+                 list_transform(v, x -> struct_pack(c := CAST(x AS DOUBLE),
+                                                    b := CAST(0.0 AS DOUBLE)))),
+               (a, x) -> struct_pack(c := a.c + 0.25 * (x.c - a.c),
+                                     b := a.b * 0.75)) AS lin,
+             -- first-day-style fold (seed = first value)
+             list_reduce(list_transform(v, x -> CAST(x AS DOUBLE)),
+                         (a, x) -> a + 0.25 * (x - a)) AS e1
+      FROM day_seq),
+    user_days AS (
+      SELECT user_id,
+             list(struct_pack(dd := d, beta := lin.b, c := lin.c, e1 := e1)
+                  ORDER BY d) AS ds
+      FROM day_sum GROUP BY user_id),
+    -- Day-boundary seeds. DuckDB 1.0's list_reduce drops list-valued
+    -- fields from a struct accumulator (scalars carry, lists reset), so
+    -- the oracle computes each day's seed with an independent fold over
+    -- the day-summary PREFIX ds[1:k-1] — the same floating-point op
+    -- sequence the Spark side's single accumulating fold executes, so
+    -- the results are bit-identical. O(days^2) tiny-struct ops per user
+    -- is oracle-only cost; days are calendar-bounded.
+    seeds_x AS (
+      SELECT user_id, ds[k].dd AS d,
+        CASE WHEN k = 1 THEN CAST(NULL AS DOUBLE) ELSE
+          list_reduce(
+            list_prepend(
+              struct_pack(s := CAST(0.0 AS DOUBLE), i := CAST(0 AS BIGINT),
+                          beta := CAST(NULL AS DOUBLE),
+                          c := CAST(NULL AS DOUBLE),
+                          e1 := CAST(NULL AS DOUBLE)),
+              list_transform(ds[1:k-1], x -> struct_pack(
+                          s := CAST(NULL AS DOUBLE), i := CAST(NULL AS BIGINT),
+                          beta := x.beta, c := x.c, e1 := x.e1))),
+            (a, x) -> struct_pack(
+              s := CASE WHEN a.i = 0 THEN x.e1 ELSE x.beta * a.s + x.c END,
+              i := a.i + 1,
+              beta := CAST(NULL AS DOUBLE), c := CAST(NULL AS DOUBLE),
+              e1 := CAST(NULL AS DOUBLE))).s
+        END AS seed
+      FROM user_days, UNNEST(range(1, len(ds) + 1)) AS t(k)),
+    day_final AS (
+      SELECT s.user_id, s.d, ds.n,
+        -- m BEFORE e: DuckDB's fold rebinds struct fields sequentially
+        -- inside larger plans; with m first both fields read the
+        -- pre-update accumulator under either evaluation semantics.
+        list_reduce(
+          list_prepend(
+            struct_pack(m := CAST(0.0 AS DOUBLE),
+                        e := CAST(CASE WHEN s.seed IS NULL THEN ds.v[1]
+                                       ELSE s.seed END AS DOUBLE)),
+            list_transform(CASE WHEN s.seed IS NULL THEN ds.v[2:] ELSE ds.v END,
+                           x -> struct_pack(m := CAST(-1.0 AS DOUBLE),
+                                            e := CAST(x AS DOUBLE)))),
+          (a, b) -> struct_pack(m := greatest(a.m, abs(b.e - a.e)),
+                                e := a.e + 0.25 * (b.e - a.e))) AS acc
+      FROM seeds_x s JOIN day_sum ds ON s.user_id = ds.user_id AND s.d = ds.d)
+    SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+           round(max_by(acc.e, d), 6) AS ewma_final,
+           round(max(acc.m), 6) AS max_deviation,
+           CAST(CASE WHEN max(acc.m) > 300.0 THEN 1 ELSE 0 END AS INTEGER)
              AS flagged
-    FROM folded
+    FROM day_final GROUP BY user_id
     """,
 )
 def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EWMA smoothing + anomaly flag per user (alpha = 1/4): the
-    RECURSIVE sequential statistic (each state depends on the previous)
-    that looks like it needs a loop, expressed as one ordered fold —
-    collect each user's value sequence pinned by (ts, event_id), seed
-    the accumulator with the first value, and fold e' = e + 0.25*(x-e)
-    while tracking the largest one-step deviation |x - e_prev| (the
-    spike an EWMA monitor would alert on; flagged above 300).
+    """EWMA smoothing + anomaly flag per user (alpha = 1/4), TWO-STAGE:
+    the recursive sequential statistic bounded BY CONSTRUCTION instead
+    of by assumption (the round-3 perf-weak flag).
 
-    Cross-engine exactness: alpha = 0.25 is a power of two, the fold
-    order is pinned by the sort, and both engines run the identical
-    IEEE expression sequence (Spark aggregate == DuckDB list_reduce
-    over the same prepend-seeded list — the PQ ADC fold pattern with a
-    STRUCT accumulator).
+    Stage A folds each (user, day) — a day bounds the array a row
+    carries no matter how hot the user — to three scalars: the affine
+    carry (beta = 0.75^n via repeated multiply, c = zero-seeded fold;
+    exact because e' = e + 0.25*(x-e) is affine in e) and the
+    first-day fold e1. Stage B folds the per-user DAY SUMMARIES (3
+    doubles per day, calendar-bounded — a year is 365 entries even for
+    a 10^7-event bot) to assign each day its boundary seed. Stage C
+    re-folds each day seeded exactly, recovering the running max
+    one-step deviation |x - e_prev| that does NOT compose through a
+    scalar carry. Stage D aggregates per user: final EWMA = last day's
+    fold output, max deviation across days, flag above 300.
 
-    Scale: one shuffle (groupBy user); per-user sequences are bounded
-    (sessions/day-partitions at production), so the fold is bounded
-    per-row work — state never leaves the row. The array never carries
-    more than the user's own events."""
+    Cross-engine exactness: both engines execute the identical IEEE op
+    sequence per stage (alpha = 0.25 and 0.75 are exact binary
+    fractions; fold order pinned by (ts, event_id) then day). The
+    oracle's prefix-fold seed computation is bit-identical to the
+    accumulating fold here (same ops, same order — see oracle comment
+    for why DuckDB 1.0 needs the prefix form). A pytest pin holds the
+    two-stage output equal to the one-stage reference fold
+    (_events_ewma_anomaly_one_stage) at the rounded grain.
+
+    Scale: four shuffles instead of one, but every shuffled row is
+    bounded — day-grain arrays, then 3-double day summaries. No row
+    ever carries a user's full history, so the 10^7-event bot that
+    would OOM the one-stage collect_list is just more day rows here."""
+    day_sum = _ewma_day_summaries(spark, sf_dir)
+    user_days = day_sum.groupBy("user_id").agg(
+        F.expr(
+            "array_sort(collect_list(struct(d as dd, lin.b as beta,"
+            " lin.c as c, e1 as e1)))"
+        ).alias("ds")
+    )
+    seeds_x = (
+        user_days.select(
+            "user_id",
+            F.expr(
+                """
+                aggregate(ds,
+                  struct(cast(array() as array<struct<d:bigint,seed:double>>) as arr,
+                         cast(0.0 as double) as s, cast(0 as bigint) as i),
+                  (a, x) -> struct(
+                    concat(a.arr, array(struct(x.dd as d,
+                        if(a.i = 0, cast(null as double), a.s) as seed))) as arr,
+                    if(a.i = 0, x.e1, x.beta * a.s + x.c) as s,
+                    a.i + 1 as i)).arr
+                """
+            ).alias("arr"),
+        )
+        .select("user_id", F.explode("arr").alias("u"))
+        .select("user_id", F.col("u.d").alias("d"), F.col("u.seed").alias("seed"))
+    )
+    day_final = seeds_x.join(
+        day_sum.select("user_id", "d", "v", "n"), ["user_id", "d"]
+    ).withColumn(
+        "acc",
+        F.expr(
+            """
+            aggregate(
+              if(seed is null, slice(v, 2, size(v) - 1), v),
+              struct(cast(0.0 as double) as m,
+                     cast(if(seed is null, element_at(v, 1), seed) as double) as e),
+              (a, b) -> struct(greatest(a.m, abs(b - a.e)) as m,
+                               a.e + 0.25 * (b - a.e) as e))
+            """
+        ),
+    )
+    return day_final.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.expr("max_by(acc.e, d)"), 6).alias("ewma_final"),
+        F.round(F.max("acc.m"), 6).alias("max_deviation"),
+        (F.max("acc.m") > 300.0).cast("int").alias("flagged"),
+    )
+
+
+def events_ewma_anomaly_one_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stage reference fold for the pytest equality pin: collects
+    each user's FULL value sequence into one row (unbounded at scale —
+    exactly why it is no longer the registered query) and folds it in
+    one pass. Kept unregistered as the semantic ground truth the
+    two-stage decomposition must reproduce."""
     ev = load(spark, sf_dir, "events")
     seq = ev.groupBy("user_id").agg(
         F.expr(

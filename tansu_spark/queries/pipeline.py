@@ -74,7 +74,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHAIN_CACHE: dict = {}
-_CHAIN_PROTECTED_IDS: set = set()
+# key -> the exact RDD ids backing that key's live chain checkpoints
+# (ADVICE r3: per-key so a rebuild/evict drops its stale ids, and derived
+# from each checkpointed DataFrame's OWN plan — never a global
+# before/after diff that could claim a concurrently-persisted stranger).
+_CHAIN_PROTECTED: dict = {}
 
 
 def _persistent_rdd_ids(spark) -> set:
@@ -85,10 +89,23 @@ def _persistent_rdd_ids(spark) -> set:
     return out
 
 
+def _checkpoint_rdd_id(df) -> int | None:
+    """The persisted RDD id behind a localCheckpoint'ed DataFrame: its
+    analyzed plan is a LogicalRDD whose `rdd` field IS the checkpointed
+    (persisted) RDD — the id the persistent-RDD registry tracks."""
+    try:
+        return int(df._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        return None
+
+
 def dedup_chain_protected_ids() -> set:
     """RDD ids whose blocks back the live chain checkpoints — callers that
     bulk-unpersist leftovers (bench.py) must skip these."""
-    return set(_CHAIN_PROTECTED_IDS)
+    out: set = set()
+    for ids in _CHAIN_PROTECTED.values():
+        out |= ids
+    return out
 
 
 def _dedup_chain(spark: SparkSession, sf_dir: str) -> dict:
@@ -101,18 +118,17 @@ def _dedup_chain(spark: SparkSession, sf_dir: str) -> dict:
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     hit = _CHAIN_CACHE.get(key)
     if hit is not None:
-        try:
-            # Probe EVERY checkpointed table (a dropped sh/pairs with a
-            # live verified would crash whichever consumer reads it):
-            # counts over materialized blocks are cheap; any dropped
-            # block raises here and we rebuild below.
-            for k in ("sh", "pairs", "verified", "cc"):
-                hit[k].count()
+        # Driver-side probe, zero Spark jobs (ADVICE r3 replaced the four
+        # per-invocation .count() probes): the chain is healthy iff every
+        # backing RDD id is still in the persistent-RDD registry — an
+        # external unpersist (the failure the probe exists for) removes
+        # it from exactly that registry.
+        ids = _CHAIN_PROTECTED.get(key, set())
+        if ids and ids <= _persistent_rdd_ids(spark):
             return hit
-        except Exception:
-            _CHAIN_CACHE.pop(key, None)
+        _CHAIN_CACHE.pop(key, None)
+        _CHAIN_PROTECTED.pop(key, None)
     docs = _docs(spark, sf_dir)
-    before = _persistent_rdd_ids(spark)
     # sh is corpus-sized but hot across the whole text/dedup family —
     # checkpointing it (RDD-level persist, immune to clearCache) means
     # every consumer reads materialized shingles instead of re-running
@@ -125,7 +141,16 @@ def _dedup_chain(spark: SparkSession, sf_dir: str) -> dict:
     cc = connected_components(
         verified.select("doc_a", "doc_b"), src="doc_a", dst="doc_b"
     ).localCheckpoint(eager=True)
-    _CHAIN_PROTECTED_IDS.update(_persistent_rdd_ids(spark) - before)
+    _CHAIN_PROTECTED[key] = {
+        i
+        for i in (
+            _checkpoint_rdd_id(sh),
+            _checkpoint_rdd_id(pairs),
+            _checkpoint_rdd_id(verified),
+            _checkpoint_rdd_id(cc),
+        )
+        if i is not None
+    }
     hit = {"docs": docs, "sh": sh, "pairs": pairs, "verified": verified, "cc": cc}
     _CHAIN_CACHE[key] = hit
     return hit

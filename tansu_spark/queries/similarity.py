@@ -25,7 +25,12 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def _cos_sql(a: str, b: str) -> str:
-    return f"round({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 10)"
+    # greatest(…, 1e-30) mirrors functions/similarity.cosine()'s
+    # zero-vector floor — the identical double for any real vector.
+    return (
+        f"round({_dot_sql(a, b)} / (greatest(sqrt({_dot_sql(a, a)}), 1e-30)"
+        f" * greatest(sqrt({_dot_sql(b, b)}), 1e-30)), 10)"
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +80,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     st1 AS (SELECT query_id, vec_id, qe, ce,
                    CAST(list_reduce(list_transform(range(1, {N_DIMS + 1}),
                             i -> cq[i] * qq[i]), (a, b) -> a + b) AS DOUBLE)
-                   / (sqrt(CAST(cnq AS DOUBLE)) * sqrt(CAST(qnq AS DOUBLE)))
+                   / (greatest(sqrt(CAST(cnq AS DOUBLE)), 1e-30)
+                      * greatest(sqrt(CAST(qnq AS DOUBLE)), 1e-30))
                      AS approx
             FROM cs CROSS JOIN qs
             WHERE vec_id != query_id
@@ -137,7 +143,10 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cos_raw_sql(a: str, b: str) -> str:
-    return f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    return (
+        f"{_dot_sql(a, b)} / (greatest(sqrt({_dot_sql(a, a)}), 1e-30)"
+        f" * greatest(sqrt({_dot_sql(b, b)}), 1e-30))"
+    )
 
 
 @query(

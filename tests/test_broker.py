@@ -714,6 +714,42 @@ def test_txn_produce_raced_terminal_leaves_no_orphan_records(spark, tmp_path):
     assert offs == sorted(set(offs)), "duplicate offsets after raced produce"
 
 
+def test_failed_produce_does_not_burn_idempotence_fence(spark, tmp_path):
+    """ADVICE r3: the fence (producers.json last_sequence) must advance
+    only after the produce fully succeeds — a produce that fails
+    mid-flight must leave the sequence unburned so the client's retry of
+    the SAME batch lands instead of being dropped as a duplicate."""
+    from tansu_spark.broker.broker import Broker
+    from tansu_spark.broker.state import read_json
+
+    b = Broker(spark, str(tmp_path / "store"))
+    b.create_topic("t", partitions=1)
+
+    # partition 5 on a 1-partition topic → the unknown-partition error,
+    # raised AFTER the fence check (the fence used to be persisted there).
+    bad = spark.createDataFrame(
+        [(b"k", b"v", 5)], "key binary, value binary, partition int"
+    )
+    with pytest.raises(ValueError, match="unknown partition"):
+        b.produce("t", bad, producer_id=7, producer_epoch=0, base_sequence=10)
+
+    fences = read_json(b._state("t", "producers.json"), {})
+    assert fences.get("7", {"last_sequence": -1})["last_sequence"] < 10, (
+        "failed produce burned the idempotence sequence"
+    )
+
+    # the retry of the same (pid, epoch, sequence) batch must LAND
+    good = spark.createDataFrame(
+        [(b"k", b"v", 0)], "key binary, value binary, partition int"
+    )
+    res = b.produce("t", good, producer_id=7, producer_epoch=0, base_sequence=10)
+    assert res == {0: 0}, "retry after failed produce was dropped as duplicate"
+    assert read_json(b._state("t", "producers.json"), {})["7"]["last_sequence"] == 10
+
+    # and a true duplicate of the now-landed batch IS dropped
+    assert b.produce("t", good, producer_id=7, producer_epoch=0, base_sequence=10) == {}
+
+
 def test_committed_pending_offsets_replayed_on_startup(spark, tmp_path):
     """ADVICE r2: crash between the committed state-flip and the staged
     consumer-offset apply must not drop the offsets — startup replays

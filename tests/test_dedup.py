@@ -239,6 +239,47 @@ def test_dedup_chain_self_heals_after_unpersist(spark):
     assert ch2["cc"].count() > 0
 
 
+def test_dedup_chain_protected_ids_exact_and_reset_on_rebuild(spark):
+    """ADVICE r3: protected ids come from the chain's OWN checkpointed
+    plans (one per table), are all live in the persistent-RDD registry,
+    exclude unrelated concurrent persists, and are replaced — not
+    accumulated — when the chain rebuilds."""
+    from tansu_spark.queries import pipeline as P
+
+    sf = "/root/testdata/sf0.001"
+    # an unrelated persist concurrent with the chain build must never be
+    # claimed by the protected set (the old before/after diff would)
+    stranger = spark.range(100).localCheckpoint(eager=True)
+    stranger_id = P._checkpoint_rdd_id(stranger)
+    assert stranger_id is not None
+
+    P._CHAIN_CACHE.clear()
+    P._CHAIN_PROTECTED.clear()
+    P._dedup_chain(spark, sf)
+    ids1 = P.dedup_chain_protected_ids()
+    assert len(ids1) == 4, ids1  # sh, pairs, verified, cc — one id each
+    assert stranger_id not in ids1
+    assert ids1 <= P._persistent_rdd_ids(spark)
+
+    # cached re-entry: same ids, no growth (probe is driver-side only)
+    P._dedup_chain(spark, sf)
+    assert P.dedup_chain_protected_ids() == ids1
+
+    # external unpersist of one backing RDD → rebuild replaces ALL ids
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        e = it.next()
+        if int(e._1()) in ids1:
+            e._2().unpersist(False)
+            break
+    P._dedup_chain(spark, sf)
+    ids2 = P.dedup_chain_protected_ids()
+    assert len(ids2) == 4, ids2
+    assert not (ids1 & ids2) or ids1 != ids2  # stale set did not accumulate
+    assert ids2 <= P._persistent_rdd_ids(spark)
+    stranger.unpersist()
+
+
 def test_cdc_chunks_survive_prefix_insertion_grid_does_not(spark):
     """The content-defined chunking claim, proven: prepending tokens to a
     document leaves every chunk fingerprint after the insertion's hash

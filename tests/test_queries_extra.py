@@ -232,3 +232,27 @@ def test_ewma_anomaly_matches_python_reference(spark, sf_dir):
         assert abs(g["ewma_final"] - round(e, 6)) < 1e-9, uid
         assert abs(g["max_deviation"] - round(m, 6)) < 1e-9, uid
         assert g["flagged"] == int(m > 300.0), uid
+
+
+def test_ewma_two_stage_equals_one_stage(spark, sf_dir):
+    """Round-3 verdict pin: the bounded two-stage decomposition (fold per
+    user-day, affine carry over day summaries, seeded re-fold) must
+    reproduce the one-stage full-history fold at the rounded grain —
+    the decomposition changes memory shape, not semantics."""
+    from tansu_spark.queries.analytics import events_ewma_anomaly_one_stage
+
+    two = {
+        r["user_id"]: r
+        for r in QUERIES["events_ewma_anomaly"](spark, sf_dir).collect()
+    }
+    one = {
+        r["user_id"]: r
+        for r in events_ewma_anomaly_one_stage(spark, sf_dir).collect()
+    }
+    assert set(two) == set(one)
+    for uid, a in two.items():
+        b = one[uid]
+        assert a["n_events"] == b["n_events"], uid
+        assert a["ewma_final"] == b["ewma_final"], uid
+        assert a["max_deviation"] == b["max_deviation"], uid
+        assert a["flagged"] == b["flagged"], uid

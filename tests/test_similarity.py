@@ -101,3 +101,25 @@ def test_matrix_scores_agrees_with_fold(spark, sf_dir):
     assert got.keys() == exact.keys()
     for k, v in exact.items():
         assert abs(got[k] - v) <= 1e-6 * max(1.0, abs(v)), k
+
+
+def test_int8_rerank_zero_vector_guard(spark):
+    """ADVICE r3: an all-zero vector quantizes to qn = 0; without the
+    denominator floor the stage-1 approx was a divide-by-zero (NULL in
+    Spark, NaN/inf in DuckDB) and shortlist membership could diverge
+    cross-engine. The guarded approx must be finite for every pair."""
+    rows = [
+        (0, [0.0] * 64),
+        (1, [1.0] + [0.0] * 63),
+        (2, [0.5] * 64),
+        (3, [-1.0] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = S.int8_rerank_topk(df, df, k=3, shortlist=4).collect()
+    assert out, "no rows from degenerate corpus"
+    for r in out:
+        assert r["approx_cosine"] is not None, r
+        assert math.isfinite(r["approx_cosine"]), r
+        # the zero vector scores approx 0 against everything
+        if r["vec_id"] == 0 or r["query_id"] == 0:
+            assert r["approx_cosine"] == 0.0, r
