@@ -668,6 +668,42 @@ _TRI_DUCK = (
 )
 
 
+def _gopher_feat(tk: DataFrame) -> DataFrame:
+    """Gopher feature columns over a (…, t) tokens DataFrame — shared by
+    text_gopher_filter and the curation capstone so the gate rule cannot
+    drift between them. Input columns other than t pass through."""
+    return tk.select(
+        *[c for c in tk.columns if c != "t"],
+        F.size("t").alias("n_words"),
+        F.expr("aggregate(t, 0, (a, x) -> a + length(x))").alias("sum_len"),
+        F.expr(
+            "array_max(transform(array_distinct(t), "
+            "x -> size(filter(t, y -> y = x))))"
+        ).alias("top_cnt"),
+        F.expr(f"size({_TRI_SPARK})").alias("n_tri"),
+        F.expr(f"size(array_distinct({_TRI_SPARK}))").alias("d_tri"),
+        F.size(
+            F.array_intersect(
+                F.expr("array_distinct(t)"),
+                F.array(*[F.lit(w) for w in T.STOPWORDS["en"]]),
+            )
+        ).alias("n_stop"),
+    )
+
+
+def _gopher_keep_col() -> F.Column:
+    """The combined Gopher keep verdict over _gopher_feat's columns —
+    all-integer gates (see text_gopher_filter's docstring)."""
+    return (
+        (F.col("n_words") >= 20)
+        & (F.col("sum_len") >= 3 * F.col("n_words"))
+        & (F.col("sum_len") <= 10 * F.col("n_words"))
+        & (F.col("top_cnt") * 8 <= F.col("n_words"))
+        & ((F.col("n_tri") - F.col("d_tri")) * 20 <= F.col("n_tri"))
+        & (F.col("n_stop") >= 2)
+    )
+
+
 @query(
     "text_gopher_filter",
     oracle=_TOK_CTE
@@ -722,32 +758,9 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     length-bounded; on unbounded docs the explode + two keyed
     aggregations form is the fallback with the same result."""
     tk = _docs(spark, sf_dir).select("doc_id", T.tokens("text").alias("t"))
-    feat = tk.select(
-        "doc_id",
-        F.size("t").alias("n_words"),
-        F.expr("aggregate(t, 0, (a, x) -> a + length(x))").alias("sum_len"),
-        F.expr(
-            "array_max(transform(array_distinct(t), "
-            "x -> size(filter(t, y -> y = x))))"
-        ).alias("top_cnt"),
-        F.expr(f"size({_TRI_SPARK})").alias("n_tri"),
-        F.expr(f"size(array_distinct({_TRI_SPARK}))").alias("d_tri"),
-        F.size(
-            F.array_intersect(
-                F.expr("array_distinct(t)"),
-                F.array(*[F.lit(w) for w in T.STOPWORDS["en"]]),
-            )
-        ).alias("n_stop"),
-    )
+    feat = _gopher_feat(tk)
     one = F.lit(1)
-    keep = (
-        (F.col("n_words") >= 20)
-        & (F.col("sum_len") >= 3 * F.col("n_words"))
-        & (F.col("sum_len") <= 10 * F.col("n_words"))
-        & (F.col("top_cnt") * 8 <= F.col("n_words"))
-        & ((F.col("n_tri") - F.col("d_tri")) * 20 <= F.col("n_tri"))
-        & (F.col("n_stop") >= 2)
-    )
+    keep = _gopher_keep_col()
     return feat.select(
         "doc_id",
         "n_words",
@@ -3344,4 +3357,384 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
         F.count(F.lit(1)).over(w).alias("component_size"),
+    )
+
+
+# Gopher keep rule as an oracle SQL predicate over the gfeat CTE columns —
+# the DuckDB twin of _gopher_keep_col(), shared by the capstone oracle.
+_GOPHER_KEEP_SQL = (
+    "n_words >= 20 AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words"
+    " AND top_cnt * 8 <= n_words AND (n_tri - d_tri) * 20 <= n_tri"
+    " AND n_stop >= 2"
+)
+
+
+@query(
+    "pipeline_curation_capstone",
+    oracle=_EDGE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    walk AS (SELECT a AS node, a AS lbl FROM ed
+             UNION
+             SELECT e2.b, w.lbl FROM walk w JOIN ed e2 ON e2.a = w.node),
+    comp AS MATERIALIZED (SELECT node, min(lbl) AS component_id FROM walk GROUP BY node),
+    gfeat AS MATERIALIZED (
+      SELECT doc_id,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+             len(t) AS n_words,
+             list_sum(list_transform(t, x -> length(x))) AS sum_len,
+             list_max(list_transform(list_distinct(t),
+                      x -> len(list_filter(t, y -> y = x)))) AS top_cnt,
+             len({_TRI_DUCK}) AS n_tri,
+             len(list_distinct({_TRI_DUCK})) AS d_tri,
+             len(list_intersect(list_distinct(t), {_EN})) AS n_stop
+      FROM tok),
+    s1 AS MATERIALIZED (SELECT doc_id, fp FROM gfeat WHERE {_GOPHER_KEEP_SQL}),
+    s2 AS MATERIALIZED (SELECT doc_id FROM (
+             SELECT doc_id,
+                    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             FROM s1) WHERE rn = 1),
+    s3 AS MATERIALIZED (SELECT doc_id FROM (
+             SELECT s2.doc_id,
+                    min(s2.doc_id) OVER (
+                      PARTITION BY coalesce(c.component_id, s2.doc_id)) AS mn
+             FROM s2 LEFT JOIN comp c ON c.node = s2.doc_id)
+           WHERE doc_id = mn),
+    ctok AS (SELECT tok.doc_id, t, len(t) AS n
+             FROM tok JOIN s3 ON s3.doc_id = tok.doc_id),
+    cidx AS (SELECT doc_id, t,
+                    unnest(range(0, (greatest(n, 17) - 17) // 48 + 1)) AS ci
+             FROM ctok),
+    chk AS MATERIALIZED (SELECT doc_id,
+                   md5(array_to_string(list_slice(t, ci * 48 + 1,
+                                                  ci * 48 + 64), ' ')) AS cmd5
+            FROM cidx),
+    cmin AS (SELECT cmd5, min(doc_id) AS m FROM chk GROUP BY cmd5),
+    cagg AS MATERIALIZED (SELECT chk.doc_id, count(*) AS n_ch,
+                    sum(CASE WHEN cmin.m < chk.doc_id THEN 1 ELSE 0 END)
+                      AS n_prior
+             FROM chk JOIN cmin ON chk.cmd5 = cmin.cmd5
+             GROUP BY chk.doc_id),
+    s4 AS MATERIALIZED (SELECT doc_id FROM cagg WHERE 2 * n_prior <= n_ch),
+    stok AS (SELECT tok.doc_id, t, len(t) AS n
+             FROM tok JOIN s4 ON s4.doc_id = tok.doc_id),
+    spos AS (SELECT doc_id, unnest(range(0, n - 15)) AS p, t
+             FROM stok WHERE n >= 16),
+    sw AS MATERIALIZED (SELECT doc_id, p,
+                  md5(array_to_string(list_slice(t, p + 1, p + 16), ' ')) AS sfp
+           FROM spos),
+    scnt AS MATERIALIZED (SELECT sfp, count(*) AS c FROM sw GROUP BY sfp),
+    sdup AS (SELECT sw.doc_id, sw.p FROM sw JOIN scnt ON sw.sfp = scnt.sfp
+             WHERE scnt.c > 1),
+    sisl AS (SELECT doc_id,
+                    p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                      AS grp
+             FROM sdup),
+    sruns AS (SELECT doc_id, count(*) AS run FROM sisl GROUP BY doc_id, grp),
+    smax AS MATERIALIZED (SELECT doc_id, max(run) AS mr FROM sruns GROUP BY doc_id),
+    s5f AS MATERIALIZED (SELECT doc_id FROM smax WHERE mr + 15 >= 48),
+    ev AS MATERIALIZED (SELECT DISTINCT s FROM e WHERE doc_id % 50 = 0),
+    dtr AS MATERIALIZED (SELECT e.doc_id, CASE WHEN ev.s IS NULL THEN 0 ELSE 1 END AS hit
+            FROM e JOIN s4 ON s4.doc_id = e.doc_id
+            LEFT JOIN ev ON e.s = ev.s
+            WHERE e.doc_id % 50 <> 0),
+    s6 AS MATERIALIZED (SELECT doc_id FROM dtr GROUP BY doc_id
+           HAVING sum(hit) * 5 < count(*)),
+    spl AS MATERIALIZED (SELECT s6.doc_id,
+                   CASE WHEN md5('7' || ':' ||
+                          CAST(coalesce(c.component_id, s6.doc_id) AS VARCHAR))
+                          < '19999999'
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM s6 LEFT JOIN comp c ON c.node = s6.doc_id),
+    tsrc AS MATERIALIZED (SELECT d.source, count(*) AS n_docs,
+                    sqrt(CAST(count(*) AS DOUBLE)) AS w
+             FROM documents d
+             JOIN spl ON spl.doc_id = d.doc_id AND spl.split = 'train'
+             GROUP BY d.source),
+    ttot AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                                (x, y) -> x + y) AS tt
+             FROM tsrc),
+    talloc AS MATERIALIZED (SELECT CAST(sum(CAST(floor(w / tt * 100000) AS BIGINT))
+                        AS BIGINT) AS alloc,
+                      count(*) AS n_sources
+               FROM tsrc CROSS JOIN ttot),
+    m AS MATERIALIZED (SELECT
+            (SELECT count(*) FROM documents) AS n_all,
+            (SELECT count(*) FROM s1) AS n_s1,
+            (SELECT count(*) FROM s2) AS n_s2,
+            (SELECT count(*) FROM s3) AS n_s3,
+            (SELECT count(*) FROM s4) AS n_s4,
+            (SELECT count(*) FROM s5f) AS n_flag,
+            (SELECT count(*) FROM s6) AS n_s6,
+            (SELECT count(*) FROM spl WHERE split = 'train') AS n_train,
+            (SELECT count(*) FROM spl WHERE split = 'eval') AS n_eval,
+            (SELECT alloc FROM talloc) AS alloc,
+            (SELECT n_sources FROM talloc) AS n_sources)
+    SELECT CAST(stage_order AS INTEGER) AS stage_order, stage,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_out AS BIGINT) AS docs_out,
+           CAST(docs_flagged AS BIGINT) AS docs_flagged
+    FROM (
+      SELECT 1 AS stage_order, 'gopher' AS stage, n_all AS docs_in,
+             n_s1 AS docs_out, n_all - n_s1 AS docs_flagged FROM m
+      UNION ALL SELECT 2, 'exact_dedup', n_s1, n_s2, n_s1 - n_s2 FROM m
+      UNION ALL SELECT 3, 'near_dedup', n_s2, n_s3, n_s2 - n_s3 FROM m
+      UNION ALL SELECT 4, 'chunk_dedup', n_s3, n_s4, n_s3 - n_s4 FROM m
+      UNION ALL SELECT 5, 'substring_flag', n_s4, n_s4, n_flag FROM m
+      UNION ALL SELECT 6, 'decontaminate', n_s4, n_s6, n_s4 - n_s6 FROM m
+      UNION ALL SELECT 7, 'leakage_split', n_s6, n_train, n_eval FROM m
+      UNION ALL SELECT 8, 'temperature_plan', n_train, alloc, n_sources FROM m)
+    """,
+)
+def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED end-to-end curation pipeline at every grain — the
+    round-3 verdict's capstone ask, chaining this package's operators the
+    way a production training-data job runs them, with per-stage survivor
+    accounting. One row per stage: (stage_order, stage, docs_in,
+    docs_out, docs_flagged); docs_flagged is the removal count for drop
+    stages, the flag count for the flag-only stage, the eval count for
+    the split, and the source count for the plan.
+
+      1 gopher           — Gopher-rule quality gate (all-integer)
+      2 exact_dedup      — keep min doc_id per normalized-text md5
+      3 near_dedup       — keep min surviving doc per MinHash-LSH→
+                           Jaccard(0.5)→CC component (shared chain)
+      4 chunk_dedup      — drop docs where a MAJORITY of their 64/48
+                           chunks already appear in an earlier survivor
+                           (2*n_prior > n_ch, integer rule)
+      5 substring_flag   — flag (not drop) docs carrying a >=48-token
+                           verbatim duplicated run (16-token rolling
+                           fingerprints, gaps-and-islands)
+      6 decontaminate    — drop benchmark members (doc_id%50==0) and
+                           training docs with >=20% eval-shingle overlap
+                           (hits*5 >= shingles, integer rule)
+      7 leakage_split    — component-keyed train/eval split (~10% eval,
+                           md5 threshold on the component id)
+      8 temperature_plan — n^0.5-damped per-source allocation of 100k
+                           samples over the TRAIN survivors (ordered
+                           fold, floor allocations)
+
+    The reference analog is its one composed lifecycle — produce →
+    validate → lake store (pg.rs:760-991, delta.rs:670-747) — exercised
+    end-to-end; this is the training-data equivalent, and it catches
+    cross-operator contract drift no single-stage query can.
+
+    Scale/plan shape (PLANS.md `capstone`): the corpus is scanned once
+    per GRAIN — one doc-grain scan computing fingerprint + Gopher
+    features together, one chunk-grain scan, one substring-grain scan
+    (both semi-joined to the surviving ids, so their row amplification
+    follows survivors, not the corpus), shingle grain rides the shared
+    chain's checkpointed sh table. Survivor-id sets are id-only cached
+    frames (released by bench.py's between-query sweep — they are NOT
+    chain-protected); every stage's rule is integer/md5-exact, so the
+    accounting matches DuckDB row-for-row. The only doubles (sqrt
+    weights) replay the corpus_temperature_plan ordered fold."""
+    from pyspark.sql import Window
+
+    from tansu_spark.functions.sampling import fraction_threshold, hash_bucket
+
+    chain = _dedup_chain(spark, sf_dir)
+    docs = chain["docs"]
+    cc_nodes = chain["cc"].select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+
+    # -- stage 1: doc grain, ONE scan: fingerprint + gopher features
+    scan1 = docs.select(
+        "doc_id",
+        T.fingerprint("text").alias("fp"),
+        T.tokens("text").alias("t"),
+    )
+    s1 = _gopher_feat(scan1).filter(_gopher_keep_col()).select("doc_id", "fp")
+
+    # -- stage 2: exact dedup among survivors (window on the fingerprint)
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    s2 = (
+        s1.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+    # -- stage 3: near-dup components from the shared chain; keep the
+    #    minimum SURVIVING doc per component (singletons keep themselves)
+    w_comp = Window.partitionBy("comp")
+    s3 = (
+        s2.join(cc_nodes, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("comp"),
+        )
+        .withColumn("mn", F.min("doc_id").over(w_comp))
+        .filter(F.col("doc_id") == F.col("mn"))
+        .select("doc_id")
+        .cache()
+    )
+
+    # -- stage 4: chunk grain (scan 2, semi-joined to survivors): drop
+    #    docs where a majority of chunks already appeared in an earlier
+    #    surviving doc
+    ctok = (
+        docs.select("doc_id", T.tokens("text").alias("t"))
+        .join(s3, "doc_id")
+        .withColumn("n", F.size("t"))
+    )
+    chk = ctok.withColumn(
+        "ci",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("(greatest(n, 17) - 17) div 48"))
+        ),
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.expr("slice(t, ci * 48 + 1, 64)"))).alias(
+            "cmd5"
+        ),
+    )
+    cmin = chk.groupBy("cmd5").agg(F.min("doc_id").alias("m"))
+    cagg = (
+        chk.join(cmin, "cmd5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ch"),
+            F.sum((F.col("m") < F.col("doc_id")).cast("int")).alias("n_prior"),
+        )
+    )
+    s4 = (
+        cagg.filter(2 * F.col("n_prior") <= F.col("n_ch"))
+        .select("doc_id")
+        .cache()
+    )
+
+    # -- stage 5 (flag-only): substring grain (scan 3): >=48-token
+    #    duplicated run == >=33 consecutive duplicated 16-token windows
+    stok = (
+        docs.select("doc_id", T.tokens("text").alias("t"))
+        .join(s4, "doc_id")
+        .withColumn("n", F.size("t"))
+    )
+    spos = (
+        stok.filter(F.col("n") >= 16)
+        .withColumn("p", F.explode(F.sequence(F.lit(0), F.col("n") - 16)))
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.concat_ws(" ", F.expr("slice(t, p + 1, 16)"))).alias(
+                "sfp"
+            ),
+        )
+    )
+    scnt = spos.groupBy("sfp").agg(F.count(F.lit(1)).alias("c"))
+    sdup = spos.join(scnt, "sfp").filter(F.col("c") > 1).select("doc_id", "p")
+    smax = (
+        sdup.withColumn(
+            "grp",
+            F.col("p")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("p")),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").alias("mr"))
+    )
+    c_flag = smax.filter(F.col("mr") + 15 >= 48).agg(
+        F.count(F.lit(1)).alias("n_flag")
+    )
+
+    # -- stage 6: decontamination over the chain's checkpointed shingles
+    e = chain["sh"].select("doc_id", F.explode("shingles").alias("s"))
+    ev = (
+        e.filter(F.col("doc_id") % 50 == 0)
+        .select("s")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    dtr = (
+        e.join(s4, "doc_id")
+        .filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(ev), "s", "left")
+    )
+    s6 = (
+        dtr.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("_hit").alias("hits"),
+        )
+        .filter(F.col("hits") * 5 < F.col("n_sh"))
+        .select("doc_id")
+        .cache()
+    )
+
+    # -- stage 7: leakage-safe split on the component id
+    spl = (
+        s6.join(cc_nodes, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("comp"),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                hash_bucket("comp", seed=7) < F.lit(fraction_threshold(0.1)),
+                "eval",
+            ).otherwise("train"),
+        )
+    )
+    c_split = spl.agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "eval").cast("long")).alias("n_eval"),
+    )
+
+    # -- stage 8: temperature plan over the TRAIN survivors
+    per = (
+        docs.select("doc_id", "source")
+        .join(spl.filter(F.col("split") == "train").select("doc_id"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("w", F.sqrt(F.col("n_docs").cast("double")))
+    )
+    tot = per.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0),
+            lambda a, x: a + x.getField("w"),
+        ).alias("tt")
+    )
+    c_alloc = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(F.col("w") / F.col("tt") * 100000)
+            .cast("long")
+            .alias("a")
+        )
+        .agg(F.sum("a").alias("alloc"), F.count(F.lit(1)).alias("n_sources"))
+    )
+
+    # -- per-stage accounting: every count is a 1-row aggregate; the
+    #    cross joins assemble one metrics row, stack() emits 8 rows
+    m = (
+        docs.agg(F.count(F.lit(1)).alias("n_all"))
+        .crossJoin(s1.agg(F.count(F.lit(1)).alias("n_s1")))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_s2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_s3")))
+        .crossJoin(s4.agg(F.count(F.lit(1)).alias("n_s4")))
+        .crossJoin(c_flag)
+        .crossJoin(s6.agg(F.count(F.lit(1)).alias("n_s6")))
+        .crossJoin(c_split)
+        .crossJoin(c_alloc)
+    )
+    return m.selectExpr(
+        """stack(8,
+           1, 'gopher',           n_all,   n_s1,    n_all - n_s1,
+           2, 'exact_dedup',      n_s1,    n_s2,    n_s1 - n_s2,
+           3, 'near_dedup',       n_s2,    n_s3,    n_s2 - n_s3,
+           4, 'chunk_dedup',      n_s3,    n_s4,    n_s3 - n_s4,
+           5, 'substring_flag',   n_s4,    n_s4,    n_flag,
+           6, 'decontaminate',    n_s4,    n_s6,    n_s4 - n_s6,
+           7, 'leakage_split',    n_s6,    n_train, n_eval,
+           8, 'temperature_plan', n_train, alloc,   n_sources
+        ) AS (stage_order, stage, docs_in, docs_out, docs_flagged)"""
+    ).select(
+        F.col("stage_order").cast("int").alias("stage_order"),
+        "stage",
+        F.col("docs_in").cast("long").alias("docs_in"),
+        F.col("docs_out").cast("long").alias("docs_out"),
+        F.col("docs_flagged").cast("long").alias("docs_flagged"),
     )

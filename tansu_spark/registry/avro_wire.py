@@ -153,12 +153,20 @@ def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
                 value = datetime.date.fromisoformat(value)
             _write_long(out, (value - _EPOCH_DATE).days if isinstance(value, datetime.date) else int(value))
             return
-        if logical in ("timestamp-millis", "timestamp-micros"):
+        if logical in (
+            "timestamp-millis",
+            "timestamp-micros",
+            "local-timestamp-millis",
+            "local-timestamp-micros",
+        ):
+            # local-* carries the same epoch-units wire form; the naive
+            # datetime is simply not a UTC instant (TimestampNTZ on the
+            # Spark side, arrow.rs:176-186's Timestamp(..., None)).
             if isinstance(value, str):  # JSON-sourced ISO timestamp
                 value = datetime.datetime.fromisoformat(value)
             if isinstance(value, datetime.datetime):
                 us = round((value.replace(tzinfo=None) - _EPOCH).total_seconds() * 1e6)
-                value = us // 1000 if logical == "timestamp-millis" else us
+                value = us // 1000 if logical.endswith("millis") else us
             _write_long(out, int(value))
             return
 
@@ -258,9 +266,13 @@ def _decode(schema: Any, buf: io.BytesIO) -> Any:
             return {"months": months, "days": days, "milliseconds": millis}
         if logical == "date":
             return _EPOCH_DATE + datetime.timedelta(days=_read_long(buf))
-        if logical == "timestamp-millis":
+        if logical in ("timestamp-millis", "local-timestamp-millis"):
             return _EPOCH + datetime.timedelta(milliseconds=_read_long(buf))
-        if logical in ("timestamp-micros", "timestamp-nanos"):
+        if logical in (
+            "timestamp-micros",
+            "timestamp-nanos",
+            "local-timestamp-micros",
+        ):
             n = _read_long(buf)
             if logical == "timestamp-nanos":
                 n //= 1000

@@ -52,6 +52,22 @@ FLOORS = {
     "dedup_chunk_minhash": 20,
     "dedup_exact_substring": 490,
     "dedup_cdc_chunks": 40,
+    # round-3 additions (VERDICT r3 ask #6; observed at sf0.01 2026-08-14)
+    "dedup_semantic_cluster": 250,       # observed 500 (one row per doc)
+    "sim_kmeans_trained_topk": 20,       # observed 40 (8 queries × k)
+    "sim_pq_trained_encode": 250,        # observed 500
+    "pipeline_leakage_safe_split": 250,  # observed 500
+    "sim_random_projection": 250,        # observed 500
+    "text_chunk_windows": 350,           # observed 694 (binds to 64/48 grid)
+    "dedup_chunk_exact": 3,              # observed 7 (needs repeated chunks)
+    "corpus_temperature_plan": 10,       # observed 20 (one row per source)
+    "corpus_mix_dashboard": 10,          # observed 20
+    "sim_int8_rerank_topk": 20,          # observed 40
+    "events_ewma_anomaly": 75,           # observed 150 (one row per user)
+    "multimodal_dedup_report": 2,        # observed 3 (one row per modality)
+    "graph_dup_degree_stats": 1,         # observed 2 (summary rows)
+    # round-4 capstone: exactly one accounting row per stage
+    "pipeline_curation_capstone": 8,
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
