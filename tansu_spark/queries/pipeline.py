@@ -3544,7 +3544,15 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint("text").alias("fp"),
         T.tokens("text").alias("t"),
     )
-    s1 = _gopher_feat(scan1).filter(_gopher_keep_col()).select("doc_id", "fp")
+    # Cached: the doc-grain scan (fingerprint + Gopher HOFs) runs ONCE;
+    # every stage count and the s2/s3 windows read the (doc_id, fp)
+    # survivor frame from memory instead of re-running the scan.
+    s1 = (
+        _gopher_feat(scan1)
+        .filter(_gopher_keep_col())
+        .select("doc_id", "fp")
+        .cache()
+    )
 
     # -- stage 2: exact dedup among survivors (window on the fingerprint)
     w_fp = Window.partitionBy("fp").orderBy("doc_id")

@@ -79,7 +79,11 @@ def test_joins_never_cartesian(spark, sf_dir):
                             # broadcasts the 16-row centroid table against
                             # the query set for probe selection (plan-size
                             # constant in n_clusters x n_dims)
-                            "sim_ivfpq_topk_seeded"}, name
+                            "sim_ivfpq_topk_seeded",
+                            # assembles the per-stage accounting row from
+                            # nine single-row count aggregates (every
+                            # crossJoin side is exactly one row)
+                            "pipeline_curation_capstone"}, name
 
 
 def test_asof_join_is_single_shuffle_window(spark, sf_dir):

@@ -133,10 +133,24 @@ SNAPSHOTS: dict[str, str] = {
         "content, plans move with nothing."
     ),
     "events_ewma_anomaly": (
-        "Recursive state without iteration: ONE groupBy user collects the "
-        "ordered sequence, the EWMA + max-deviation fold is a single "
-        "`aggregate` HOF with a struct accumulator inside the projection "
-        "— one Exchange total, state never leaves the row."
+        "Recursive state, bounded BY CONSTRUCTION (the r3 perf-weak fix): "
+        "stage A folds per (user, day) — the day bounds every collected "
+        "array — stage B folds the 3-double day summaries per user "
+        "(calendar-bounded), stage C re-folds each day seeded exactly. "
+        "Four slim Exchanges replace the one unbounded collect_list; no "
+        "row ever carries a user's full history."
+    ),
+    "pipeline_curation_capstone": (
+        "The composed pipeline scans the corpus once per GRAIN: one "
+        "doc-grain scan (fingerprint + Gopher HOFs, cached survivor ids), "
+        "one chunk-grain and one substring-grain scan each semi-joined to "
+        "the surviving ids, shingle grain on the shared chain's "
+        "checkpointed table (`Scan ExistingRDD`). Stage shuffles are the "
+        "SUM of the single-stage queries' shuffles — fingerprint window, "
+        "component window, chunk-md5 agg, substring-fp agg + islands "
+        "window, shingle agg, split/source aggs — nothing quadratic, and "
+        "the only BroadcastNestedLoopJoins assemble nine SINGLE-ROW count "
+        "aggregates into the 8-row accounting output."
     ),
     "dedup_semantic_cluster": (
         "SemDeDup cluster blocking: assignment is a map-only scan against "
