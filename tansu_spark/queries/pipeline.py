@@ -3746,3 +3746,110 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("docs_out").cast("long").alias("docs_out"),
         F.col("docs_flagged").cast("long").alias("docs_flagged"),
     )
+
+
+@query(
+    "dedup_substring_scrub",
+    oracle=_TOK_CTE
+    + """,
+    n AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    pos AS (SELECT doc_id, unnest(range(0, n - 15)) AS p, t
+            FROM n WHERE n >= 16),
+    w AS (SELECT doc_id, p,
+                 md5(array_to_string(list_slice(t, p + 1, p + 16), ' ')) AS fp
+          FROM pos),
+    cnt AS MATERIALIZED (SELECT fp, count(*) AS c FROM w GROUP BY fp),
+    dupw AS (SELECT w.doc_id, w.p FROM w JOIN cnt ON w.fp = cnt.fp
+             WHERE cnt.c > 1),
+    cov AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest(range(p, p + 16)) AS i FROM dupw),
+    toks AS (SELECT doc_id, unnest(t) AS tok,
+                    generate_subscripts(t, 1) - 1 AS i
+             FROM n),
+    kept AS (SELECT toks.doc_id, toks.tok, toks.i
+             FROM toks LEFT JOIN cov
+               ON cov.doc_id = toks.doc_id AND cov.i = toks.i
+             WHERE cov.i IS NULL)
+    SELECT n.doc_id,
+           CAST(n.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.n_cov, 0) AS BIGINT) AS n_scrubbed_tokens,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+           coalesce(k.scrubbed_md5, md5('')) AS scrubbed_md5
+    FROM n
+    LEFT JOIN (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id) c
+      ON c.doc_id = n.doc_id
+    LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+                      md5(string_agg(tok, ' ' ORDER BY i)) AS scrubbed_md5
+               FROM kept GROUP BY doc_id) k
+      ON k.doc_id = n.doc_id
+    """,
+)
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring SPAN REMOVAL — the execution half of Lee et al.
+    2021's suffix-array dedup (dedup_exact_substring flags; this one
+    SCRUBS): every token covered by any corpus-duplicated 16-token
+    window is removed, and the per-document report carries the token
+    accounting plus the md5 of the scrubbed text (order-preserving
+    reassembly), so a downstream pipeline can verify the rewrite
+    byte-for-byte cross-engine.
+
+    Scale: the same uniform-key stages as the flag query (rolling
+    fingerprints → fingerprint partial-agg → join-back), plus a map-only
+    window→position expand (≤16 rows per duplicated window, distinct'd
+    per doc), a position-grain anti-join (doc-partitioned, never
+    global), and ONE per-doc reassembly agg whose collect is bounded by
+    the document's own length — the same bound tokenization itself has.
+    Row amplification is O(n_tokens) per doc throughout; no stage sees
+    the corpus cross-joined.
+
+    All-integer accounting; the md5 is over the space-joined kept tokens
+    in original order (ties impossible: position is unique per doc)."""
+    d = _docs(spark, sf_dir)
+    tk = d.select("doc_id", T.tokens("text").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    pos = (
+        tk.filter(F.col("n") >= 16)
+        .withColumn("p", F.explode(F.sequence(F.lit(0), F.col("n") - 16)))
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.concat_ws(" ", F.expr("slice(t, p + 1, 16)"))).alias("fp"),
+        )
+    )
+    cnt = pos.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    dupw = pos.join(cnt, "fp").filter(F.col("c") > 1).select("doc_id", "p")
+    cov = (
+        dupw.withColumn("i", F.explode(F.sequence(F.col("p"), F.col("p") + 15)))
+        .select("doc_id", "i")
+        .distinct()
+    )
+    toks = tk.select(
+        "doc_id", F.posexplode("t").alias("i", "tok")
+    )
+    kept = toks.join(cov, ["doc_id", "i"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, tok))),"
+                    " s -> s.tok)"
+                ),
+            )
+        ).alias("scrubbed_md5"),
+    )
+    cov_agg = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_cov"))
+    return (
+        tk.select("doc_id", "n")
+        .join(cov_agg, "doc_id", "left")
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce("n_cov", F.lit(0)).cast("long").alias("n_scrubbed_tokens"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept_tokens"),
+            F.coalesce("scrubbed_md5", F.md5(F.lit(""))).alias("scrubbed_md5"),
+        )
+    )

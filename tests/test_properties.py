@@ -158,3 +158,75 @@ def test_json_schema_required_drives_nullability(props, data):
     )
     for f in t.fields:
         assert f.nullable == (f.name not in req)
+
+
+# ---------------------------------------------------------------- EWMA fold
+# Pure-Python replay of the two-stage EWMA decomposition used by
+# events_ewma_anomaly (queries/analytics.py): per-day folds + affine
+# day-carries for the boundary seeds + seeded re-folds. The property:
+# for ANY value sequence and ANY day partitioning, the two-stage final
+# EWMA and max deviation agree with the one-stage fold at the query's
+# rounded grain (real-arithmetic equality; FP divergence is bounded by
+# ulp-level seed differences, far under the 1e-6 rounding).
+
+
+def _ewma_one_stage(vals):
+    e, m = vals[0], 0.0
+    for x in vals[1:]:
+        m = max(m, abs(x - e))
+        e = e + 0.25 * (x - e)
+    return e, m
+
+
+def _ewma_two_stage(days):
+    # stage A: per-day affine carry (beta, c) + first-day fold e1
+    summ = []
+    for v in days:
+        c, b = 0.0, 1.0
+        for x in v:
+            c = c + 0.25 * (x - c)
+            b = b * 0.75
+        e1 = v[0]
+        for x in v[1:]:
+            e1 = e1 + 0.25 * (x - e1)
+        summ.append((b, c, e1))
+    # stage B: boundary seeds via the affine recurrence
+    seeds, s = [], None
+    for i, (b, c, e1) in enumerate(summ):
+        seeds.append(None if i == 0 else s)
+        s = e1 if i == 0 else b * s + c
+    # stage C: seeded re-folds; final = last day's fold, m = max over days
+    m_all, e_last = 0.0, None
+    for v, seed in zip(days, seeds):
+        if seed is None:
+            e, m = v[0], 0.0
+            it = v[1:]
+        else:
+            e, m = seed, 0.0
+            it = v
+        for x in it:
+            m = max(m, abs(x - e))
+            e = e + 0.25 * (x - e)
+        m_all = max(m_all, m)
+        e_last = e
+    return e_last, m_all
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_ewma_two_stage_composition_matches_one_stage(days):
+    flat = [x for d in days for x in d]
+    e1, m1 = _ewma_one_stage(flat)
+    e2, m2 = _ewma_two_stage(days)
+    assert abs(e1 - e2) <= 1e-6 * max(1.0, abs(e1))
+    assert abs(m1 - m2) <= 1e-6 * max(1.0, abs(m1))

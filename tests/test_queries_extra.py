@@ -256,3 +256,34 @@ def test_ewma_two_stage_equals_one_stage(spark, sf_dir):
         assert a["ewma_final"] == b["ewma_final"], uid
         assert a["max_deviation"] == b["max_deviation"], uid
         assert a["flagged"] == b["flagged"], uid
+
+
+def test_substring_scrub_accounting_consistent_with_flag(spark, sf_dir):
+    """The scrub's token accounting must tie out: kept + scrubbed ==
+    total per doc; docs the FLAG query reports clean keep everything
+    (scrubbed md5 == md5 of the original token join); docs with
+    duplicated windows scrub at least 16 tokens (one full window)."""
+    import hashlib
+
+    scrub = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_substring_scrub"](spark, sf_dir).collect()
+    }
+    flag = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_exact_substring"](spark, sf_dir).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    assert set(scrub) == set(flag) == set(texts)
+    for did, s in scrub.items():
+        assert s["n_kept_tokens"] + s["n_scrubbed_tokens"] == s["n_tokens"], did
+        f = flag[did]
+        if f["n_dup_windows"] == 0:
+            assert s["n_scrubbed_tokens"] == 0, did
+            joined = " ".join(texts[did].strip().split())
+            assert s["scrubbed_md5"] == hashlib.md5(joined.encode()).hexdigest(), did
+        else:
+            assert s["n_scrubbed_tokens"] >= 16, did

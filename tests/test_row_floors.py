@@ -68,6 +68,7 @@ FLOORS = {
     "graph_dup_degree_stats": 1,         # observed 2 (summary rows)
     # round-4 capstone: exactly one accounting row per stage
     "pipeline_curation_capstone": 8,
+    "dedup_substring_scrub": 250,  # one row per document (500 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
