@@ -342,3 +342,70 @@ def test_lake_runtime_gate_skip_report(stack):
     # unknown format names are rejected too
     ok, missing = lake_runtime_status(spark, "hudi")
     assert not ok and "unknown lake format" in missing[0]
+
+
+def test_full_lifecycle_produce_validate_store_travel_maintain(stack, spark, tmp_path):
+    """The reference's ONE composed lifecycle — produce → schema-validate
+    → lake store → time travel → maintenance (pg.rs:760-991 +
+    delta.rs:670-747) — exercised end-to-end through the public API in a
+    single flow, with the DuckDB read-back oracle at the end. The stage
+    queries each have their own tests; this catches cross-stage contract
+    drift (e.g. a store() that breaks snapshots, a compaction that
+    breaks time travel)."""
+    broker, sink = stack
+    from tansu_spark.lake.snapshots import load_manifest, read_snapshot
+
+    # 1. schema-backed topic with generated columns + partitioning
+    broker.create_topic(
+        "person",
+        partitions=1,
+        config={
+            "tansu.lake.partition": "meta.year",
+            "tansu.lake.generate.age_band": "cast(floor(value.age / 10) * 10 as int)",
+        },
+    )
+
+    # 2. validated produce (registry accepts), invalid batch rejected
+    _produce_people(broker, 20)
+    with pytest.raises(Exception):
+        broker.produce_rows("person", [{"key": "bad", "value": "{notjson"}])
+    assert broker.list_offsets("person", "latest") == {0: 20}  # reject left no gap
+
+    # 3. first store -> snapshot v1
+    n1 = sink.store("person")
+    assert n1 == 20
+    table = sink.table_dir("person")
+    v_first = load_manifest(table)["versions"][-1]["v"]
+
+    # 4. second batch, incremental store -> snapshot v2 with both batches
+    _produce_people(broker, 15, start=20)
+    assert sink.store("person") == 15
+    assert sink.store("person") == 0  # exactly-once frontier
+    assert sink.read("person").count() == 35
+
+    # 5. time travel: the first snapshot still reads exactly batch one
+    assert read_snapshot(spark, table, v_first).count() == 20
+
+    # 6. maintenance: compaction rewrite preserves rows AND history
+    compact_table(spark, table)
+    assert sink.read("person").count() == 35
+    assert read_snapshot(spark, table, v_first).count() == 20
+
+    # 7. vacuum the relocated pre-compaction files past retention; the
+    #    LIVE table is untouched
+    vacuum(table, max_age_seconds=0.0)
+    assert sink.read("person").count() == 35
+
+    # 8. the end-to-end oracle: DuckDB reads the LIVE table directly
+    #    (partition dirs only — the _history subtree holds the relocated
+    #    pre-compaction files time travel still needs)
+    glob = f"{table}/meta_year=*/*.parquet"
+    n = duckdb.sql(
+        f"SELECT count(*) FROM parquet_scan('{glob}', hive_partitioning=1)"
+    ).fetchone()[0]
+    assert n == 35
+    bands = duckdb.sql(
+        f"SELECT DISTINCT age_band FROM parquet_scan('{glob}', "
+        "hive_partitioning=1) ORDER BY 1"
+    ).fetchall()
+    assert [b[0] for b in bands] == [0, 10, 20, 30]
