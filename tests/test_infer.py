@@ -5,6 +5,7 @@ common_data_type with sort_dedup and Error::NoCommonType)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import types as T
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -133,4 +134,78 @@ def test_registry_decode_inferred(spark):
     with pytest.raises(NoCommonType):
         reg.decode_inferred(
             spark.createDataFrame([(b'{"n": 1}',), (b'{"n": 1.5}',)], "value binary")
+        )
+
+
+# --------------------------------------------------------------------------
+# Golden parity with the reference's json/arrow.rs test suite (718-1250):
+# each case mirrors one reference test's key/value instance shapes through
+# the same instance-value inference the reference applies (integral Number
+# -> Int64 else Float64, struct per sorted keys, strict unification).
+
+
+_JSON_GOLDEN = [
+    (
+        "key_and_value_as_arrow@718",
+        ['{"name":"alice","email":"alice@example.com"}',
+         '{"name":"bob","email":"bob@example.com"}'],
+        T.StructType([
+            T.StructField("email", T.StringType(), True),
+            T.StructField("name", T.StringType(), True),
+        ]),
+    ),
+    (
+        "grade@803",
+        ['{"first":"Aloysius","last":"Alfalfa","test1":40.0,"test2":90.0,'
+         '"test3":100.0,"test4":83.0,"final":49.0,"grade":"D-"}',
+         '{"first":"Jim","last":"Backus","test1":48.0,"test2":1.0,'
+         '"test3":97.0,"test4":96.0,"final":97.0,"grade":"A+"}'],
+        T.StructType([
+            T.StructField("final", T.DoubleType(), True),
+            T.StructField("first", T.StringType(), True),
+            T.StructField("grade", T.StringType(), True),
+            T.StructField("last", T.StringType(), True),
+            T.StructField("test1", T.DoubleType(), True),
+            T.StructField("test2", T.DoubleType(), True),
+            T.StructField("test3", T.DoubleType(), True),
+            T.StructField("test4", T.DoubleType(), True),
+        ]),
+    ),
+    ("key_as_arrow@889", ['"123-45-6789"', '"567-89-0123"'], T.StringType()),
+    ("primitive_key_and_value@953", ["12321", "32123"], T.LongType()),
+    ("primitive_key_and_array_value@1023", ["[1,2,3]", "[4,5]"],
+     T.ArrayType(T.LongType())),
+    (
+        "primitive_key_and_array_object_value@1097",
+        ['[{"name":"a","len":3}]', '[{"name":"b","len":5}]'],
+        T.ArrayType(T.StructType([
+            T.StructField("len", T.LongType(), True),
+            T.StructField("name", T.StringType(), True),
+        ])),
+    ),
+    (
+        "primitive_key_and_struct_with_array_field@1187",
+        ['{"title":"x","tags":["a","b"]}', '{"title":"y","tags":["c"]}'],
+        T.StructType([
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+            T.StructField("title", T.StringType(), True),
+        ]),
+    ),
+]
+
+
+@pytest.mark.parametrize("name,raw,expected", _JSON_GOLDEN,
+                         ids=[c[0] for c in _JSON_GOLDEN])
+def test_json_golden_inference_matrix(name, raw, expected):
+    assert infer_json_strings(raw) == expected, name
+
+
+def test_json_golden_empty_array_is_no_common_type():
+    """Strict unification, no widening (arrow.rs common_data_type +
+    sort_dedup): an empty array infers array<void>, which does NOT
+    unify with array<string> — the NoCommonType error, not a silent
+    widen, exactly like the reference."""
+    with pytest.raises(NoCommonType):
+        infer_json_strings(
+            ['{"title":"x","tags":["a","b"]}', '{"title":"y","tags":[]}']
         )
