@@ -183,6 +183,11 @@ def connected_components_star(
 
     e, sig = checkpoint_with_sig(e0.where(F.col("a") != F.col("b")).distinct())
     for _ in range(max_iter):
+        # One large/small alternation per checkpoint. Measured (r4): a
+        # two-alternation-per-checkpoint variant was ~1.6x SLOWER at
+        # sf0.1 — the deeper uncheckpointed plan re-shuffles more than
+        # the saved materialization costs — so one round per checkpoint
+        # stays the right grouping.
         e, new_sig = checkpoint_with_sig(_small_star(_large_star(e)))
         if new_sig == sig:
             break
