@@ -3580,9 +3580,15 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- stage 4: chunk grain (scan 2, semi-joined to survivors): drop
     #    docs where a majority of chunks already appeared in an earlier
     #    surviving doc
+    # LEFT SEMI with the id set broadcast: the planner must never pick
+    # the token-carrying side as the build/broadcast side (at scale that
+    # ships the corpus); the survivor ids are the slim side by
+    # construction (8 bytes/row), and semi-join output carries only the
+    # left columns, so the token array never crosses an Exchange
+    # (pinned in test_plans.py::test_token_arrays_never_cross_an_exchange).
     ctok = (
         docs.select("doc_id", T.tokens("text").alias("t"))
-        .join(s3, "doc_id")
+        .join(F.broadcast(s3), "doc_id", "left_semi")
         .withColumn("n", F.size("t"))
     )
     chk = ctok.withColumn(
@@ -3615,7 +3621,7 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    duplicated run == >=33 consecutive duplicated 16-token windows
     stok = (
         docs.select("doc_id", T.tokens("text").alias("t"))
-        .join(s4, "doc_id")
+        .join(F.broadcast(s4), "doc_id", "left_semi")
         .withColumn("n", F.size("t"))
     )
     spos = (

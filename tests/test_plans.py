@@ -181,3 +181,36 @@ def test_chunking_family_minimal_shuffles(spark, sf_dir):
     # formatted output lists each node twice (tree + detail)
     assert plan.count("Exchange") <= 4, "chunk dedup: one real exchange"
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_token_arrays_never_cross_an_exchange(spark, sf_dir):
+    """VERDICT r3 watch-item #4, pinned: the chunk/substring family's
+    position explodes reference the full per-document token array (`t`)
+    alongside each generated row. That is safe precisely BECAUSE the
+    generate and the consuming projection fuse into one stage — the
+    array must never appear in any Exchange's input, or a future edit
+    that inserts a boundary there starts shuffling whole documents per
+    position row."""
+    import re
+
+    family = [
+        "text_chunk_windows",
+        "dedup_chunk_exact",
+        "dedup_chunk_minhash",
+        "dedup_cdc_chunks",
+        "dedup_exact_substring",
+        "dedup_substring_scrub",
+        "pipeline_curation_capstone",
+    ]
+    array_col = re.compile(r"\b[tv]#\d+")
+    for name in family:
+        plan = _plan(spark, sf_dir, name)
+        for block in re.split(r"\n\n", plan):
+            first = block.splitlines()[0] if block.splitlines() else ""
+            if first.startswith("(") and "Exchange" in first:
+                inputs = "\n".join(
+                    ln for ln in block.splitlines() if ln.startswith("Input")
+                )
+                assert not array_col.search(inputs), (
+                    f"{name}: token array crosses {first}: {inputs}"
+                )
