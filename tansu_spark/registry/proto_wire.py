@@ -176,7 +176,15 @@ class ProtoCodec:
             _write_uvarint(out, nanos)
 
     def _encode_scalar(self, tname: str, v: Any, out: io.BytesIO) -> None:
-        if tname in ("int32", "int64", "uint32", "uint64") or tname in self.enums:
+        if tname in self.enums and isinstance(v, str):
+            # symbolic enum value (the reference's JSON front door,
+            # proto.rs encode_from_value): look the number up in the
+            # enum's symbol table; decode stays numeric (Arrow Int32).
+            table = self.enums[tname] if isinstance(self.enums, dict) else {}
+            if v not in table:
+                raise ValueError(f"unknown {tname} enum symbol {v!r}")
+            _write_uvarint(out, table[v])
+        elif tname in ("int32", "int64", "uint32", "uint64") or tname in self.enums:
             _write_uvarint(out, int(v))
         elif tname in ("sint32", "sint64"):
             _write_uvarint(out, _zigzag(int(v)))

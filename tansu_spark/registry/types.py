@@ -176,6 +176,9 @@ _FIELD_RE = re.compile(
     r"^\s*(repeated\s+|optional\s+)?([\w.<>, ]+?)\s+(\w+)\s*=\s*(\d+)\s*(\[[^\]]*\])?\s*;"
 )
 _ENUM_RE = re.compile(r"enum\s+(\w+)\s*\{")
+# several `SYM = n;` declarations may share a source line, so no anchor;
+# non-numeric assignments (e.g. `option allow_alias = true;`) don't match.
+_ENUM_VALUE_RE = re.compile(r"\b(\w+)\s*=\s*(\d+)\s*;")
 _MAP_RE = re.compile(r"map\s*<\s*(\w+)\s*,\s*(\w+)\s*>")
 
 
@@ -192,15 +195,19 @@ def _block(text: str, open_idx: int) -> tuple[str, int]:
     raise ValueError("unbalanced braces in .proto")
 
 
-def parse_proto_meta(text: str) -> tuple[dict[str, list[dict]], set[str]]:
+def parse_proto_meta(text: str) -> tuple[dict[str, list[dict]], dict[str, dict[str, int]]]:
     """Structural .proto parse → (messages, enums) where
     ``messages[name]`` is the ordered field list
-    ``[{name, type, number, label}]`` (label: '', 'repeated', 'optional').
+    ``[{name, type, number, label}]`` (label: '', 'repeated', 'optional')
+    and ``enums[name]`` maps each symbol to its number (so the codec can
+    accept symbolic enum values on encode, like the reference's JSON
+    front door — proto.rs encode_from_value). ``name in enums`` keeps
+    working for the historical membership checks.
     This is the metadata the binary wire codec (proto_wire.py) walks —
     the StructType mapping in ``parse_proto`` is derived from it."""
     text = re.sub(r"//[^\n]*", "", text)
     messages: dict[str, str] = {}
-    enums: set[str] = set()
+    enums: dict[str, dict[str, int]] = {}
 
     def walk(body: str):
         pos = 0
@@ -216,7 +223,10 @@ def parse_proto_meta(text: str) -> tuple[dict[str, list[dict]], set[str]]:
                 messages[m.group(1)] = inner
                 walk(inner)
             else:
-                enums.add(m.group(1))
+                enums[m.group(1)] = {
+                    em.group(1): int(em.group(2))
+                    for em in _ENUM_VALUE_RE.finditer(inner)
+                }
             pos = end + 1
 
     walk(text)

@@ -282,3 +282,24 @@ def test_proto_golden_fixture_schemas(name, fixture):
         zero = {}
         back = codec.decode(msg_name, codec.encode(msg_name, zero))
         assert set(back) == {f["name"] for f in messages[msg_name]}, msg_name
+
+
+def test_proto_enum_symbolic_encode():
+    """The reference's JSON front door accepts enum SYMBOLS
+    (enumeration@1338 feeds "CORPUS_WEB" and reads back 2): the codec
+    must encode a symbol via the enum's value table, byte-identical to
+    encoding the number, and reject unknown symbols."""
+    proto = CASES[1][1]  # the enumeration case's schema
+    messages, enums = parse_proto_meta(proto)
+    assert enums["Corpus"]["CORPUS_WEB"] == 2
+    assert enums["Corpus"]["CORPUS_PRODUCTS"] == 6
+    codec = ProtoCodec(messages, enums)
+    sym = codec.encode("Value", {"query": "abc/def", "page_number": 6,
+                                 "results_per_page": 13,
+                                 "corpus": "CORPUS_WEB"})
+    num = codec.encode("Value", {"query": "abc/def", "page_number": 6,
+                                 "results_per_page": 13, "corpus": 2})
+    assert sym == num
+    assert codec.decode("Value", sym)["corpus"] == 2  # Arrow side is Int32
+    with pytest.raises(ValueError, match="unknown Corpus enum symbol"):
+        codec.encode("Value", {"corpus": "CORPUS_NOPE"})

@@ -230,7 +230,14 @@ def test_broker_proto_enum_and_int_key(spark, tmp_path):
     broker.create_topic("lookup", partitions=1, config={"tansu.schema.wire": "proto"})
 
     msgs, enums = parse_proto_meta((schema_dir / "lookup.proto").read_text())
-    assert enums == {"Channel"}
+    assert enums == {
+        "Channel": {
+            "CHANNEL_UNSPECIFIED": 0,
+            "CHANNEL_WEB": 1,
+            "CHANNEL_NEWS": 2,
+            "CHANNEL_VIDEO": 3,
+        }
+    }
     c = ProtoCodec(msgs, enums)
     broker.produce_rows(
         "lookup",
