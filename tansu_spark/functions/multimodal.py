@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -385,7 +386,7 @@ DECODE_STATS_SCHEMA = StructType(
         StructField("height", IntegerType(), True),
         StructField("sample_rate", IntegerType(), True),
         StructField("n_samples", LongType(), True),
-        StructField("mean_level", FloatType(), True),  # luma or rms
+        StructField("mean_level", DoubleType(), True),  # luma or rms
     ]
 )
 
@@ -446,3 +447,47 @@ def decode_asset_stats(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(run, DECODE_STATS_SCHEMA)
+
+
+def encode_png(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal PNG writer (8-bit RGB, filter 0 rows) — stdlib zlib; the
+    inverse of decode_png for the formats it supports. Used to construct
+    REAL media in-cluster for the decode kernels' oracle-checked query
+    (and by tests, so encoder and decoder cross-check each other)."""
+    import struct as _struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    raw = b"".join(b"\x00" + b"".join(bytes(px) for px in row) for row in pixels)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body))
+            + typ
+            + body
+            + _struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(samples: list[int], rate: int = 8000) -> bytes:
+    """Minimal mono PCM16 WAV writer — stdlib `wave`; inverse of
+    decode_wav."""
+    import io
+    import struct as _struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(_struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()

@@ -69,6 +69,7 @@ FLOORS = {
     # round-4 capstone: exactly one accounting row per stage
     "pipeline_curation_capstone": 8,
     "dedup_substring_scrub": 250,  # one row per document (500 at sf0.01)
+    "multimodal_decode_roundtrip": 250,  # one row per document
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
