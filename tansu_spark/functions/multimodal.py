@@ -3,10 +3,12 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 
 Decode status (r4): stdlib-decodable formats decode FOR REAL — PCM WAV
 (`wave` + struct), BMP/PPM (raw header parsing), PNG (zlib inflate +
-the five scanline filters) — see decode_wav/decode_image/
-decode_asset_stats below, with exact-value tests over constructed
-media. Only formats that genuinely need external codecs (JPEG, MP3,
-H.264, ...) remain environment-gated behind NotImplementedError; the
+the five scanline filters), YUV4MPEG2 video (header + raw 4:2:0
+planes) — see decode_wav/decode_image/decode_y4m/decode_asset_stats
+below, with exact-value tests over constructed media and the
+driver-gate-verified multimodal_decode_roundtrip query covering all
+three modalities. Only formats that genuinely need external codecs
+(JPEG, MP3, H.264, ...) remain environment-gated; the
 gate is per-ROW in decode_asset_stats (decode_ok=0 + error string), so
 a crawl containing exotic formats is accounted, never crashed.
 Everything Spark-side — schema, partition sizing, UDF batch shape,
@@ -437,6 +439,15 @@ def decode_asset_stats(assets: DataFrame) -> DataFrame:
                             n_samples=d["n_samples"],
                             mean_level=float(d["rms"]),
                         )
+                    elif modality == "video" and b[:9] == b"YUV4MPEG2":
+                        d = decode_y4m(b)
+                        row.update(
+                            decode_ok=1,
+                            width=d["width"],
+                            height=d["height"],
+                            n_samples=d["n_frames"],
+                            mean_level=float(d["mean_y"]),
+                        )
                     else:
                         raise NotImplementedError(
                             f"{modality} decode needs external codecs"
@@ -491,3 +502,49 @@ def encode_wav(samples: list[int], rate: int = 8000) -> bytes:
         w.setframerate(rate)
         w.writeframes(_struct.pack(f"<{len(samples)}h", *samples))
     return buf.getvalue()
+
+
+def decode_y4m(content: bytes) -> dict[str, Any]:
+    """YUV4MPEG2 (uncompressed video) → {width, height, n_frames,
+    mean_y}. Pure bytes parsing: 'YUV4MPEG2 W.. H.. F..' header, then
+    'FRAME\\n' + raw planar YCbCr 4:2:0 per frame. The one video
+    container that needs no codec — H.264/VP9/AV1 stay gated."""
+    if not content.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = content.index(b"\n")
+    width = height = None
+    for tok in content[9:nl].split():
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C" and tok[1:] not in (b"420", b"420jpeg", b"420mpeg2"):
+            raise NotImplementedError(f"chroma {tok[1:].decode()} unsupported")
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    frame_bytes = width * height * 3 // 2  # 4:2:0 planar
+    pos, n_frames, y_tot = nl + 1, 0, 0
+    while pos < len(content):
+        eol = content.index(b"\n", pos)
+        if content[pos:eol].split()[0] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        y_plane = content[eol + 1 : eol + 1 + width * height]
+        if len(y_plane) < width * height:
+            raise ValueError("truncated frame")
+        y_tot += sum(y_plane)
+        n_frames += 1
+        pos = eol + 1 + frame_bytes
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "mean_y": y_tot / max(n_frames * width * height, 1),
+    }
+
+
+def encode_y4m(frames: list[bytes], width: int, height: int) -> bytes:
+    """Minimal YUV4MPEG2 writer (4:2:0): each element of `frames` is one
+    frame's full planar payload (w*h luma + w*h/2 chroma bytes)."""
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
+    body = b"".join(b"FRAME\n" + f for f in frames)
+    return head + body

@@ -3891,11 +3891,21 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                            AS DOUBLE) / 64), 6)
     FROM aud
     UNION ALL
+    -- even video rows carry a REAL YUV4MPEG2 stream (2 frames, 4x2);
+    -- odd ones carry an MPEG-PS magic the kernel must ACCOUNT, not die on
+    SELECT doc_id, 'video', CAST(1 AS INTEGER),
+           CAST(4 AS INTEGER), CAST(2 AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(2 AS BIGINT),
+           round(CAST(list_sum(list_transform(range(0, 16),
+             i -> (doc_id * 19 + (i // 8) * 23 + (i % 8) * 29) % 256))
+             AS DOUBLE) / 16, 6)
+    FROM d WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
+    UNION ALL
     SELECT doc_id, 'video', CAST(0 AS INTEGER),
            CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
            CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE)
-    FROM d WHERE doc_id % 3 = 2
+    FROM d WHERE doc_id % 3 = 2 AND doc_id % 2 = 1
     """,
 )
 def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3923,6 +3933,7 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_asset_stats,
         encode_png,
         encode_wav,
+        encode_y4m,
     )
 
     d = _docs(spark, sf_dir).select("doc_id")
@@ -3957,6 +3968,16 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                         "audio",
                     )
+                elif did % 2 == 0:
+                    frames = [
+                        bytes(
+                            (did * 19 + f * 23 + k * 29) % 256
+                            for k in range(8)
+                        )
+                        + bytes(4)  # 4:2:0 chroma plane (not in stats)
+                        for f in range(2)
+                    ]
+                    content, modality = encode_y4m(frames, 4, 2), "video"
                 else:
                     content, modality = b"\x00\x00\x01\xba", "video"
                 rows.append(

@@ -261,3 +261,37 @@ def test_decode_asset_stats_mapinpandas(spark):
     assert got[2]["n_samples"] == 4
     assert got[3]["decode_ok"] == 0 and "NotImplementedError" in got[3]["decode_error"]
     assert got[4]["decode_ok"] == 0 and "codecs" in got[4]["decode_error"]
+
+
+def test_decode_y4m_exact_and_in_stats_pass(spark):
+    """YUV4MPEG2 decodes for real (the codec-free video container):
+    exact frame count and luma mean; through decode_asset_stats a Y4M
+    video row comes back decode_ok=1 while codec-format video stays
+    accounted."""
+    from tansu_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        decode_asset_stats,
+        decode_y4m,
+        encode_y4m,
+    )
+
+    f1 = bytes(range(8)) + bytes(4)
+    f2 = bytes([100] * 8) + bytes(4)
+    y4m = encode_y4m([f1, f2], 4, 2)
+    d = decode_y4m(y4m)
+    assert d["width"] == 4 and d["height"] == 2 and d["n_frames"] == 2
+    assert abs(d["mean_y"] - (sum(range(8)) + 800) / 16) < 1e-9
+
+    rows = [
+        (1, "video", bytearray(y4m), "video/x-yuv4mpeg", None, None, None),
+        (2, "video", bytearray(b"\x00\x00\x01\xba"), None, None, None, None),
+    ]
+    got = {
+        r["asset_id"]: r
+        for r in decode_asset_stats(
+            spark.createDataFrame(rows, ASSET_SCHEMA)
+        ).collect()
+    }
+    assert got[1]["decode_ok"] == 1 and got[1]["n_samples"] == 2
+    assert abs(got[1]["mean_level"] - d["mean_y"]) < 1e-9
+    assert got[2]["decode_ok"] == 0 and "codecs" in got[2]["decode_error"]
