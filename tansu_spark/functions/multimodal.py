@@ -548,3 +548,33 @@ def encode_y4m(frames: list[bytes], width: int, height: int) -> bytes:
     head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
     body = b"".join(b"FRAME\n" + f for f in frames)
     return head + body
+
+
+def decode_y4m_frames(content: bytes) -> list[float]:
+    """Per-frame luma means from a YUV4MPEG2 stream — the frame-grain
+    twin of decode_y4m (which aggregates): parses the same header and
+    FRAME markers but emits one value per frame, the kernel a
+    frame-sampling pipeline runs after sample_frames picks timestamps."""
+    if not content.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = content.index(b"\n")
+    width = height = None
+    for tok in content[9:nl].split():
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    frame_bytes = width * height * 3 // 2
+    pos, out = nl + 1, []
+    while pos < len(content):
+        eol = content.index(b"\n", pos)
+        if content[pos:eol].split()[0] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        y_plane = content[eol + 1 : eol + 1 + width * height]
+        if len(y_plane) < width * height:
+            raise ValueError("truncated frame")
+        out.append(sum(y_plane) / (width * height))
+        pos = eol + 1 + frame_bytes
+    return out

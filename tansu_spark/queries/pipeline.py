@@ -4108,3 +4108,71 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_images") > 1)
     )
+
+
+@query(
+    "multimodal_frame_luma",
+    oracle="""
+    WITH vid AS (SELECT doc_id FROM documents
+                 WHERE doc_id % 3 = 2 AND doc_id % 2 = 0),
+    fr AS (SELECT doc_id, unnest(range(0, 2)) AS frame_index FROM vid)
+    SELECT doc_id AS asset_id,
+           CAST(frame_index AS INTEGER) AS frame_index,
+           round(CAST(list_sum(list_transform(range(0, 8),
+             k -> (doc_id * 19 + frame_index * 23 + k * 29) % 256))
+             AS DOUBLE) / 8, 6) AS frame_mean_luma
+    FROM fr
+    """,
+)
+def multimodal_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame EXTRACTION executed for real — the execution half of
+    sample_frames' plan: each decodable video asset's YUV4MPEG2 stream
+    is parsed frame by frame (decode_y4m_frames) and each frame's luma
+    plane is reduced to its mean; one output row per (asset, frame).
+    The oracle predicts each frame's mean from the construction
+    formulas, so the per-frame parser (FRAME markers, plane offsets,
+    4:2:0 stride) sits under the exact gate — an off-by-one in the
+    frame stride shifts every subsequent frame's bytes and the hash.
+
+    Scale: frame parsing is the Arrow-batched map pass; each output row
+    is (id, index, double) — frames never shuffle. Row amplification is
+    n_frames per asset, the same bound the sampling plan budgets."""
+    import pandas as pd
+
+    from tansu_spark.functions.multimodal import decode_y4m_frames, encode_y4m
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 0)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    bytes((did * 19 + f * 23 + k * 29) % 256 for k in range(8))
+                    + bytes(4)
+                    for f in range(2)
+                ]
+                content = encode_y4m(frames, 4, 2)
+                for i, mean_y in enumerate(decode_y4m_frames(content)):
+                    rows.append(
+                        {
+                            "asset_id": did,
+                            "frame_index": i,
+                            "frame_mean_luma": mean_y,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_index", "frame_mean_luma"]
+            )
+
+    out = d.mapInPandas(
+        run, "asset_id bigint, frame_index int, frame_mean_luma double"
+    )
+    return out.select(
+        "asset_id",
+        "frame_index",
+        F.round("frame_mean_luma", 6).alias("frame_mean_luma"),
+    )

@@ -71,6 +71,7 @@ FLOORS = {
     "dedup_substring_scrub": 250,  # one row per document (500 at sf0.01)
     "multimodal_decode_roundtrip": 250,  # one row per document
     "multimodal_phash_dedup": 5,  # duplicated fingerprints (11 at sf0.01)
+    "multimodal_frame_luma": 80,  # 2 frames x decodable video docs (~166)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
