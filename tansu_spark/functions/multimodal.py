@@ -578,3 +578,30 @@ def decode_y4m_frames(content: bytes) -> list[float]:
         out.append(sum(y_plane) / (width * height))
         pos = eol + 1 + frame_bytes
     return out
+
+
+def decode_wav_frames(
+    content: bytes, window: int = 16, hop: int = 8
+) -> list[float]:
+    """Per-frame rms energies from a PCM16 WAV — the execution half of
+    audio_frame_plan's budgeting: real `wave` parse, then the standard
+    sliding-window framing (window/hop in SAMPLES; a speech front end
+    uses 25 ms/10 ms at its sample rate). rms per frame is integer math
+    until the final sqrt."""
+    import io
+    import math
+    import struct as _struct
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("PCM16 only")
+        raw = w.readframes(w.getnframes())
+    samples = _struct.unpack(f"<{len(raw) // 2}h", raw)
+    out = []
+    pos = 0
+    while pos + window <= len(samples):
+        seg = samples[pos : pos + window]
+        out.append(math.sqrt(sum(s * s for s in seg) / window))
+        pos += hop
+    return out

@@ -4176,3 +4176,65 @@ def multimodal_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_index",
         F.round("frame_mean_luma", 6).alias("frame_mean_luma"),
     )
+
+
+@query(
+    "multimodal_audio_frame_energy",
+    oracle="""
+    WITH aud AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+    fr AS (SELECT doc_id, unnest(range(0, 7)) AS frame_index FROM aud)
+    SELECT doc_id AS asset_id,
+           CAST(frame_index AS INTEGER) AS frame_index,
+           round(sqrt(CAST(list_sum(list_transform(range(0, 16), j ->
+             (((doc_id * 131 + (frame_index * 8 + j) * 17) % 4001) - 2000)
+             * (((doc_id * 131 + (frame_index * 8 + j) * 17) % 4001) - 2000)))
+             AS DOUBLE) / 16), 6) AS frame_rms
+    FROM fr
+    """,
+)
+def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-frame energies executed for real — the execution
+    half of audio_frame_plan's budgeting: each audio asset's PCM16 WAV
+    (constructed from doc_id, 64 samples) is decoded by the real `wave`
+    kernel and framed with the standard sliding window (16-sample
+    window, 8-sample hop → 7 frames), emitting each frame's rms. The
+    oracle predicts every frame's rms from the sample formulas —
+    a framing off-by-one or a wrong PCM byte order shifts the values
+    and the hash.
+
+    Exactness: per-frame sum of squares is integer; /16 is exact (power
+    of two); sqrt is correctly-rounded IEEE — both engines agree
+    bit-for-bit before the single round(…, 6).
+
+    Scale: Arrow-batched map pass; audio bytes never shuffle — each
+    output row is (id, index, double), amplification = n_frames per
+    clip, exactly what the budgeting plan predicted."""
+    import pandas as pd
+
+    from tansu_spark.functions.multimodal import decode_wav_frames, encode_wav
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 3 == 1)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                content = encode_wav(
+                    [((did * 131 + k * 17) % 4001) - 2000 for k in range(64)],
+                    8000,
+                )
+                for i, rms in enumerate(
+                    decode_wav_frames(content, window=16, hop=8)
+                ):
+                    rows.append(
+                        {"asset_id": did, "frame_index": i, "frame_rms": rms}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_index", "frame_rms"]
+            )
+
+    out = d.mapInPandas(run, "asset_id bigint, frame_index int, frame_rms double")
+    return out.select(
+        "asset_id", "frame_index", F.round("frame_rms", 6).alias("frame_rms")
+    )
