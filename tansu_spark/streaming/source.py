@@ -361,3 +361,101 @@ def enrich_stream(
     re-resolved per batch. The dimension should be broadcast-sized or
     bucketed; the stream side stays shuffle-free either way."""
     return records.join(dim, on, how)
+
+
+_EWMA_SCHEMA = "key string, n_events long, ewma double, max_deviation double"
+
+
+def ewma_by_key(records: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """EWMA + max one-step deviation per key — the STREAMING
+    instantiation of events_ewma_anomaly's composition law: the state
+    row carries exactly (e, m, n) and each micro-batch is a chunk
+    folded SEEDED by the carried e (the two-stage decomposition's
+    stage C with micro-batches as the chunks; the pytest-pinned
+    equality two_stage == one_stage is precisely why the stream
+    converges to the batch fold whenever chunks arrive per-key
+    time-ordered — which Kafka's per-key partition order guarantees).
+
+    Input: the record envelope (key/value/timestamp/offset); the value
+    bytes parse as the numeric. Streaming path:
+    applyInPandasWithState, one 3-scalar state row per key, update
+    output mode (each batch re-emits the keys it touched). Batch twin
+    (same semantics, used by tests to cross-check): the ordered
+    aggregate fold.
+
+    Scale: state is three scalars per key — millions of keys per
+    executor in the RocksDB store; each batch's work is proportional to
+    the batch."""
+    projected = records.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("timestamp").cast("timestamp").alias("timestamp"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("value").cast("string").cast("double").alias("x"),
+    )
+    if not records.isStreaming:
+        seq = projected.groupBy("key").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(timestamp, offset, x))),"
+                " s -> s.x)"
+            ).alias("v"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        folded = seq.withColumn(
+            "acc",
+            F.expr(
+                f"""
+                aggregate(slice(v, 2, size(v) - 1),
+                  struct(cast(element_at(v, 1) as double) as e,
+                         cast(0.0 as double) as m),
+                  (a, b) -> struct(a.e + {alpha} * (b - a.e) as e,
+                                   greatest(a.m, abs(b - a.e)) as m))
+                """
+            ),
+        )
+        return folded.select(
+            "key",
+            "n_events",
+            F.col("acc.e").alias("ewma"),
+            F.col("acc.m").alias("max_deviation"),
+        )
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (k,) = key
+        rows = pd.concat(list(pdfs))
+        if rows.empty:
+            return
+        rows = rows.sort_values(["timestamp", "offset"])
+        xs = [float(v) for v in rows["x"] if v is not None and v == v]
+        if not xs:
+            return
+        if state.exists:
+            e, m, n = state.get
+            it = xs
+        else:
+            e, m, n = float(xs[0]), 0.0, 1
+            it = xs[1:]
+        for x in it:
+            m = max(m, abs(x - e))
+            e = e + alpha * (x - e)
+            n += 1
+        state.update((e, m, n))
+        yield pd.DataFrame(
+            {
+                "key": [k],
+                "n_events": [n],
+                "ewma": [e],
+                "max_deviation": [m],
+            }
+        )
+
+    return projected.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_EWMA_SCHEMA,
+        stateStructType="e double, m double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

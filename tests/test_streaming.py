@@ -353,3 +353,80 @@ def test_enrich_stream_picks_up_dimension_refresh(broker, tmp_path):
     seen.clear()
     run()
     assert seen == [("k0", 2, "gold")]
+
+
+def test_ewma_by_key_stream_matches_batch_across_restarts(broker, tmp_path):
+    """The streaming EWMA (applyInPandasWithState, 3-scalar state per
+    key) must converge to the batch fold — INCLUDING across a query
+    restart: phase 1 processes the first half of each key's values,
+    phase 2 restarts from the checkpoint and processes the rest seeded
+    by the recovered state (micro-batches ARE the chunks of the
+    two-stage composition law)."""
+    import math
+
+    from tansu_spark.streaming.source import ewma_by_key, topic_stream
+
+    broker.create_topic("ew", partitions=1)
+    t0 = datetime.datetime(2024, 1, 1)
+    series = {
+        "a": [10.0, 20.0, 5.0, 40.0, 15.0, 30.0],
+        "b": [100.0, 100.0, 700.0, 100.0],
+    }
+
+    def produce(phase):
+        rows = []
+        for k, vals in series.items():
+            half = len(vals) // 2
+            part = vals[:half] if phase == 0 else vals[half:]
+            base = 0 if phase == 0 else half
+            rows += [
+                {
+                    "key": k,
+                    "value": str(v),
+                    "timestamp": t0 + datetime.timedelta(seconds=base + i),
+                }
+                for i, v in enumerate(part)
+            ]
+        broker.produce_rows("ew", rows)
+
+    emitted: list = []
+
+    def run_stream():
+        # foreachBatch (supports checkpoint RECOVERY, unlike the memory
+        # sink) + one file per micro-batch so each segment is its own
+        # chunk of the fold
+        q = (
+            ewma_by_key(topic_stream(broker, "ew", max_files_per_trigger=1))
+            .writeStream.foreachBatch(
+                lambda df, _epoch: emitted.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    produce(0)
+    run_stream()
+    assert emitted, "phase-1 stream emitted nothing"
+    produce(1)
+    run_stream()  # restart: state recovered from checkpoint
+
+    last = {}
+    for r in emitted:
+        last[r["key"]] = r  # updates in emission order; later wins
+    # batch twin over the full topic
+    batch = {r["key"]: r for r in ewma_by_key(broker.records("ew")).collect()}
+    assert set(last) == set(series) == set(batch)
+    for k, vals in series.items():
+        e, m = vals[0], 0.0
+        for x in vals[1:]:
+            m = max(m, abs(x - e))
+            e = e + 0.25 * (x - e)
+        for got in (last[k], batch[k]):
+            assert got["n_events"] == len(vals), k
+            assert math.isclose(got["ewma"], e, rel_tol=0, abs_tol=1e-12), k
+            assert math.isclose(
+                got["max_deviation"], m, rel_tol=0, abs_tol=1e-12
+            ), k
