@@ -605,3 +605,80 @@ def decode_wav_frames(
         out.append(math.sqrt(sum(s * s for s in seg) / window))
         pos += hop
     return out
+
+
+def decode_png_pixels(content: bytes) -> tuple[int, int, list[list[tuple]]]:
+    """PNG → (width, height, pixel grid) — the pixel-grain twin of
+    decode_png (which aggregates): same zlib inflate and the same five
+    unfilters, but returns the reconstructed rows of channel tuples, the
+    input a real resize/crop/augment kernel operates on."""
+    import struct as _struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, b"", None
+    while pos < len(content):
+        ln, typ = _struct.unpack_from(">I4s", content, pos)
+        body = content[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = _struct.unpack(
+                ">IIBBBBB", body
+            )
+            meta = (w, h, depth, color, interlace)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, interlace = meta
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNG")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError("palette PNG unsupported")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    prev = bytearray(stride)
+    grid: list[list[tuple]] = []
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if ftype == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ftype == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        grid.append(
+            [
+                tuple(line[x * channels : (x + 1) * channels])
+                for x in range(w)
+            ]
+        )
+        prev = line
+    return w, h, grid
+
+
+def resize_nearest(
+    grid: list[list[tuple]], dst_w: int, dst_h: int
+) -> list[list[tuple]]:
+    """Nearest-neighbor resize on a decoded pixel grid — the real pixel
+    half of resize_plan: dst(x, y) = src(floor(x*src_w/dst_w),
+    floor(y*src_h/dst_h)). Integer index math, deterministic anywhere."""
+    src_h, src_w = len(grid), len(grid[0])
+    return [
+        [grid[y * src_h // dst_h][x * src_w // dst_w] for x in range(dst_w)]
+        for y in range(dst_h)
+    ]

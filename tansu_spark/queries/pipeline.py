@@ -4238,3 +4238,89 @@ def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         "asset_id", "frame_index", F.round("frame_rms", 6).alias("frame_rms")
     )
+
+
+@query(
+    "multimodal_resize_verify",
+    oracle="""
+    WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+    SELECT doc_id AS asset_id,
+           CAST(4 AS INTEGER) AS src_width, CAST(2 AS INTEGER) AS src_height,
+           CAST(2 AS INTEGER) AS dst_width, CAST(1 AS INTEGER) AS dst_height,
+           -- nearest-neighbor at (2x, 2y) samples source pixels k=0 and k=2
+           round(CAST(list_sum(list_transform([0, 2], k ->
+             (299 * ((doc_id * 37 + k * 11) % 256)
+              + 587 * ((doc_id * 53 + k * 13) % 256)
+              + 114 * ((doc_id * 71 + k * 17) % 256)) // 1000))
+             AS DOUBLE) / 2, 6) AS resized_mean_luma
+    FROM img
+    """,
+)
+def multimodal_resize_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize EXECUTED for real — the pixel half of resize_plan: each
+    image asset's PNG is decoded to its pixel grid (real unfiltering),
+    nearest-neighbor-resized 4x2 → 2x1, RE-ENCODED, decoded AGAIN, and
+    the resized image's stats reported. The oracle predicts the sampled
+    pixels' luma mean from the construction formulas — a wrong NN index
+    mapping, a broken re-encode, or any unfilter bug shifts the mean
+    and the hash. Four real codec passes per row, all under the gate.
+
+    Scale: Arrow-batched map pass; pixels never leave the stage — each
+    output row is five ints and a double."""
+    import pandas as pd
+
+    from tansu_spark.functions.multimodal import (
+        decode_png,
+        decode_png_pixels,
+        encode_png,
+        resize_nearest,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 3 == 0)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = [
+                    [
+                        (
+                            (did * 37 + k * 11) % 256,
+                            (did * 53 + k * 13) % 256,
+                            (did * 71 + k * 17) % 256,
+                        )
+                        for k in range(r * 4, r * 4 + 4)
+                    ]
+                    for r in range(2)
+                ]
+                sw, sh, grid = decode_png_pixels(encode_png(px))
+                resized = resize_nearest(grid, 2, 1)
+                stats = decode_png(encode_png(resized))
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "src_width": sw,
+                        "src_height": sh,
+                        "dst_width": stats["width"],
+                        "dst_height": stats["height"],
+                        "resized_mean_luma": stats["mean_luma"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "src_width", "src_height",
+                    "dst_width", "dst_height", "resized_mean_luma",
+                ],
+            )
+
+    out = d.mapInPandas(
+        run,
+        "asset_id bigint, src_width int, src_height int,"
+        " dst_width int, dst_height int, resized_mean_luma double",
+    )
+    return out.select(
+        "asset_id", "src_width", "src_height", "dst_width", "dst_height",
+        F.round("resized_mean_luma", 6).alias("resized_mean_luma"),
+    )

@@ -73,6 +73,7 @@ FLOORS = {
     "multimodal_phash_dedup": 5,  # duplicated fingerprints (11 at sf0.01)
     "multimodal_frame_luma": 80,  # 2 frames x decodable video docs (~166)
     "multimodal_audio_frame_energy": 580,  # 7 frames x audio docs (1169)
+    "multimodal_resize_verify": 80,  # one row per image doc (167)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
