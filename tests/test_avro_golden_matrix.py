@@ -327,6 +327,35 @@ CASES = [
         [[TS, TS.replace(microsecond=1)]],
     ),
     (
+        "map_of_nullable_union_values",
+        {"type": "map", "values": ["null", "long"]},
+        MapType(StringType(), LongType()),
+        [{"a": 1, "b": None, "c": 3}],
+    ),
+    (
+        "array_of_map_of_decimal",
+        {"type": "array",
+         "items": {"type": "map",
+                   "values": {"type": "bytes", "logicalType": "decimal",
+                              "precision": 9, "scale": 4}}},
+        ArrayType(MapType(StringType(), DecimalType(9, 4))),
+        [[{"x": Decimal("1.2345")}, {"y": Decimal("-0.0001"), "z": Decimal("99999.9999")}]],
+    ),
+    (
+        "general_union_in_record",
+        _rec(("v", ["null", "long", "string"])),
+        _struct(
+            ("v",
+             _struct(("_tag", IntegerType(), False),
+                     ("u0", LongType(), True),
+                     ("u1", StringType(), True)),
+             True),
+        ),
+        [{"v": {"_tag": 0, "u0": 42, "u1": None}},
+         {"v": {"_tag": 1, "u0": None, "u1": "hi"}},
+         {"v": None}],
+    ),
+    (
         "deep_nesting_record_array_map_record",
         _rec(("shards",
               {"type": "array",
