@@ -682,3 +682,20 @@ def resize_nearest(
         [grid[y * src_h // dst_h][x * src_w // dst_w] for x in range(dst_w)]
         for y in range(dst_h)
     ]
+
+
+def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (BITMAPINFOHEADER,
+    bottom-up rows padded to 4 bytes) — inverse of decode_bmp."""
+    import struct as _struct
+
+    h, w = len(pixels), len(pixels[0])
+    row_bytes = (w * 3 + 3) & ~3
+    data = b""
+    for row in reversed(pixels):
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        data += line + b"\x00" * (row_bytes - len(line))
+    header = _struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data

@@ -3876,12 +3876,18 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_transform(range(0, 64), k ->
                      ((doc_id * 131 + k * 17) % 4001) - 2000) AS ss
             FROM d WHERE doc_id % 3 = 1)
+    -- image rows alternate containers: PNG (doc_id%2=0, luma stats)
+    -- and BMP (doc_id%2=1, mean-red stats) — both real stdlib decodes
     SELECT doc_id AS asset_id, 'image' AS modality,
            CAST(1 AS INTEGER) AS decode_ok,
            CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
            CAST(NULL AS INTEGER) AS sample_rate,
            CAST(NULL AS BIGINT) AS n_samples,
-           round(CAST(list_sum(lumas) AS DOUBLE) / 8, 6) AS mean_level
+           CASE WHEN doc_id % 2 = 0
+                THEN round(CAST(list_sum(lumas) AS DOUBLE) / 8, 6)
+                ELSE round(CAST(list_sum(list_transform(range(0, 8),
+                       k -> (doc_id * 37 + k * 11) % 256)) AS DOUBLE) / 8, 6)
+           END AS mean_level
     FROM img
     UNION ALL
     SELECT doc_id, 'audio', CAST(1 AS INTEGER),
@@ -3931,6 +3937,7 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tansu_spark.functions.multimodal import (
         ASSET_SCHEMA,
         decode_asset_stats,
+        encode_bmp as _encode_bmp,
         encode_png,
         encode_wav,
         encode_y4m,
@@ -3959,7 +3966,12 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ]
                         for r in range(2)
                     ]
-                    content, modality = encode_png(px), "image"
+                    # alternate containers so BOTH image decoders sit
+                    # under the gate (PNG → luma mean, BMP → red mean)
+                    content = (
+                        encode_png(px) if did % 2 == 0 else _encode_bmp(px)
+                    )
+                    modality = "image"
                 elif m == 1:
                     content, modality = (
                         encode_wav(

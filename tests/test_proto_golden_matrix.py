@@ -195,6 +195,24 @@ CASES = [
             {"url": "b", "title": "B", "snippets": []},
         ]}],
     ),
+    (
+        "packed_repeated_scalars",
+        '''
+        syntax = 'proto3';
+        message Value {
+          repeated int64 xs = 1;
+          repeated float fs = 2;
+          repeated sint32 zs = 3;
+        }
+        ''',
+        "Value",
+        _struct(
+            ("xs", ArrayType(LongType())),
+            ("fs", ArrayType(FloatType())),
+            ("zs", ArrayType(IntegerType())),
+        ),
+        [{"xs": [1, 150, 86942, -1], "fs": [0.5, -2.25], "zs": [-3, 0, 7]}],
+    ),
 ]
 
 # the repo's own fixture files mirror the reference's etc/schema set —
