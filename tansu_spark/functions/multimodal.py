@@ -699,3 +699,31 @@ def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
     return header + data
+
+
+def decode_bmp_pixels(content: bytes) -> tuple[int, int, list[list[tuple]]]:
+    """Uncompressed 24-bit BMP → (width, height, pixel grid) — the
+    pixel-grain twin of decode_bmp: same header parse, rows un-reversed
+    from the bottom-up layout, BGR → RGB tuples."""
+    import struct as _struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = _struct.unpack_from("<I", content, 10)[0]
+    width, height = _struct.unpack_from("<ii", content, 18)
+    _planes, bpp = _struct.unpack_from("<HH", content, 26)
+    compression = _struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    grid = []
+    for r in range(height):
+        row = content[data_off + r * row_bytes:][: width * 3]
+        grid.append(
+            [(row[3 * x + 2], row[3 * x + 1], row[3 * x]) for x in range(width)]
+        )
+    if bottom_up:
+        grid.reverse()
+    return width, height, grid

@@ -4336,3 +4336,222 @@ def multimodal_resize_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "src_width", "src_height", "dst_width", "dst_height",
         F.round("resized_mean_luma", 6).alias("resized_mean_luma"),
     )
+
+
+@query(
+    "pipeline_media_curation",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    img AS (SELECT doc_id, doc_id % 40 AS motif FROM d WHERE doc_id % 3 = 0),
+    aud AS (SELECT doc_id FROM d WHERE doc_id % 3 = 1),
+    vid AS (SELECT doc_id FROM d WHERE doc_id % 3 = 2),
+    -- stage 1: decode — video decodes only when doc_id is even
+    dec AS (SELECT (SELECT count(*) FROM img)
+                 + (SELECT count(*) FROM aud)
+                 + (SELECT count(*) FROM vid WHERE doc_id % 2 = 0) AS n_ok,
+                 (SELECT count(*) FROM vid WHERE doc_id % 2 = 1) AS n_bad),
+    -- stage 2: perceptual-hash image dedup (same dHash as
+    -- multimodal_phash_dedup: 40 motifs → keep min doc per hash)
+    ph AS (SELECT doc_id, motif,
+                  CAST(list_sum(list_transform(range(0, 6), i ->
+                    CASE WHEN (299 * ((motif * 37 + ((i // 3) * 4 + (i % 3)) * 11) % 256)
+                               + 587 * ((motif * 53 + ((i // 3) * 4 + (i % 3)) * 13) % 256)
+                               + 114 * ((motif * 71 + ((i // 3) * 4 + (i % 3)) * 17) % 256)) // 1000
+                            > (299 * ((motif * 37 + ((i // 3) * 4 + (i % 3) + 1) * 11) % 256)
+                               + 587 * ((motif * 53 + ((i // 3) * 4 + (i % 3) + 1) * 13) % 256)
+                               + 114 * ((motif * 71 + ((i // 3) * 4 + (i % 3) + 1) * 17) % 256)) // 1000
+                         THEN 1 << i ELSE 0 END)) AS INTEGER) AS dhash
+           FROM img),
+    ikeep AS (SELECT count(*) AS n FROM (
+                SELECT min(doc_id) FROM ph GROUP BY dhash)),
+    -- stage 3: audio loudness gate — drop clips with rms > 1200
+    arms AS (SELECT doc_id,
+                    sqrt(CAST(list_sum(list_transform(range(0, 64), k ->
+                      (((doc_id * 131 + k * 17) % 4001) - 2000)
+                      * (((doc_id * 131 + k * 17) % 4001) - 2000)))
+                      AS DOUBLE) / 64) AS rms
+             FROM aud),
+    akeep AS (SELECT count(*) AS n FROM arms WHERE rms <= 1200),
+    -- stage 4: frame budget over decodable videos (2 frames each)
+    vframes AS (SELECT 2 * count(*) AS n FROM vid WHERE doc_id % 2 = 0)
+    SELECT CAST(stage_order AS INTEGER) AS stage_order, stage,
+           CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+           CAST(n_flagged AS BIGINT) AS n_flagged
+    FROM (
+      SELECT 1 AS stage_order, 'decode' AS stage,
+             (SELECT count(*) FROM d) AS n_in,
+             (SELECT n_ok FROM dec) AS n_out,
+             (SELECT n_bad FROM dec) AS n_flagged
+      UNION ALL SELECT 2, 'image_phash_dedup',
+             (SELECT count(*) FROM img), (SELECT n FROM ikeep),
+             (SELECT count(*) FROM img) - (SELECT n FROM ikeep)
+      UNION ALL SELECT 3, 'audio_loudness_gate',
+             (SELECT count(*) FROM aud), (SELECT n FROM akeep),
+             (SELECT count(*) FROM aud) - (SELECT n FROM akeep)
+      UNION ALL SELECT 4, 'video_frame_budget',
+             (SELECT count(*) FROM vid WHERE doc_id % 2 = 0),
+             (SELECT n FROM vframes), 0
+      UNION ALL SELECT 5, 'assets_kept',
+             (SELECT n_ok FROM dec),
+             (SELECT n FROM ikeep) + (SELECT n FROM akeep)
+               + (SELECT count(*) FROM vid WHERE doc_id % 2 = 0),
+             0)
+    """,
+)
+def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEDIA curation pipeline composed end-to-end — the multimodal
+    twin of pipeline_curation_capstone, with every stage running the
+    REAL kernels: (1) decode all assets (PNG/BMP images, WAV audio, Y4M
+    video; undecodable video accounted), (2) perceptual-hash dedup of
+    the decoded images (keep min doc per dHash), (3) an audio loudness
+    gate on the decoded rms (drop clips over 1200), (4) the frame
+    budget actually extracted from decodable videos, (5) the final
+    kept-asset ledger. One accounting row per stage — the shape a media
+    crawl's curation report takes.
+
+    The Spark side CONSTRUCTS the media from the doc_id/motif formulas
+    (the same envelope as the single-stage queries), runs decode →
+    dHash → rms → frame parse for real in one Arrow-batched pass, and
+    aggregates; the oracle re-predicts every count by pure math. Bytes
+    never shuffle — each asset reduces to (modality, ok, dhash, rms,
+    n_frames) before any exchange."""
+    import pandas as pd
+
+    from tansu_spark.functions.multimodal import (
+        decode_asset_stats,  # noqa: F401 — single-stage twin; kernels below
+        decode_bmp_pixels,
+        decode_png_pixels,
+        decode_wav,
+        decode_y4m,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+        encode_y4m,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = did % 3
+                if m == 0:
+                    motif = did % 40
+                    px = [
+                        [
+                            (
+                                (motif * 37 + k * 11) % 256,
+                                (motif * 53 + k * 13) % 256,
+                                (motif * 71 + k * 17) % 256,
+                            )
+                            for k in range(r * 4, r * 4 + 4)
+                        ]
+                        for r in range(2)
+                    ]
+                    content = encode_png(px) if did % 2 == 0 else encode_bmp(px)
+                    if content[:8] == b"\x89PNG\r\n\x1a\n":
+                        _, _, grid = decode_png_pixels(content)
+                    else:
+                        _, _, grid = decode_bmp_pixels(content)
+                    lumas = [
+                        (299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000
+                        for row in grid
+                        for p in row
+                    ]
+                    dhash = 0
+                    for i in range(6):
+                        r_, c_ = i // 3, i % 3
+                        if lumas[r_ * 4 + c_] > lumas[r_ * 4 + c_ + 1]:
+                            dhash |= 1 << i
+                    rows.append(
+                        {"doc_id": did, "modality": "image", "ok": 1,
+                         "dhash": dhash, "rms": None, "n_frames": None}
+                    )
+                elif m == 1:
+                    content = encode_wav(
+                        [((did * 131 + k * 17) % 4001) - 2000 for k in range(64)],
+                        8000,
+                    )
+                    st = decode_wav(content)
+                    rows.append(
+                        {"doc_id": did, "modality": "audio", "ok": 1,
+                         "dhash": None, "rms": float(st["rms"]),
+                         "n_frames": None}
+                    )
+                else:
+                    if did % 2 == 0:
+                        frames = [
+                            bytes((did * 19 + f * 23 + k * 29) % 256 for k in range(8))
+                            + bytes(4)
+                            for f in range(2)
+                        ]
+                        st = decode_y4m(encode_y4m(frames, 4, 2))
+                        rows.append(
+                            {"doc_id": did, "modality": "video", "ok": 1,
+                             "dhash": None, "rms": None,
+                             "n_frames": st["n_frames"]}
+                        )
+                    else:
+                        rows.append(
+                            {"doc_id": did, "modality": "video", "ok": 0,
+                             "dhash": None, "rms": None, "n_frames": None}
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "modality", "ok", "dhash", "rms", "n_frames"],
+            )
+
+    st = d.mapInPandas(
+        run,
+        "doc_id bigint, modality string, ok int, dhash int,"
+        " rms double, n_frames int",
+    ).cache()
+
+    c_all = d.agg(F.count(F.lit(1)).alias("n_all"))
+    c_dec = st.agg(
+        F.sum("ok").cast("long").alias("n_ok"),
+        F.sum((F.col("ok") == 0).cast("int")).cast("long").alias("n_bad"),
+    )
+    imgs = st.filter(F.col("modality") == "image")
+    c_img = imgs.agg(F.count(F.lit(1)).alias("n_img"))
+    c_ikeep = (
+        imgs.groupBy("dhash")
+        .agg(F.min("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_ikeep"))
+    )
+    auds = st.filter(F.col("modality") == "audio")
+    c_aud = auds.agg(F.count(F.lit(1)).alias("n_aud"))
+    c_akeep = auds.filter(F.col("rms") <= 1200).agg(
+        F.count(F.lit(1)).alias("n_akeep")
+    )
+    vids_ok = st.filter((F.col("modality") == "video") & (F.col("ok") == 1))
+    c_vid = vids_ok.agg(
+        F.count(F.lit(1)).alias("n_vid"),
+        F.coalesce(F.sum("n_frames"), F.lit(0)).cast("long").alias("n_frames"),
+    )
+
+    metrics = (
+        c_all.crossJoin(c_dec)
+        .crossJoin(c_img)
+        .crossJoin(c_ikeep)
+        .crossJoin(c_aud)
+        .crossJoin(c_akeep)
+        .crossJoin(c_vid)
+    )
+    return metrics.selectExpr(
+        """stack(5,
+           1, 'decode',              n_all, n_ok,                        n_bad,
+           2, 'image_phash_dedup',   n_img, n_ikeep,                     n_img - n_ikeep,
+           3, 'audio_loudness_gate', n_aud, n_akeep,                     n_aud - n_akeep,
+           4, 'video_frame_budget',  n_vid, n_frames,                    0L,
+           5, 'assets_kept',         n_ok,  n_ikeep + n_akeep + n_vid,   0L
+        ) AS (stage_order, stage, n_in, n_out, n_flagged)"""
+    ).select(
+        F.col("stage_order").cast("int").alias("stage_order"),
+        "stage",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_out").cast("long").alias("n_out"),
+        F.col("n_flagged").cast("long").alias("n_flagged"),
+    )

@@ -74,6 +74,7 @@ FLOORS = {
     "multimodal_frame_luma": 80,  # 2 frames x decodable video docs (~166)
     "multimodal_audio_frame_energy": 580,  # 7 frames x audio docs (1169)
     "multimodal_resize_verify": 80,  # one row per image doc (167)
+    "pipeline_media_curation": 5,  # exactly one accounting row per stage
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
