@@ -1,3 +1,7 @@
-from tansu_spark.registry.registry import SchemaRegistry, ValidationError
+from tansu_spark.registry.registry import (
+    SchemaRegistry,
+    UnsupportedSchemaError,
+    ValidationError,
+)
 
-__all__ = ["SchemaRegistry", "ValidationError"]
+__all__ = ["SchemaRegistry", "UnsupportedSchemaError", "ValidationError"]

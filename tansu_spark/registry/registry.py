@@ -37,6 +37,7 @@ from tansu_spark.registry.types import (
     compile_constraints,
     json_schema_to_spark,
     load_schema_file,
+    unsupported_keywords,
 )
 
 
@@ -45,10 +46,47 @@ class ValidationError(ValueError):
     per Registry::validate)."""
 
 
+class UnsupportedSchemaError(ValueError):
+    """A JSON Schema uses constraint keywords outside the compiled subset
+    and no full-vocabulary fallback validator is available. Raised at
+    registration so the schema can never silently validate as
+    always-true (the reference rejects such records — json.rs:59-81)."""
+
+
+def _has_jsonschema() -> bool:
+    try:
+        import jsonschema  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 class TopicSchema:
     def __init__(self, dialect: str, raw: Any):
         self.dialect = dialect
         self.raw = raw
+        # JSON dialect: keywords the JVM compiler can't express route the
+        # topic through the full `jsonschema` Python validator (Arrow-
+        # batched kernel). With no fallback available, registration fails
+        # loudly rather than accepting what the reference would reject.
+        self.full_validator_keywords: list[str] = []
+        if dialect == "json":
+            unk: set[str] = set()
+            for which in ("key", "value"):
+                part = self._part(which)
+                if part is not None:
+                    unk |= unsupported_keywords(part)
+            if unk:
+                if not _has_jsonschema():
+                    raise UnsupportedSchemaError(
+                        "JSON Schema uses unsupported constraint keywords "
+                        f"{sorted(unk)} and the `jsonschema` package is not "
+                        "installed; refusing to register a schema that "
+                        "would silently validate as always-true "
+                        "(reference rejects: json.rs:59-81)"
+                    )
+                self.full_validator_keywords = sorted(unk)
 
     def _part(self, which: str):  # "key" | "value"
         if self.dialect == "avro":
@@ -150,6 +188,8 @@ class SchemaRegistry:
             return
         if wire == ts.dialect and wire in ("avro", "proto"):
             n_bad = self._wire_invalid_count(ts, df)
+        elif ts.dialect == "json" and ts.full_validator_keywords:
+            n_bad = self._json_full_invalid_count(ts, df)
         else:
             n_bad = df.filter(~self._valid_predicate(ts, df)).count()
         if n_bad:
@@ -199,6 +239,54 @@ class SchemaRegistry:
                 yield pd.DataFrame({"bad": [bad]})
 
         counts = df.select(*present).mapInPandas(kernel, "bad long").collect()
+        return sum(r["bad"] for r in counts)
+
+    def _json_full_invalid_count(self, ts: TopicSchema, df: DataFrame) -> int:
+        """Full-vocabulary JSON Schema validation via the Python
+        `jsonschema` package (the same semantics as the reference's
+        jsonschema crate, json.rs:59-81) inside an Arrow-batched
+        mapInPandas kernel — used only for topics whose schema exceeds
+        the JVM-compiled subset. Schema dicts (plain JSON) travel to the
+        executors; validators are compiled once per kernel instance."""
+        schemas = {
+            w: ts._part(w)
+            for w in ("key", "value")
+            if ts._part(w) is not None and w in df.columns
+        }
+        if not schemas:
+            return 0
+
+        def kernel(batches):
+            import json as _json
+
+            import pandas as pd
+            from jsonschema import Draft202012Validator
+
+            validators = {w: Draft202012Validator(s) for w, s in schemas.items()}
+            for pdf in batches:
+                bad = 0
+                for w, v in validators.items():
+                    for raw in pdf[w]:
+                        if raw is None:
+                            continue
+                        try:
+                            text = bytes(raw).decode("utf-8")
+                        except UnicodeDecodeError:
+                            bad += 1
+                            continue
+                        try:
+                            instance = _json.loads(text)
+                        except ValueError:
+                            # repo front-door convention (same as the
+                            # compiled path's cast-to-string): a bare
+                            # unquoted scalar is the string instance —
+                            # object/number schemas still reject it.
+                            instance = text
+                        if not v.is_valid(instance):
+                            bad += 1
+                yield pd.DataFrame({"bad": [bad]})
+
+        counts = df.select(*schemas).mapInPandas(kernel, "bad long").collect()
         return sum(r["bad"] for r in counts)
 
     # ----------------------------------------------------------------- encode

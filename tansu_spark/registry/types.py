@@ -178,7 +178,9 @@ _FIELD_RE = re.compile(
 _ENUM_RE = re.compile(r"enum\s+(\w+)\s*\{")
 # several `SYM = n;` declarations may share a source line, so no anchor;
 # non-numeric assignments (e.g. `option allow_alias = true;`) don't match.
-_ENUM_VALUE_RE = re.compile(r"\b(\w+)\s*=\s*(\d+)\s*;")
+# `-?` keeps legal negative proto enum values (e.g. `UNKNOWN = -1;`) in the
+# symbol table so symbolic encode of them works.
+_ENUM_VALUE_RE = re.compile(r"\b(\w+)\s*=\s*(-?\d+)\s*;")
 _MAP_RE = re.compile(r"map\s*<\s*(\w+)\s*,\s*(\w+)\s*>")
 
 
@@ -304,15 +306,95 @@ def parse_proto(text: str) -> dict[str, StructType]:
 
 # --------------------------------------------------- constraint compilation
 
+# Constraint keywords the JVM-side compiler below understands. A schema
+# using anything outside this set must NOT validate as always-true — the
+# reference validates with the full `jsonschema` crate and rejects the
+# record (nisshi-schema/src/json.rs:59-81), so silent permissiveness here
+# would accept data the reference refuses. The registry routes such
+# schemas through the Python `jsonschema` fallback kernel (or refuses
+# registration when the package is unavailable).
+COMPILED_KEYWORDS = frozenset(
+    {
+        "type",
+        "required",
+        "properties",
+        "pattern",
+        "minimum",
+        "maximum",
+        "exclusiveMinimum",
+        "exclusiveMaximum",
+        "multipleOf",
+        "enum",
+        "const",
+        "minLength",
+        "maxLength",
+        "items",
+        "uniqueItems",
+        "minItems",
+        "maxItems",
+    }
+)
+
+# Annotation-only keywords: carry no validation semantics in the default
+# JSON Schema vocabularies (format is assertion-free by default, matching
+# the jsonschema crate's default configuration).
+_ANNOTATION_KEYWORDS = frozenset(
+    {
+        "title",
+        "description",
+        "default",
+        "examples",
+        "$schema",
+        "$id",
+        "$comment",
+        "deprecated",
+        "readOnly",
+        "writeOnly",
+        "format",
+        "additionalProperties",
+    }
+)
+
+
+def unsupported_keywords(schema: Any) -> set[str]:
+    """Recursively collect constraint keywords outside the compiled
+    subset (so the registry can fail loudly / fall back instead of
+    silently accepting what the reference rejects — json.rs:59-81).
+
+    ``additionalProperties`` is listed as annotation-only above because
+    the compiled path parses with a FIXED StructType: unknown properties
+    are already dropped by from_json, so ``additionalProperties: false``
+    never admits extra data — but a schema-valued ``additionalProperties``
+    constrains values we can't see, so only the boolean form is benign.
+    """
+    out: set[str] = set()
+    if not isinstance(schema, dict):
+        return out
+    for k, v in schema.items():
+        if k == "additionalProperties" and not isinstance(v, bool):
+            out.add(k)
+        elif k not in COMPILED_KEYWORDS and k not in _ANNOTATION_KEYWORDS:
+            out.add(k)
+        if k == "properties" and isinstance(v, dict):
+            for sub in v.values():
+                out |= unsupported_keywords(sub)
+        elif k == "items":
+            out |= unsupported_keywords(v)
+    return out
+
 
 def compile_constraints(schema: dict[str, Any], col):
-    """Compile the JSON-Schema constraint subset the fixtures use into a
-    Column predicate (JVM-side — validation without Python row loops):
-    type presence, required, pattern, minimum/maximum, enum.
+    """Compile the JSON-Schema constraint subset into a Column predicate
+    (JVM-side — validation without Python row loops): type presence,
+    required, pattern, minimum/maximum (+exclusive), multipleOf, enum,
+    const, minLength/maxLength, items, uniqueItems, minItems/maxItems.
 
     Returns a boolean Column that is True iff the value satisfies the
     schema. Mirrors Registry::validate semantics (lib.rs:571-599): any
-    failing record fails the batch.
+    failing record fails the batch. Keywords outside COMPILED_KEYWORDS
+    never reach this function — the registry screens for them at
+    registration (unsupported_keywords) and uses the full-vocabulary
+    Python fallback instead.
     """
     from pyspark.sql import functions as F
 
@@ -334,8 +416,31 @@ def compile_constraints(schema: dict[str, Any], col):
         preds.append(col >= schema["minimum"])
     if "maximum" in schema:
         preds.append(col <= schema["maximum"])
+    if "exclusiveMinimum" in schema:
+        preds.append(col > schema["exclusiveMinimum"])
+    if "exclusiveMaximum" in schema:
+        preds.append(col < schema["exclusiveMaximum"])
+    if "multipleOf" in schema:
+        # JSON Schema: value / multipleOf is an integer. Spark % keeps
+        # the dividend's sign but a zero remainder is zero either way.
+        preds.append((col % F.lit(schema["multipleOf"])) == 0)
     if "enum" in schema:
         preds.append(col.isin(*schema["enum"]))
+    if "const" in schema:
+        preds.append(col == F.lit(schema["const"]))
+    if "minLength" in schema:
+        preds.append(F.length(col) >= schema["minLength"])
+    if "maxLength" in schema:
+        preds.append(F.length(col) <= schema["maxLength"])
+    if isinstance(schema.get("items"), dict):
+        items = schema["items"]
+        preds.append(F.forall(col, lambda x: compile_constraints(items, x)))
+    if schema.get("uniqueItems"):
+        preds.append(F.size(F.array_distinct(col)) == F.size(col))
+    if "minItems" in schema:
+        preds.append(F.size(col) >= schema["minItems"])
+    if "maxItems" in schema:
+        preds.append(F.size(col) <= schema["maxItems"])
 
     if not preds:
         return F.lit(True)

@@ -390,9 +390,16 @@ def ewma_by_key(records: DataFrame, alpha: float = 0.25) -> DataFrame:
         F.col("key").cast("string").alias("key"),
         F.col("timestamp").cast("timestamp").alias("timestamp"),
         F.col("offset").cast("long").alias("offset"),
-        F.col("value").cast("string").cast("double").alias("x"),
+        # try_cast: malformed numerics become null (then filtered) instead
+        # of failing the job under ANSI mode — dirty input is data, not
+        # a query error, on both the batch and streaming paths.
+        F.col("value").cast("string").try_cast("double").alias("x"),
     )
     if not records.isStreaming:
+        # same value hygiene as the streaming fold below (`v is not None
+        # and v == v`): non-numeric values join neither the fold nor
+        # n_events, so stream == batch holds on dirty input too.
+        projected = projected.filter(F.col("x").isNotNull() & ~F.isnan("x"))
         seq = projected.groupBy("key").agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(timestamp, offset, x))),"

@@ -83,7 +83,11 @@ def test_joins_never_cartesian(spark, sf_dir):
                             # assembles the per-stage accounting row from
                             # nine single-row count aggregates (every
                             # crossJoin side is exactly one row)
-                            "pipeline_curation_capstone"}, name
+                            "pipeline_curation_capstone",
+                            # same ledger pattern: seven crossJoins, each
+                            # side a single-row count aggregate
+                            # (queries/pipeline.py media-curation ledger)
+                            "pipeline_media_curation"}, name
 
 
 def test_asof_join_is_single_shuffle_window(spark, sf_dir):

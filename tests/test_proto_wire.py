@@ -261,3 +261,23 @@ def test_broker_proto_enum_and_int_key(spark, tmp_path):
     assert [r["key"]["id"] for r in rows] == [0, 1, 2, 3, 4]
     assert [r["value"]["channel"] for r in rows] == [0, 1, 2, 3, 0]
     assert rows[0]["value"]["page_number"] == 0  # proto3 zero default
+
+
+def test_negative_enum_symbol_roundtrip():
+    """Legal negative proto enum values (e.g. `UNKNOWN = -1;`) must land
+    in the symbol table so symbolic encode works, and the value must
+    round-trip through the 64-bit two's-complement varint path (the same
+    encoding protoc emits for negative enum/int32 values)."""
+    msgs, enums = parse_proto_meta(
+        "enum Status { UNKNOWN = -1; OK = 0; BAD = 1; }\n"
+        "message T { Status s = 1; int32 n = 2; }"
+    )
+    assert enums["Status"] == {"UNKNOWN": -1, "OK": 0, "BAD": 1}
+    c = ProtoCodec(msgs, enums)
+    # symbolic encode of the negative symbol, numeric decode
+    raw = c.encode("T", {"s": "UNKNOWN", "n": -1})
+    assert len(raw) > 11  # two 10-byte varints + tags: not truncated
+    out = c.decode("T", raw)
+    assert out["s"] == -1 and out["n"] == -1
+    # numeric encode agrees with symbolic encode byte-for-byte
+    assert c.encode("T", {"s": -1, "n": -1}) == raw

@@ -430,3 +430,38 @@ def test_ewma_by_key_stream_matches_batch_across_restarts(broker, tmp_path):
             assert math.isclose(
                 got["max_deviation"], m, rel_tol=0, abs_tol=1e-12
             ), k
+
+
+def test_ewma_batch_twin_filters_dirty_values(broker):
+    """Dirty input (non-numeric / empty values → null x, literal NaN)
+    must join neither the fold nor n_events in the BATCH twin, matching
+    the streaming kernel's `v is not None and v == v` filter — the
+    stream==batch convergence contract on real-world data."""
+    import math
+
+    from tansu_spark.streaming.source import ewma_by_key
+
+    broker.create_topic("ewd", partitions=1)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", "10.0"), ("a", "not-a-number"), ("a", "20.0"), ("a", "NaN"),
+        ("a", "5.0"), ("b", ""), ("b", "junk"),
+    ]
+    broker.produce_rows(
+        "ewd",
+        [
+            {"key": k, "value": v, "timestamp": t0 + datetime.timedelta(seconds=i)}
+            for i, (k, v) in enumerate(rows)
+        ],
+    )
+    out = {r["key"]: r for r in ewma_by_key(broker.records("ewd")).collect()}
+    # key b has no numeric value at all → no row (the stream never emits it)
+    assert set(out) == {"a"}
+    clean = [10.0, 20.0, 5.0]
+    e, m = clean[0], 0.0
+    for x in clean[1:]:
+        m = max(m, abs(x - e))
+        e = e + 0.25 * (x - e)
+    assert out["a"]["n_events"] == len(clean)
+    assert math.isclose(out["a"]["ewma"], e, rel_tol=0, abs_tol=1e-12)
+    assert math.isclose(out["a"]["max_deviation"], m, rel_tol=0, abs_tol=1e-12)
