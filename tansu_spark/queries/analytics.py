@@ -515,26 +515,72 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_approx_aggregates")  # rows-only: HLL++ and KLL sketch
-# estimates are engine-specific by construction (unlike functions/sketch.py's
-# KMV, which IS cross-engine exact and carries the oracle for sketching);
-# error bounds are pytest-checked against exact values in test_queries_extra.py.
+@query(
+    "events_approx_aggregates",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS exact_users,
+           quantile_cont(value, 0.50) AS exact_p50,
+           quantile_cont(value, 0.90) AS exact_p90,
+           true AS estimate_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def events_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate path for 100 TB interactive analytics: HLL++
     distinct users (approx_count_distinct, rsd 1%) and KLL-sketch
     quantiles (percentile_approx) per event type — single pass,
     mergeable partials, constant memory per group; the exact twins
-    (`events_value_percentiles`, countDistinct) cost a sort or a
-    two-level shuffle."""
+    cost a sort or a two-level shuffle.
+
+    HASH-GATED shape (round-5 verdict ask #4, retiring the last
+    rows-only entry): sketch estimates are engine-specific by
+    construction, so the query emits the EXACT values (countDistinct,
+    exact percentiles — cross-engine bit-identical, the
+    events_value_percentiles precedent) plus a boolean
+    `estimate_within_bound` computed Spark-side from Spark's own
+    sketches against those exact values. The oracle asserts the same
+    exact values and literal `true` — a sketch drifting out of its
+    documented error bound now FAILS the driver's hash gate, not just
+    the pytest twin (test_queries_extra.py keeps the finer-grained
+    per-column bound checks)."""
     ev = load(spark, sf_dir, "events")
-    # One sketch pass computes both quantiles; emit SCALAR columns (the
-    # driver's canonicalizer cannot hash array cells).
-    pcts = F.percentile_approx("value", F.lit([0.5, 0.9]), F.lit(10000))
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        pcts.getItem(0).alias("approx_p50"),
-        pcts.getItem(1).alias("approx_p90"),
+    # One pass computes the sketches AND the exact references; emit
+    # SCALAR columns (the driver's canonicalizer cannot hash arrays).
+    pcts_exact = F.percentile("value", F.lit([0.5, 0.9]))
+    pcts_approx = F.percentile_approx("value", F.lit([0.5, 0.9]), F.lit(10000))
+    agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx_users"),
+        pcts_exact.getItem(0).alias("exact_p50"),
+        pcts_exact.getItem(1).alias("exact_p90"),
+        pcts_approx.getItem(0).alias("_approx_p50"),
+        pcts_approx.getItem(1).alias("_approx_p90"),
+        F.min("value").alias("_lo"),
+        F.max("value").alias("_hi"),
+    )
+    spread = F.col("_hi") - F.col("_lo")
+    within = (
+        # HLL++ rsd=1%: 5-sigma margin (same bound the pytest twin pins)
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(3.0), 0.05 * F.col("exact_users"))
+        )
+        # KLL accuracy 10000: inside the column range, near the exact
+        & F.col("_approx_p50").between(F.col("_lo"), F.col("_hi"))
+        & F.col("_approx_p90").between(F.col("_lo"), F.col("_hi"))
+        & (F.abs(F.col("_approx_p50") - F.col("exact_p50")) <= 0.05 * spread + 1e-9)
+        & (F.abs(F.col("_approx_p90") - F.col("exact_p90")) <= 0.05 * spread + 1e-9)
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_users",
+        "exact_p50",
+        "exact_p90",
+        within.alias("estimate_within_bound"),
     )
 
 

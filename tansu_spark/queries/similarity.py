@@ -291,6 +291,142 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semdedup_scaled",
+    oracle=f"""
+    WITH params AS MATERIALIZED (
+        SELECT CAST(ceil(count(*) / 32.0) AS BIGINT) AS k FROM embeddings),
+    cent AS MATERIALIZED (
+        SELECT vec_id AS cent_id, embedding AS c_vec
+        FROM embeddings WHERE vec_id < (SELECT k FROM params)),
+    scored0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                       {_cos_raw_sql("e.embedding", "c.c_vec")} AS cs
+                FROM embeddings e CROSS JOIN cent c),
+    assign0 AS (SELECT vec_id, embedding, cent_id AS cluster
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+                      FROM scored0)
+                WHERE rn = 1),
+    ex AS (SELECT cluster,
+                  unnest(list_transform(embedding,
+                         (x, i) -> struct_pack(dim := i, x := x)),
+                         recursive := true)
+           FROM assign0),
+    tcent AS MATERIALIZED (
+        SELECT cluster, list(m ORDER BY dim) AS t_vec
+        FROM (SELECT cluster, dim,
+                     CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+                          AS DOUBLE) / count(*) AS m
+              FROM ex GROUP BY cluster, dim)
+        GROUP BY cluster),
+    scored1 AS (SELECT e.vec_id, e.embedding, t.cluster,
+                       list_reduce(list_transform(range(1, {N_DIMS + 1}),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * t.t_vec[i]),
+                         (x, y) -> x + y)
+                       / (sqrt({_dot_sql("e.embedding", "e.embedding")})
+                          * sqrt(list_reduce(list_transform(range(1, {N_DIMS + 1}),
+                              i -> t.t_vec[i] * t.t_vec[i]), (x, y) -> x + y)))
+                         AS cs
+                FROM embeddings e CROSS JOIN tcent t),
+    assign1 AS MATERIALIZED (
+        SELECT vec_id, embedding, cluster, cs AS cent_cos
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+              FROM scored1)
+        WHERE rn = 1),
+    drops AS (SELECT DISTINCT a.vec_id
+              FROM assign1 a JOIN assign1 b
+                ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+              WHERE {_cos_raw_sql("a.embedding", "b.embedding")} >= 0.3
+                AND (b.cent_cos > a.cent_cos
+                     OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id)))
+    SELECT a.vec_id, a.cluster, round(a.cent_cos, 10) AS cent_cosine,
+           (d.vec_id IS NULL) AS keep
+    FROM assign1 a LEFT JOIN drops d ON d.vec_id = a.vec_id
+    """,
+)
+def dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the SCALE-SAFE shape (round-5 verdict ask #3): k
+    grows with the corpus — k = ceil(n / 32) — so per-cluster size stays
+    ~constant and the within-cluster all-pairs stage is n*32 comparisons
+    TOTAL (linear), not n²/k (quadratic at fixed k, the disclosed
+    weakness of dedup_semantic_cluster's harness-pinned k=16). The
+    quantizer is TRAINED: one decimal-exact Lloyd round from the seeded
+    init (the sim_kmeans_trained_topk arithmetic — exact DECIMAL(28,12)
+    sum, one rounded cast to DOUBLE, f64 divide — so the trained
+    centroids are bit-identical in both engines and the whole decision
+    list stays under the hash gate).
+
+    100 TB plan: count + train are one partial-agg shuffle each (model
+    state k x dims collects to the driver — bounded by corpus size /
+    32 x 64 doubles); assignment is a map-only scan against plan-literal
+    centroids; candidate pairs are ONE self-equi-join shuffle on cluster
+    id with per-task work capped by the constant cluster size. Doubling
+    the corpus doubles k, leaving per-cluster cost unchanged — the sweep
+    row in SCALING.md pins the ~linear 0.1/0.01 ratio."""
+    import math
+
+    emb = _emb(spark, sf_dir)
+    k = math.ceil(emb.count() / 32.0)
+    seeds = S._centroid_rows(emb, k, "vec_id", "embedding")
+    means = (
+        S.ivf_assign(emb, seeds)
+        .select("cluster", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(28,12)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    byc: dict[int, dict[int, float]] = {}
+    for r in means:
+        byc.setdefault(r["cluster"], {})[r["dim"]] = float(r["m"])
+    cents = [
+        (cid, [byc[cid][d] for d in range(N_DIMS)]) for cid in sorted(byc)
+    ]
+    with_n = emb.withColumn("_vn", S.norm("embedding"))
+    best = F.array_max(S._score_array("embedding", cents, F.col("_vn")))
+    assigned = with_n.select(
+        "vec_id",
+        "embedding",
+        "_vn",
+        (-best.getField("nid")).alias("cluster"),
+        best.getField("c").alias("cent_cos"),
+    ).localCheckpoint(eager=True)  # assignment scan runs once, not 3x
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pair_cos = S.dot("a.embedding", "b.embedding") / (
+        F.col("a._vn") * F.col("b._vn")
+    )
+    drops = (
+        a.join(b, "cluster")
+        .where(
+            (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (pair_cos >= 0.3)
+            & (
+                (F.col("b.cent_cos") > F.col("a.cent_cos"))
+                | (
+                    (F.col("b.cent_cos") == F.col("a.cent_cos"))
+                    & (F.col("b.vec_id") < F.col("a.vec_id"))
+                )
+            )
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return assigned.join(drops, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.round("cent_cos", 10).alias("cent_cosine"),
+        F.col("_drop").isNull().alias("keep"),
+    )
+
+
+@query(
     "sim_kmeans_trained_topk",
     oracle=f"""
     WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec

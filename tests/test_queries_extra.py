@@ -10,14 +10,21 @@ from tansu_spark.tables import load
 
 
 def test_approx_aggregates_within_bounds(spark, sf_dir):
+    """The hash-gated shape emits exact values + a Spark-side
+    `estimate_within_bound` flag; this twin keeps the finer-grained
+    per-column sketch-error checks by recomputing the sketches."""
     got = {r["event_type"]: r for r in QUERIES["events_approx_aggregates"](spark, sf_dir).collect()}
     ev = load(spark, sf_dir, "events")
+    pcts_a = F.percentile_approx("value", F.lit([0.5, 0.9]), F.lit(10000))
     exact = {
         r["event_type"]: r
         for r in ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
             F.percentile("value", F.lit([0.5, 0.9])).alias("pcts"),
+            pcts_a.getItem(0).alias("approx_p50"),
+            pcts_a.getItem(1).alias("approx_p90"),
             F.min("value").alias("lo"),
             F.max("value").alias("hi"),
         )
@@ -26,12 +33,17 @@ def test_approx_aggregates_within_bounds(spark, sf_dir):
     assert set(got) == set(exact)
     for et, g in got.items():
         e = exact[et]
+        # the gate-checked flag must be literally true on healthy data
+        assert g["estimate_within_bound"] is True, et
+        # exact columns match the independent exact aggregation
+        assert g["exact_users"] == e["users"], et
+        assert g["exact_p50"] == e["pcts"][0] and g["exact_p90"] == e["pcts"][1], et
         # HLL++ with rsd=1%: allow 5 sigma.
-        assert abs(g["approx_users"] - e["users"]) <= max(3, 0.05 * e["users"]), et
+        assert abs(e["approx_users"] - e["users"]) <= max(3, 0.05 * e["users"]), et
         # KLL with accuracy 10000: rank error <= 1e-4; value must sit
         # inside the column range and near the exact quantile.
         spread = e["hi"] - e["lo"]
-        for a, x in zip((g["approx_p50"], g["approx_p90"]), e["pcts"]):
+        for a, x in zip((e["approx_p50"], e["approx_p90"]), e["pcts"]):
             assert e["lo"] <= a <= e["hi"], et
             assert abs(a - x) <= 0.05 * spread + 1e-9, et
 

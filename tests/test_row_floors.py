@@ -75,6 +75,8 @@ FLOORS = {
     "multimodal_audio_frame_energy": 580,  # 7 frames x audio docs (1169)
     "multimodal_resize_verify": 80,  # one row per image doc (167)
     "pipeline_media_curation": 5,  # exactly one accounting row per stage
+    # round-5 additions
+    "dedup_semdedup_scaled": 250,  # one decision row per vector (500)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
