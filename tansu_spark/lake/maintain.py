@@ -46,6 +46,17 @@ def _rewrite_dir(
 
     df = spark.read.parquet(d)
     out = transform(df) if transform else df
+    if table_root is not None:
+        # Re-attach the table's persisted Iceberg field ids: Spark's
+        # parquet READ schema drops PARQUET:field_id metadata, so a
+        # rewrite would silently strip the footer ids the sink wrote
+        # (lake/field_ids.py — the Iceberg id-stability invariant).
+        from tansu_spark.broker.state import read_json
+        from tansu_spark.lake.field_ids import apply_field_ids
+
+        ids = read_json(os.path.join(table_root, "_field_ids.json"), None)
+        if ids:
+            out = apply_field_ids(out, ids)
     tmp = os.path.join(d, f"_rewrite-{uuid.uuid4().hex}")
     out.coalesce(max(n_files, 1)).write.mode("overwrite").parquet(tmp)
     old = _data_files(d)

@@ -328,6 +328,21 @@ class LakeSink:
             n = out.count()
             if n:
                 self._migrate_schema(topic, out.schema)
+                # Iceberg-compatible field ids (avro.rs:63 ids map;
+                # json/arrow.rs:70-78): assigned once per path, persisted
+                # per table so add-only migration and maintenance
+                # rewrites keep them stable (Iceberg matches columns by
+                # id). See lake/field_ids.py.
+                from tansu_spark.lake.field_ids import (
+                    apply_field_ids,
+                    assign_field_ids,
+                )
+
+                ids_path = os.path.join(self.table_dir(topic), "_field_ids.json")
+                ids = assign_field_ids(out.schema, read_json(ids_path, {}))
+                out = apply_field_ids(out, ids)
+                os.makedirs(self.table_dir(topic), exist_ok=True)
+                write_json_atomic(ids_path, ids)
                 writer = out.write.mode("append").option("mergeSchema", "true")
                 if part_cols:
                     writer = writer.partitionBy(*part_cols)

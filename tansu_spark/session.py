@@ -29,6 +29,10 @@ _DEFAULTS = {
     # Kafka-equivalent record batches are zstd in the reference
     # (nisshi-sans-io/src/record/deflated.rs:341-380); parquet zstd matches.
     "spark.sql.parquet.compression.codec": "zstd",
+    # Emit PARQUET:field_id from StructField metadata (lake/field_ids.py)
+    # so lake parquet is adoptable by an Iceberg catalog (id-based column
+    # matching) — the reference's json/arrow.rs:70-78 behavior.
+    "spark.sql.parquet.fieldId.write.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

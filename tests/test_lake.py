@@ -409,3 +409,91 @@ def test_full_lifecycle_produce_validate_store_travel_maintain(stack, spark, tmp
         "hive_partitioning=1) ORDER BY 1"
     ).fetchall()
     assert [b[0] for b in bands] == [0, 10, 20, 30]
+
+
+def test_field_ids_assignment_mirrors_reference(spark):
+    """Level-order per record, then depth-first descent; arrays reserve
+    an id for the list element, maps for entries/keys/values
+    (avro.rs:260-327 field_ids)."""
+    from pyspark.sql.types import StructType
+
+    from tansu_spark.lake.field_ids import assign_field_ids
+
+    schema = StructType.fromDDL(
+        "offset long, key string, meta struct<x: double>, "
+        "headers array<struct<k:string,v:binary>>, counts map<string,long>"
+    )
+    assert assign_field_ids(schema) == {
+        "offset": 1, "key": 2, "meta": 3, "headers": 4, "counts": 5,
+        "meta.x": 6,
+        "headers.item": 7, "headers.item.k": 8, "headers.item.v": 9,
+        "counts.entries": 10, "counts.entries.keys": 11,
+        "counts.entries.values": 12,
+    }
+    # stability: existing paths keep their ids, new paths continue
+    evolved = StructType.fromDDL(
+        "offset long, key string, meta struct<x: double, y: long>, "
+        "headers array<struct<k:string,v:binary>>, counts map<string,long>, "
+        "extra string"
+    )
+    ids2 = assign_field_ids(evolved, assign_field_ids(schema))
+    assert ids2["offset"] == 1 and ids2["meta.x"] == 6  # unchanged
+    assert ids2["extra"] == 13 and ids2["meta.y"] == 14  # fresh, appended
+
+
+def _footer_field_ids(tdir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True))
+    assert files, tdir
+    out = []
+    for f in files:
+        sch = pq.read_schema(f)
+        out.append(
+            {
+                fld.name: int(fld.metadata[b"PARQUET:field_id"])
+                for fld in sch
+                if fld.metadata and b"PARQUET:field_id" in fld.metadata
+            }
+        )
+    return out
+
+
+def test_field_ids_on_lake_writes_and_rewrites(stack, spark):
+    """VERDICT r5 ask #5: PARQUET:field_id footer metadata on every lake
+    write (json/arrow.rs:70-78), stable through add-only migration and
+    compaction rewrites (the Iceberg id-matching invariant)."""
+    import json
+
+    broker, sink = stack
+    broker.create_topic("person", partitions=1)
+    for i in range(3):
+        _produce_people(broker, 3, start=3 * i)
+        sink.store("person")
+    tdir = sink.table_dir("person")
+    footers = _footer_field_ids(tdir)
+    ids = json.load(open(os.path.join(tdir, "_field_ids.json")))
+    assert ids["offset"] >= 1
+    for footer in footers:
+        for name, fid in footer.items():
+            assert ids[name] == fid, name
+        # every top-level column carries its id
+        assert set(footer) == {k for k in ids if "." not in k}, footer
+    # add-only evolution: a new generated column gets a FRESH id; all
+    # prior assignments survive verbatim
+    broker.alter_topic("person", {"tansu.lake.generate.age2": "value.age * 2"})
+    _produce_people(broker, 3, start=9)
+    sink.store("person")
+    ids2 = json.load(open(os.path.join(tdir, "_field_ids.json")))
+    assert all(ids2[k] == v for k, v in ids.items())
+    assert "age2" in ids2 and ids2["age2"] == max(ids.values()) + 1
+    # compaction rewrite re-attaches ids (Spark's parquet read schema
+    # drops them, so the rewrite path must re-apply from the table map)
+    stats = compact_table(spark, tdir)
+    assert stats, "compaction expected to merge the small files"
+    for footer in _footer_field_ids(tdir):
+        for name, fid in footer.items():
+            assert ids2[name] == fid, name
+        assert "offset" in footer and "key" in footer
