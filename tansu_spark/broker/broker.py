@@ -519,17 +519,35 @@ class Broker:
                         lo, _ = ranges.get(str(p), [result[p], result[p]])
                         ranges[str(p)] = [min(lo, result[p]), result[p] + n]
                     write_json_atomic(self._txns_path(), txns)
-                    write_json_atomic(self._state(topic, "watermarks.json"), marks)
+                    self._commit_marks_and_fences(topic, marks, fences)
             else:
-                write_json_atomic(self._state(topic, "watermarks.json"), marks)
-            if fences is not None:
-                # Fence advances only once the records are committed to the
-                # visible offset space — AFTER the watermark write, so a
-                # failure anywhere above leaves the sequence unburned and a
-                # client retry re-lands the batch instead of being dropped.
-                write_json_atomic(self._state(topic, "producers.json"), fences)
+                self._commit_marks_and_fences(topic, marks, fences)
             self._refresh_segment_stats(topic)
         return result
+
+    def _commit_marks_and_fences(
+        self, topic: str, marks: dict, fences: dict | None
+    ) -> None:
+        """One grouped state commit for watermarks + producer fences
+        (prepare both temps, rename back-to-back — state.py
+        write_json_atomic_group). Ordering is deliberate: watermarks
+        rename FIRST, fences second, so a crash in the residual window
+        between the two renames leaves committed, visible records with a
+        stale fence — the client retry re-lands the batch as DUPLICATES
+        (at-least-once, Kafka's contract without idempotence). The
+        reverse order would burn the sequence before the records are
+        visible and silently DROP the retry (data loss — the r3 bug).
+        The fence still advances only once records are committed to the
+        visible offset space; a failure before this point leaves the
+        sequence unburned."""
+        from tansu_spark.broker.state import write_json_atomic_group
+
+        writes: list[tuple[str, Any]] = [
+            (self._state(topic, "watermarks.json"), marks)
+        ]
+        if fences is not None:
+            writes.append((self._state(topic, "producers.json"), fences))
+        write_json_atomic_group(writes)
 
     def produce_rows(self, topic: str, rows: list[dict[str, Any]], **kw) -> dict[int, int]:
         """Convenience: produce a small batch of {key, value, ...} dicts

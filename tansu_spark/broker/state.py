@@ -38,6 +38,30 @@ def write_json_atomic(path: str, obj: Any) -> None:
     os.replace(tmp, path)
 
 
+def write_json_atomic_group(writes: list[tuple[str, Any]]) -> None:
+    """Near-atomic multi-file state commit: prepare EVERY temp file
+    (write + fsync) first, then rename them back-to-back. Each rename is
+    individually atomic; the vulnerable window between files collapses
+    from two full write+fsync cycles to the instants between rename
+    syscalls. Callers order the list so that a crash inside that residual
+    window degrades to at-least-once (e.g. watermarks before producer
+    fences: committed records with a stale fence → a retry re-lands the
+    batch as duplicates), never to data loss."""
+    prepared: list[tuple[str, str]] = []
+    for path, obj in writes:
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        prepared.append((tmp, path))
+    for tmp, path in prepared:
+        os.replace(tmp, path)
+
+
 @contextmanager
 def file_lock(path: str, timeout: float = 30.0, poll: float = 0.02):
     """Exclusive advisory lock via O_CREAT|O_EXCL — the produce-path

@@ -522,11 +522,18 @@ def decode_y4m(content: bytes) -> dict[str, Any]:
             raise NotImplementedError(f"chroma {tok[1:].decode()} unsupported")
     if not width or not height:
         raise ValueError("Y4M header missing W/H")
+    if width % 2 or height % 2:
+        # odd dims would silently corrupt the 4:2:0 frame stride
+        raise ValueError(f"odd Y4M dimensions {width}x{height} need 4:2:0-even W/H")
     frame_bytes = width * height * 3 // 2  # 4:2:0 planar
     pos, n_frames, y_tot = nl + 1, 0, 0
     while pos < len(content):
         eol = content.index(b"\n", pos)
-        if content[pos:eol].split()[0] != b"FRAME":
+        toks = content[pos:eol].split()
+        # guard the tokenization: an empty line (e.g. a stream with a
+        # trailing newline) must raise the documented ValueError, not
+        # IndexError on [0]
+        if not toks or toks[0] != b"FRAME":
             raise ValueError("bad FRAME marker")
         y_plane = content[eol + 1 : eol + 1 + width * height]
         if len(y_plane) < width * height:
@@ -566,11 +573,18 @@ def decode_y4m_frames(content: bytes) -> list[float]:
             height = int(tok[1:])
     if not width or not height:
         raise ValueError("Y4M header missing W/H")
+    if width % 2 or height % 2:
+        # odd dims would silently corrupt the 4:2:0 frame stride
+        raise ValueError(f"odd Y4M dimensions {width}x{height} need 4:2:0-even W/H")
     frame_bytes = width * height * 3 // 2
     pos, out = nl + 1, []
     while pos < len(content):
         eol = content.index(b"\n", pos)
-        if content[pos:eol].split()[0] != b"FRAME":
+        toks = content[pos:eol].split()
+        # guard the tokenization: an empty line (e.g. a stream with a
+        # trailing newline) must raise the documented ValueError, not
+        # IndexError on [0]
+        if not toks or toks[0] != b"FRAME":
             raise ValueError("bad FRAME marker")
         y_plane = content[eol + 1 : eol + 1 + width * height]
         if len(y_plane) < width * height:

@@ -4066,7 +4066,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     9x8 downsampled grids and banded Hamming buckets for near-dup."""
     import pandas as pd
 
-    from tansu_spark.functions.multimodal import decode_png, encode_png
+    from tansu_spark.functions.multimodal import (
+        decode_png,
+        decode_png_pixels,
+        encode_png,
+    )
 
     d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 3 == 0)
 
@@ -4088,17 +4092,19 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for r in range(2)
                 ]
                 content = encode_png(px)
-                # REAL decode back to pixels, then dHash the luma grid
+                # REAL decode back to pixels, then dHash the luma grid —
+                # lumas come from the DECODED grid (not the construction
+                # px), so a pixel-permuting decoder bug changes the hash
+                # and fails the oracle (ADVICE r4: the mean-only check
+                # could not see permutations)
                 decoded = decode_png(content)
                 assert decoded["width"] == 4 and decoded["height"] == 2
+                _, _, grid = decode_png_pixels(content)
                 lumas = [
                     (299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000
-                    for row in px
+                    for row in grid
                     for p in row
                 ]
-                # recompute lumas from the DECODED bytes, not the input:
-                # re-inflate to prove the round trip (decode_png returns
-                # aggregate stats; equality of the mean pins the sum)
                 assert abs(decoded["mean_luma"] - sum(lumas) / 8) < 1e-9
                 dhash = 0
                 for i in range(6):

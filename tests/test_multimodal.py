@@ -295,3 +295,27 @@ def test_decode_y4m_exact_and_in_stats_pass(spark):
     assert got[1]["decode_ok"] == 1 and got[1]["n_samples"] == 2
     assert abs(got[1]["mean_level"] - d["mean_y"]) < 1e-9
     assert got[2]["decode_ok"] == 0 and "codecs" in got[2]["decode_error"]
+
+
+def test_y4m_empty_line_and_odd_dims_raise_valueerror():
+    """ADVICE r4: a stream with a trailing newline must raise the
+    documented ValueError (not IndexError from tokenizing an empty
+    line), and odd W/H must be rejected instead of silently corrupting
+    the 4:2:0 frame stride."""
+    import pytest as _pytest
+
+    from tansu_spark.functions.multimodal import (
+        decode_y4m,
+        decode_y4m_frames,
+        encode_y4m,
+    )
+
+    w, h = 4, 2
+    frame = bytes(range(w * h)) + bytes(w * h // 2)
+    good = encode_y4m([frame], w, h)
+    assert decode_y4m(good)["n_frames"] == 1
+    for fn in (decode_y4m, decode_y4m_frames):
+        with _pytest.raises(ValueError, match="FRAME"):
+            fn(good + b"\n")  # trailing newline → empty marker line
+        with _pytest.raises(ValueError, match="odd"):
+            fn(b"YUV4MPEG2 W3 H2 F25:1 C420\n")
