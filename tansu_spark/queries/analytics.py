@@ -546,13 +546,17 @@ def events_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pytest twin (test_queries_extra.py keeps the finer-grained
     per-column bound checks)."""
     ev = load(spark, sf_dir, "events")
-    # One pass computes the sketches AND the exact references; emit
-    # SCALAR columns (the driver's canonicalizer cannot hash arrays).
+    # Sketches + exact references; emit SCALAR columns (the driver's
+    # canonicalizer cannot hash arrays). The exact countDistinct runs as
+    # its OWN aggregation: mixing a distinct agg with the sketch/
+    # percentile buffers would make Spark evaluate every heavy buffer
+    # per (event_type, user_id) group — 100k HLL++/KLL states instead
+    # of one per event type (measured 8 s → 0.6 s at sf0.1). Two scans
+    # of a narrow column beat one scan with per-user sketch state.
     pcts_exact = F.percentile("value", F.lit([0.5, 0.9]))
     pcts_approx = F.percentile_approx("value", F.lit([0.5, 0.9]), F.lit(10000))
-    agg = ev.groupBy("event_type").agg(
+    base = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.01).alias("_approx_users"),
         pcts_exact.getItem(0).alias("exact_p50"),
         pcts_exact.getItem(1).alias("exact_p90"),
@@ -561,6 +565,10 @@ def events_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("_lo"),
         F.max("value").alias("_hi"),
     )
+    users = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    agg = base.join(users, "event_type")
     spread = F.col("_hi") - F.col("_lo")
     within = (
         # HLL++ rsd=1%: 5-sigma margin (same bound the pytest twin pins)
@@ -981,6 +989,74 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("window.start").alias("window_start"), "event_type", "n_records"
     )
+
+
+@query(
+    "streaming_dedup_replay",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming exactly-once restore under the oracle: the events
+    stream unioned with ITSELF (every record delivered twice — the
+    at-least-once replay a crashed producer/consumer retry produces)
+    passes through `dedup_stream`'s dropDuplicatesWithinWatermark on the
+    event id, and the per-type counts of the surviving stream must equal
+    the batch table exactly — duplicates fully cancelled. This is the
+    streaming instantiation of idempotent produce (T3): the broker
+    dedups by (producer, sequence) at the ingest edge; this operator is
+    the consumer-side equivalent for pipelines that can't trust the
+    edge.
+
+    Scale: dropDuplicatesWithinWatermark keeps one state row per key
+    only until the watermark passes it — bounded state on an unbounded
+    topic (plain dropDuplicates would grow forever; that's the batch
+    twin only). The delay is set beyond the dataset's span here so
+    nothing is late and the check is exact; production picks the
+    replay-horizon it actually needs."""
+    import os
+
+    from tansu_spark.streaming.source import dedup_stream
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    ts_is_long = schema["ts"].dataType.typeName() == "long"
+    ts_col = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select(
+                F.col("event_id"),
+                ts_col.alias("timestamp"),
+                F.col("event_type"),
+            )
+        )
+
+    replayed = src().union(src())  # at-least-once: everything twice
+    deduped = dedup_stream(
+        replayed, key_cols=["event_id"], watermark="3650 days"
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    name = "stream_dedup_oracle"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("event_type", "n_unique")
 
 
 @query("kmv_supplier_overlap_by_brand", oracle=None)  # oracle built below

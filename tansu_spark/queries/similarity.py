@@ -358,18 +358,26 @@ def dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB plan: count + train are one partial-agg shuffle each (model
     state k x dims collects to the driver — bounded by corpus size /
-    32 x 64 doubles); assignment is a map-only scan against plan-literal
-    centroids; candidate pairs are ONE self-equi-join shuffle on cluster
-    id with per-task work capped by the constant cluster size. Doubling
-    the corpus doubles k, leaving per-cluster cost unchanged — the sweep
-    row in SCALING.md pins the ~linear 0.1/0.01 ratio."""
+    32 x 64 doubles); assignment is a map-only Arrow-batched scan with
+    the model riding the task closure (ivf_assign_fold — vectorized
+    k x dims scoring per batch, bit-identical to the column fold, plan
+    size constant in k); candidate pairs are ONE self-equi-join shuffle
+    on cluster id with per-task work capped by the constant cluster
+    size. Doubling the corpus doubles k, leaving per-cluster cost
+    unchanged — the sweep row in SCALING.md pins the ~linear 0.1/0.01
+    ratio."""
     import math
 
     emb = _emb(spark, sf_dir)
     k = math.ceil(emb.count() / 32.0)
     seeds = S._centroid_rows(emb, k, "vec_id", "embedding")
+    # fold scorer throughout: k scales with n here, so the O(k)-
+    # expression _score_array would blow up planning/codegen as the
+    # corpus grows — ivf_assign_fold keeps the plan constant-size AND
+    # vectorizes the k x dims scoring per Arrow batch with the exact
+    # fold arithmetic (bit-parity pinned in test_similarity.py)
     means = (
-        S.ivf_assign(emb, seeds)
+        S.ivf_assign_fold(emb, seeds)
         .select("cluster", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("cluster", "dim")
         .agg(
@@ -387,15 +395,9 @@ def dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [
         (cid, [byc[cid][d] for d in range(N_DIMS)]) for cid in sorted(byc)
     ]
-    with_n = emb.withColumn("_vn", S.norm("embedding"))
-    best = F.array_max(S._score_array("embedding", cents, F.col("_vn")))
-    assigned = with_n.select(
-        "vec_id",
-        "embedding",
-        "_vn",
-        (-best.getField("nid")).alias("cluster"),
-        best.getField("c").alias("cent_cos"),
-    ).localCheckpoint(eager=True)  # assignment scan runs once, not 3x
+    assigned = S.ivf_assign_fold(emb, cents).localCheckpoint(
+        eager=True
+    )  # assignment scan runs once, not 3x
     a = assigned.alias("a")
     b = assigned.alias("b")
     pair_cos = S.dot("a.embedding", "b.embedding") / (

@@ -77,6 +77,7 @@ FLOORS = {
     "pipeline_media_curation": 5,  # exactly one accounting row per stage
     # round-5 additions
     "dedup_semdedup_scaled": 250,  # one decision row per vector (500)
+    "streaming_dedup_replay": 3,  # one row per event type (5 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null

@@ -123,3 +123,38 @@ def test_int8_rerank_zero_vector_guard(spark):
         # the zero vector scores approx 0 against everything
         if r["vec_id"] == 0 or r["query_id"] == 0:
             assert r["approx_cosine"] == 0.0, r
+
+
+def test_fold_scorer_bit_identical_to_column_scorer(spark, sf_dir):
+    """ivf_assign_fold (Arrow-batched dim-ordered numpy fold) must
+    produce BIT-IDENTICAL scores/assignments to the column scorers
+    (_score_array / score_array_packed): same left-fold rounding
+    sequence, same lowest-id tie rule — the property that lets the
+    fast scorer back oracled queries (dedup_semdedup_scaled)."""
+    from pyspark.sql import functions as F
+
+    from tansu_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S._centroid_rows(emb, 23, "vec_id", "embedding")  # odd k on purpose
+
+    col_version = S.ivf_assign(emb, cents)
+    with_n = emb.withColumn("_vn", S.norm("embedding"))
+    best = F.array_max(S.score_array_packed("embedding", cents, F.col("_vn")))
+    packed = with_n.select(
+        "vec_id",
+        (-best.getField("nid")).alias("cluster"),
+        best.getField("c").alias("cent_cos"),
+        "_vn",
+    )
+    fold = S.ivf_assign_fold(emb, cents)
+
+    by_col = {r["vec_id"]: r["cluster"] for r in col_version.collect()}
+    by_packed = {r["vec_id"]: (r["cluster"], r["cent_cos"], r["_vn"]) for r in packed.collect()}
+    by_fold = {r["vec_id"]: (r["cluster"], r["cent_cos"], r["_vn"]) for r in fold.collect()}
+    assert set(by_fold) == set(by_packed) == set(by_col)
+    for vid, (cl, cc, vn) in by_fold.items():
+        pcl, pcc, pvn = by_packed[vid]
+        assert cl == pcl == by_col[vid], vid
+        assert cc == pcc, (vid, cc, pcc)  # exact doubles, no tolerance
+        assert vn == pvn, (vid, vn, pvn)
