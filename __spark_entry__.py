@@ -62,14 +62,14 @@ def _ordered_names() -> list[str]:
     passed = _driver_verified()
     unverified = [n for n in QUERIES if n not in passed]
 
-    # Round-4 window math: only 23 oracled-unverified queries remain and
-    # the gate window holds ~50 — everything fits with room to spare.
-    # Per the round-3 verdict: the five text singles (back-burnered in
-    # r2 AND r3) go FIRST, then the rest of the unverified backlog in
-    # registry order, then already-verified queries for re-checking.
-    # Rows-only entries (no oracle — the gate records them as a
-    # `no_oracle` err) are pinned dead-last, BEHIND the verified
-    # rotation, so they never burn a window slot again.
+    # Round-5 window math: every registry entry is oracled now (the
+    # last rows-only entry, events_approx_aggregates, became hash-
+    # gateable this round) and only the round's new/changed queries are
+    # unverified — they go FIRST, then already-verified queries for
+    # re-checking fill the rest of the ~50-slot window. The rows-only
+    # band (prio 95) is empty but kept for safety.
+    # (r3 history: the five text singles were pinned first; they are
+    # all driver-green since r4.)
     first_text = {
         "text_top_tokens",
         "text_type_token_ratio",

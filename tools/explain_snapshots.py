@@ -160,6 +160,26 @@ SNAPSHOTS: dict[str, str] = {
         "keep-decision is a broadcast-able anti-join of the slim drop "
         "list. Never all-pairs."
     ),
+    "dedup_semdedup_scaled": (
+        "The scale-safe SemDeDup: assignment is ONE Arrow-batched "
+        "`MapInPandas` scan (ivf_assign_fold — the trained k~n/32 model "
+        "rides the task closure; scores bit-identical to the column "
+        "fold), checkpointed so the pairwise stage re-reads a slim "
+        "(id, vec, norm, cluster, score) table (`Scan ExistingRDD`), "
+        "then a self-join on cluster id whose per-task work is capped "
+        "by the CONSTANT cluster size — total pairwise cost ~32n, "
+        "linear, vs the pinned-k variant's n²/16. The keep-decision is "
+        "the same slim anti-join."
+    ),
+    "streaming_dedup_replay": (
+        "A REAL streaming run: the returned frame is the memory-sink "
+        "table (`Scan` of the complete-mode result), the interesting "
+        "plan being the STREAMING one — union of two file sources, "
+        "`dropDuplicatesWithinWatermark` keyed on event_id (one state "
+        "row per key until the watermark passes — bounded state), then "
+        "the windowless count agg. Duplicates never reach the "
+        "aggregate; the final table hash-equals the batch distinct."
+    ),
     "sim_ivfpq_topk_seeded": (
         "PQ serving via the broadcast LUT table: the encoded-corpus scan "
         "reads 8-byte code arrays, `posexplode` is map-only, the LUT join "
