@@ -159,11 +159,27 @@ class SchemaRegistry:
             raw = F.col(which).cast("string")
             if isinstance(st, StructType):
                 # PERMISSIVE from_json yields null for unparseable input —
-                # the null check below is the parse-validity test.
+                # the null check below is the parse-validity test; the
+                # strictness predicate additionally rejects present-but-
+                # mistyped (or explicit-null) typed fields, which PERMISSIVE
+                # parsing would otherwise disguise as absent (types.py::
+                # compile_type_strictness — json.rs:59-81 parity).
                 parsed = F.from_json(raw, st)
                 ok = F.col(which).isNull() | (
                     parsed.isNotNull() & ts.constraint(which, parsed)
                 )
+                if ts.dialect == "json":
+                    part = ts._part(which)
+                    if part is not None:
+                        from tansu_spark.registry.types import (
+                            compile_type_strictness,
+                        )
+
+                        ok = F.col(which).isNull() | (
+                            parsed.isNotNull()
+                            & ts.constraint(which, parsed)
+                            & compile_type_strictness(part, raw, parsed)
+                        )
             else:
                 value = raw.cast(st)
                 ok = F.col(which).isNull() | (

@@ -383,6 +383,81 @@ def unsupported_keywords(schema: Any) -> set[str]:
     return out
 
 
+def compile_type_strictness(schema: dict[str, Any], raw, parsed):
+    """Predicate TRUE iff every declared TYPED property present in the
+    raw JSON actually HAS its declared JSON type. PERMISSIVE from_json
+    nulls a mistyped field (making it indistinguishable from an absent
+    one) and silently COERCES any value into a string-typed field — so
+    without this check a mistyped optional field, an explicit JSON
+    null, or a number-where-string validated where the reference's
+    full validator rejects the record (json.rs:59-81).
+
+    Mechanism: one `try_parse_json` variant of the raw text, then per
+    declared field `schema_of_variant(try_variant_get(v, path))` — the
+    exact per-row JSON type (STRING / BIGINT / DECIMAL / DOUBLE /
+    BOOLEAN / OBJECT<…> / ARRAY<…> / VOID; null when absent) — checked
+    against the declared `type` keyword. All JVM-side expressions, no
+    Python, no extra scan. The typed-parse-null conjunct stays for
+    non-null types: a value of the right JSON type that cannot be
+    REPRESENTED in the declared Spark type (e.g. long overflow) also
+    rejects, matching the reference's Arrow-conversion failure path.
+
+    Known residual divergence (documented): JSON Schema treats
+    integer-VALUED floats (1.0) as valid `integer`s; the variant type
+    is DECIMAL(2,1), so this check rejects them. Untyped properties
+    (no `type` keyword, or a union list) accept any shape.
+    """
+    from pyspark.sql import functions as F
+
+    v = F.try_parse_json(raw)
+    preds = []
+
+    def type_ok(t: str, vt):
+        if t == "string":
+            return vt == "STRING"
+        if t == "integer":
+            return (vt == "BIGINT") | vt.rlike(r"^DECIMAL\([0-9]+,0\)$")
+        if t == "number":
+            return (vt == "BIGINT") | (vt == "DOUBLE") | vt.startswith("DECIMAL")
+        if t == "boolean":
+            return vt == "BOOLEAN"
+        if t == "object":
+            return vt.startswith("OBJECT")
+        if t == "array":
+            return vt.startswith("ARRAY")
+        if t == "null":
+            return vt == "VOID"
+        return F.lit(True)
+
+    def walk(sub: dict, path: str, parsed_col) -> None:
+        if not isinstance(sub, dict):
+            return
+        t = sub.get("type")
+        if isinstance(t, str):
+            vt = F.schema_of_variant(F.try_variant_get(v, path, "variant"))
+            present = vt.isNotNull()
+            ok = type_ok(t, vt)
+            if t != "null":
+                ok = ok & parsed_col.isNotNull()
+            preds.append(~present | ok)
+        if isinstance(sub.get("properties"), dict) and (
+            t == "object" or t is None
+        ):
+            for name, child in sub["properties"].items():
+                walk(child, f"{path}.{name}", parsed_col[name])
+
+    if schema.get("type") == "object":
+        for name, sub in schema.get("properties", {}).items():
+            walk(sub, f"$.{name}", parsed[name])
+
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
 def compile_constraints(schema: dict[str, Any], col):
     """Compile the JSON-Schema constraint subset into a Column predicate
     (JVM-side — validation without Python row loops): type presence,

@@ -144,3 +144,43 @@ def test_boolean_additional_properties_is_benign(tmp_path):
     assert unsupported_keywords(
         {"type": "object", "additionalProperties": {"type": "integer"}}
     ) == {"additionalProperties"}
+
+
+# --------------------------------------------- type strictness (r5 late)
+
+TYPE_CASES = [
+    ("mistyped-optional-int", _obj("age", {"type": "integer"}),
+     {"age": 3}, {"other": 1, "age": "three"}),
+    ("number-coerced-into-string", {"type": "object", "properties":
+        {"name": {"type": "string"}}},
+     {"name": "abc"}, {"name": 5}),
+    ("explicit-null-for-typed", {"type": "object", "properties":
+        {"age": {"type": "integer"}}},
+     {}, {"age": None}),
+    ("bool-is-not-integer", {"type": "object", "properties":
+        {"n": {"type": "integer"}}},
+     {"n": 1}, {"n": True}),
+    ("scalar-where-object", {"type": "object", "properties":
+        {"home": {"type": "object", "properties": {"city": {"type": "string"}}}}},
+     {"home": {"city": "x"}}, {"home": 7}),
+    ("nested-mistype", {"type": "object", "properties":
+        {"home": {"type": "object", "properties": {"zip": {"type": "integer"}}}}},
+     {"home": {"zip": 10}}, {"home": {"zip": "abc"}}),
+    ("scalar-where-array", _obj("tags", {"type": "array",
+                                         "items": {"type": "integer"}}),
+     {"tags": [1]}, {"tags": "not-an-array"}),
+]
+
+
+@pytest.mark.parametrize(
+    "label,part,good,bad", TYPE_CASES, ids=[c[0] for c in TYPE_CASES]
+)
+def test_type_strictness_accepts_and_rejects(spark, tmp_path, label, part, good, bad):
+    """PERMISSIVE from_json disguises mistyped/null fields as absent
+    (and coerces anything into string fields); the variant-based
+    strictness conjunct must reject them like the reference's full
+    validator (json.rs:59-81). One golden pair per disguise."""
+    reg = _registry(tmp_path, part)
+    reg.validate("t", _batch(spark, good))
+    with pytest.raises(ValidationError, match="batch rejected"):
+        reg.validate("t", _batch(spark, bad))

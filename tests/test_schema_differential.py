@@ -8,15 +8,13 @@ both ways in ONE Spark batch per case. Any disagreement is either a
 compiler bug or a keyword that should not be in COMPILED_KEYWORDS —
 both are exactly what this suite exists to catch.
 
-Scope note (documented divergence): instances are generated WELL-TYPED
-per field. A mistyped OPTIONAL field (e.g. a string where an integer is
-declared) parses to a null struct field under PERMISSIVE from_json and
-is indistinguishable from an absent field afterwards, so the compiled
-path accepts it where the reference's strict validator rejects — the
-same cast-tolerance the repo's front door documents for bare scalar
-keys. Required fields don't have this gap (null fails isNotNull), and
-schemas beyond the compiled subset go through the full validator, which
-is strict about types everywhere.
+Instances include MISTYPED values and explicit JSON nulls: the
+compiled predicate carries a variant-based type-strictness conjunct
+(types.py::compile_type_strictness) so a string-where-integer, a
+number-where-string, or an explicit null for a typed field rejects
+exactly as the reference's validator does. Documented residual
+divergence (not generated): integer-VALUED floats (1.0) are valid
+`integer`s to JSON Schema but reject here (variant type DECIMAL(2,1)).
 """
 
 from __future__ import annotations
@@ -31,10 +29,14 @@ from tansu_spark.registry import SchemaRegistry, ValidationError
 
 # ---------------------------------------------------------- generators
 
-# Field value pools chosen to straddle every constraint boundary below.
-_STRINGS = ["", "a", "ab", "abc", "abcd", "zzzzz", "order", "refund"]
-_INTS = [-7, -1, 0, 1, 2, 5, 7, 10, 15]
-_ARRAYS = [[], [1], [1, 2], [2, 1], [1, 1], [0, 5, 10], [-1, 3], [1, 2, 3, 4]]
+# Field value pools chosen to straddle every constraint boundary below —
+# including WRONG-typed values and explicit nulls, which the type-
+# strictness conjunct must reject exactly like jsonschema's `type`.
+_STRINGS = ["", "a", "ab", "abc", "abcd", "zzzzz", "order", "refund",
+            5, True, None, [1], {"x": 1}]
+_INTS = [-7, -1, 0, 1, 2, 5, 7, 10, 15, "5", "abc", True, None, [1]]
+_ARRAYS = [[], [1], [1, 2], [2, 1], [1, 1], [0, 5, 10], [-1, 3],
+           [1, 2, 3, 4], ["x"], [1, "y"], "not-an-array", 7, None]
 
 
 def _string_schema(draw):
@@ -47,7 +49,10 @@ def _string_schema(draw):
         s["pattern"] = draw(st.sampled_from(["^a", "b", "^[a-z]*$"]))
     if draw(st.booleans()):
         s["enum"] = draw(
-            st.lists(st.sampled_from(_STRINGS), min_size=1, max_size=4, unique=True)
+            st.lists(
+                st.sampled_from([x for x in _STRINGS if isinstance(x, str)]),
+                min_size=1, max_size=4, unique=True,
+            )
         )
     return s
 
@@ -65,7 +70,7 @@ def _int_schema(draw):
     if draw(st.booleans()):
         s["multipleOf"] = draw(st.sampled_from([1, 2, 5]))
     if draw(st.booleans()):
-        s["const"] = draw(st.sampled_from(_INTS))
+        s["const"] = draw(st.sampled_from([x for x in _INTS if type(x) is int]))
     return s
 
 
