@@ -373,6 +373,14 @@ def unsupported_keywords(schema: Any) -> set[str]:
     for k, v in schema.items():
         if k == "additionalProperties" and not isinstance(v, bool):
             out.add(k)
+        elif k == "type" and not isinstance(v, str):
+            # union form ["null","string"]: the compiler and the type-
+            # strictness conjunct only understand plain string types —
+            # a silently-ignored union would validate as always-true
+            out.add("type(union)")
+        elif k == "items" and not isinstance(v, dict):
+            # tuple form [s1, s2] / boolean form: not compiled
+            out.add("items(non-object)")
         elif k not in COMPILED_KEYWORDS and k not in _ANNOTATION_KEYWORDS:
             out.add(k)
         if k == "properties" and isinstance(v, dict):

@@ -184,3 +184,25 @@ def test_type_strictness_accepts_and_rejects(spark, tmp_path, label, part, good,
     reg.validate("t", _batch(spark, good))
     with pytest.raises(ValidationError, match="batch rejected"):
         reg.validate("t", _batch(spark, bad))
+
+
+def test_union_type_and_tuple_items_route_to_full_validator(spark, tmp_path):
+    """A union `type` (["null","string"]) or tuple-form `items` would
+    silently compile to always-true — both must route through the full
+    validator instead (the same never-silently-permissive rule as
+    unknown keywords)."""
+    part = {
+        "type": "object",
+        "properties": {"x": {"type": ["null", "integer"]}},
+    }
+    assert unsupported_keywords(part) == {"type(union)"}
+    reg = _registry(tmp_path, part)
+    assert reg.schema_for("t").full_validator_keywords == ["type(union)"]
+    reg.validate("t", _batch(spark, {"x": None}))
+    reg.validate("t", _batch(spark, {"x": 3}))
+    with pytest.raises(ValidationError):
+        reg.validate("t", _batch(spark, {"x": "nope"}))
+
+    assert unsupported_keywords(
+        {"type": "array", "items": [{"type": "integer"}, {"type": "string"}]}
+    ) == {"items(non-object)"}
