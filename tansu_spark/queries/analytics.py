@@ -1059,6 +1059,89 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_type", "n_unique")
 
 
+@query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+             - CAST(floor(epoch(c.ts)) AS BIGINT) AS lag_sec
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join under the oracle: purchases
+    joined to the same user's clicks in the 24 h BEFORE the purchase —
+    attribution, the canonical two-stream correlation. Both sides are
+    watermarked streams (the file source re-read twice, filtered to one
+    event type each) through `stream_interval_join`; the append-mode
+    result set must hash-equal the batch interval join DuckDB replays.
+
+    Scale: the watermark + interval slack BOUND the join state — each
+    side retains only rows younger than (watermark + 24 h), so state is
+    O(in-flight window) on an unbounded topic, not O(history). The
+    delay here exceeds the dataset's one-month span so nothing is late
+    and the check is exact; production dials it to its real lateness
+    budget. Key-partitioned state: the join shuffles both sides on
+    user_id once — the same single-shuffle shape as the batch twin."""
+    import os
+
+    from tansu_spark.streaming.join import stream_interval_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    ts_is_long = schema["ts"].dataType.typeName() == "long"
+    ts_col = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
+
+    def src(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                "user_id", F.col("event_id"), ts_col.alias("timestamp")
+            )
+        )
+
+    joined = stream_interval_join(
+        src("purchase"),
+        src("click"),
+        key="user_id",
+        l_ts="timestamp",
+        r_ts="timestamp",
+        lower="24 hours",
+        upper="0 seconds",
+        watermark="60 days",
+    )
+    out = joined.select(
+        "user_id",
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        (
+            F.col("l_timestamp").cast("long") - F.col("r_timestamp").cast("long")
+        ).alias("lag_sec"),
+    )
+    name = "stream_interval_join_oracle"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @query("kmv_supplier_overlap_by_brand", oracle=None)  # oracle built below
 def kmv_supplier_overlap_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch MERGE under the oracle: which part brands share supplier

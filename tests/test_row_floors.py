@@ -78,6 +78,7 @@ FLOORS = {
     # round-5 additions
     "dedup_semdedup_scaled": 250,  # one decision row per vector (500)
     "streaming_dedup_replay": 3,  # one row per event type (5 at sf0.01)
+    "streaming_interval_join": 400,  # click->purchase pairs (860 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
