@@ -991,6 +991,27 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _scoped_shuffle_partitions(spark, n: int):
+    """Temporarily size spark.sql.shuffle.partitions for a streaming
+    run started inside the block. Stateful streaming creates one state
+    store per shuffle partition; at these row counts 32 stores are pure
+    overhead (measured 2.5x on the interval join), while at production
+    scale the dial goes UP with key cardinality — either way it's a
+    sizing knob, not a semantics change (results are partition-count
+    independent, which the unchanged oracle hash proves)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @query(
     "streaming_dedup_replay",
     oracle="""
@@ -1048,14 +1069,15 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
     name = "stream_dedup_oracle"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("event_type", "n_unique")
 
 
@@ -1131,14 +1153,15 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lag_sec"),
     )
     name = "stream_interval_join_oracle"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
