@@ -1057,3 +1057,98 @@ def embeddings_shard_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n0").cast("long").alias("n_shard0"),
         F.min("n1").cast("long").alias("n_shard1"),
     )
+
+
+def _cos_sql_d(a: str, b: str, d: int) -> str:
+    """_cos_sql over only the first `d` dims (matryoshka truncation)."""
+    dot = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    dot_aa = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    dot_bb = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    return (
+        f"round({dot} / (greatest(sqrt({dot_aa}), 1e-30)"
+        f" * greatest(sqrt({dot_bb}), 1e-30)), 10)"
+    )
+
+
+_MATRYOSHKA_DIMS = (16, 32, 64)
+
+
+def _matryoshka_trunc_cte(d: int) -> str:
+    return f"""
+    t{d} AS (SELECT {d} AS dims, query_id, vec_id
+             FROM c CROSS JOIN q
+             WHERE vec_id != query_id
+             QUALIFY row_number() OVER (PARTITION BY query_id
+                     ORDER BY {_cos_sql_d("qe", "ce", d)} DESC, vec_id) <= 5)"""
+
+
+@query(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
+                            FROM embeddings WHERE vec_id < 8),
+         c AS MATERIALIZED (SELECT vec_id, embedding AS ce FROM embeddings),
+         truth AS (SELECT query_id, vec_id
+                   FROM c CROSS JOIN q
+                   WHERE vec_id != query_id
+                   QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY {_cos_sql("qe", "ce")} DESC, vec_id) <= 5),
+         {",".join(_matryoshka_trunc_cte(d) for d in _MATRYOSHKA_DIMS)},
+         tr AS ({" UNION ALL ".join(f"SELECT * FROM t{d}" for d in _MATRYOSHKA_DIMS)})
+    SELECT tr.query_id, tr.dims,
+           count(truth.vec_id) AS n_hits,
+           CAST(count(truth.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM tr LEFT JOIN truth
+      ON tr.query_id = truth.query_id AND tr.vec_id = truth.vec_id
+    GROUP BY tr.query_id, tr.dims
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval eval: before a serving stack ships
+    PREFIX-truncated embeddings (MRL — arXiv:2205.13147), it measures what
+    the truncation costs: for each query, cosine top-5 over only the first
+    d dims vs the full-dim top-5, reported as recall@5 per (query, d).
+    The reference has no embedding surface at all; this is the eval gate a
+    training-data pipeline runs before swapping its ANN index to short
+    vectors (the d=64 band is the identity check — recall 1.0 by
+    construction, which the oracle independently confirms).
+
+    Scale: each truncation band is the brute_force_topk shape — query set
+    broadcast, corpus scanned once per band and never shuffled; bands are
+    independent map-side passes over the same cached scan, so the cost is
+    (n_bands x corpus scan), not a join blowup. The final recall join is
+    top-k-sized (queries x k rows) — driver-trivial, broadcast-joined."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    truth = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    bands = []
+    for d in _MATRYOSHKA_DIMS:
+        c = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        qd = queries.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        bands.append(
+            S.brute_force_topk(c, qd, k=5).select(
+                "query_id", "vec_id", F.lit(d).alias("dims")
+            )
+        )
+    tr = bands[0]
+    for b in bands[1:]:
+        tr = tr.unionByName(b)
+    return (
+        tr.join(F.broadcast(truth), ["query_id", "vec_id"], "left")
+        .groupBy("query_id", "dims")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            (F.count("hit").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )
