@@ -22,17 +22,56 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+PLAN_TRAITS: dict[str, frozenset[str]] = {}
+
+# A query that deviates from the default plan contract (no CartesianProduct,
+# no BroadcastNestedLoopJoin) must declare WHY at registration time via
+# ``plan=``, so tests/test_plans.py::test_joins_never_cartesian can never be
+# skipped by forgetting a test-file allowlist (bit us in rounds 4 AND 5).
+_KNOWN_PLAN_TRAITS = frozenset(
+    {
+        # Broadcasts a tiny fixed query-vector set against the corpus: the
+        # BNLJ side is O(queries x dims) plan state, corpus never shuffles.
+        "broadcast_query_set",
+        # Cross-joins one-or-more single-row aggregate frames (corpus stats,
+        # ledger counters): every BNLJ side is exactly one row.
+        "single_row_broadcast",
+        # Exact all-pairs ground truth over a fixed-size audit slice — the
+        # quadratic contrast is the point of the query.
+        "allpairs_audit",
+        # Non-equi range join whose build side is a bounded small list
+        # (e.g. distinct days in a 7-day window).
+        "bounded_range_join",
+        # Broadcasts a bounded model table (centroid set, PQ LUT) whose size
+        # is fixed by training config, not data volume.
+        "small_model_broadcast",
+    }
+)
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str,
+    oracle: str | None = None,
+    plan: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
     """Register a (spark, sf_dir) -> DataFrame query, optionally with a
     DuckDB oracle SQL string. Queries without an oracle get the driver's
-    weaker rows-only check (reserved for genuinely non-SQL-expressible ops)."""
+    weaker rows-only check (reserved for genuinely non-SQL-expressible ops).
+
+    ``plan`` declares intentional physical-plan deviations (see
+    ``_KNOWN_PLAN_TRAITS``); the plan regression suite reads this registry,
+    so the declaration lives next to the query it describes."""
+
+    traits = frozenset(plan)
+    unknown = traits - _KNOWN_PLAN_TRAITS
+    if unknown:
+        raise ValueError(f"unknown plan trait(s) {sorted(unknown)} for {name!r}")
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = fn
+        PLAN_TRAITS[name] = traits
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

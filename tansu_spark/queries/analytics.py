@@ -305,6 +305,7 @@ def range_join_shipments_in_window(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "text_tfidf_relevance",
+    plan=("single_row_broadcast",),
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
                  FROM documents),
@@ -627,6 +628,7 @@ def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_funnel_conversion",
+    plan=("single_row_broadcast",),
     oracle="""
     WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
     v AS (SELECT user_id, min(us) AS t1 FROM e
@@ -1165,7 +1167,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("kmv_supplier_overlap_by_brand", oracle=None)  # oracle built below
+@query("kmv_supplier_overlap_by_brand", plan=("single_row_broadcast",), oracle=None)  # oracle built below
 def kmv_supplier_overlap_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch MERGE under the oracle: which part brands share supplier
     bases — pairwise |A|, |B|, |A∪B|, |A∩B| and Jaccard estimated from
@@ -1278,6 +1280,7 @@ def semi_reduced_join_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "events_value_histogram",
+    plan=("single_row_broadcast",),
     oracle="""
     WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
     b AS (SELECT CAST(least(floor((value - vmin) / ((vmax - vmin) / 20.0)), 19)
@@ -1943,6 +1946,7 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "market_basket_lift",
+    plan=("single_row_broadcast",),
     oracle="""
     WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp),
@@ -2181,6 +2185,7 @@ def sketch_cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_keywords_per_doc",
+    plan=("single_row_broadcast",),
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
                  FROM documents),
@@ -2434,6 +2439,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_dau_wau_stickiness",
+    plan=("bounded_range_join",),
     oracle="""
     WITH days AS (
       SELECT CAST(ts AS DATE) AS day, user_id FROM events GROUP BY 1, 2

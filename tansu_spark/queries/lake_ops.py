@@ -100,6 +100,7 @@ def lake_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lake_zorder_key",
+    plan=("single_row_broadcast",),
     oracle="""
     WITH rng AS (
       SELECT min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,

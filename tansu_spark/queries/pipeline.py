@@ -985,6 +985,7 @@ def text_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_temperature_plan",
+    plan=("single_row_broadcast",),
     oracle="""
     WITH per AS (SELECT source, count(*) AS n_docs,
                         sqrt(CAST(count(*) AS DOUBLE)) AS w
@@ -1033,6 +1034,7 @@ def corpus_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_mix_dashboard",
+    plan=("single_row_broadcast",),
     oracle=f"""
     WITH tok AS (SELECT doc_id, source, text,
                         string_split_regex(trim(text), '\\s+') AS t
@@ -2010,6 +2012,7 @@ def _bm25_score_sql(n: str = "n_docs") -> str:
 
 @query(
     "text_bm25_search",
+    plan=("single_row_broadcast",),
     oracle=_TOK_CTE
     + f""",
     base AS (SELECT doc_id, len(t) AS dl,
@@ -2563,6 +2566,7 @@ def text_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_yield_report",
+    plan=("single_row_broadcast",),
     oracle=_EDGE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + """,
     walk AS (SELECT a AS node, a AS lbl FROM ed
@@ -2831,6 +2835,7 @@ def sample_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_importance_sample",
+    plan=("single_row_broadcast",),
     oracle="""
     WITH mx AS (SELECT CAST(max(n_chars) AS DOUBLE) AS m FROM documents),
     drawn AS (
@@ -3073,6 +3078,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_lsh_recall_report",
+    plan=("allpairs_audit",),
     oracle=_SH_CTE
     + """,
     sub AS (SELECT doc_id, shingles FROM sh WHERE doc_id < 200),
@@ -3371,6 +3377,7 @@ _GOPHER_KEEP_SQL = (
 
 @query(
     "pipeline_curation_capstone",
+    plan=("single_row_broadcast",),
     oracle=_EDGE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""",
     walk AS (SELECT a AS node, a AS lbl FROM ed
@@ -4346,6 +4353,7 @@ def multimodal_resize_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_media_curation",
+    plan=("single_row_broadcast",),
     oracle="""
     WITH d AS (SELECT doc_id FROM documents),
     img AS (SELECT doc_id, doc_id % 40 AS motif FROM d WHERE doc_id % 3 = 0),

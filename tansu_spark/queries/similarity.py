@@ -39,6 +39,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_cosine_topk",
+    plan=("broadcast_query_set",),
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
          c AS (SELECT vec_id, embedding AS ce FROM embeddings)
@@ -58,6 +59,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_int8_rerank_topk",
+    plan=("broadcast_query_set",),
     oracle=f"""
     WITH w AS (SELECT vec_id, embedding,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -863,6 +865,7 @@ def sim_pq_trained_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_ivfpq_topk_seeded",
+    plan=("small_model_broadcast",),
     oracle=f"""
     WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec
                   FROM embeddings WHERE vec_id < 16),
@@ -950,6 +953,7 @@ def sim_ivfpq_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_hard_negatives",
+    plan=("broadcast_query_set",),
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS q_label
                FROM embeddings WHERE vec_id < 8),
@@ -1093,6 +1097,7 @@ def _matryoshka_trunc_cte(d: int) -> str:
 
 @query(
     "sim_matryoshka_recall",
+    plan=("broadcast_query_set",),
     oracle=f"""
     WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
                             FROM embeddings WHERE vec_id < 8),

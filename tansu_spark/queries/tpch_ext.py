@@ -498,6 +498,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q22_global_sales_opportunity",
+    plan=("single_row_broadcast",),
     oracle="""
     WITH pool AS (
       SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
@@ -552,6 +553,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q11_important_stock",
+    plan=("single_row_broadcast",),
     oracle="""
     WITH ps AS (
       SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_val
