@@ -243,7 +243,7 @@ def _score_array(vec_col: str, cents: list[tuple[int, list[float]]], vnorm):
             F.struct(
                 (
                     dot(vec_col, F.array(*[F.lit(float(x)) for x in v]))
-                    / (vnorm * F.lit(_py_norm(v)))
+                    / (F.greatest(vnorm, F.lit(1e-30)) * F.lit(max(_py_norm(v), 1e-30)))
                 ).alias("c"),
                 F.lit(-cid).alias("nid"),
             )
@@ -281,7 +281,7 @@ def score_array_packed(vec_col, cents: list[tuple[int, list[float]]], vnorm):
         *[
             F.struct(
                 F.array(*[F.lit(float(x)) for x in v]).alias("cv"),
-                F.lit(_py_norm(v)).alias("cn"),
+                F.lit(max(_py_norm(v), 1e-30)).alias("cn"),
                 F.lit(-cid).alias("nid"),
             )
             for cid, v in cents
@@ -291,7 +291,7 @@ def score_array_packed(vec_col, cents: list[tuple[int, list[float]]], vnorm):
     return F.transform(
         packed,
         lambda c: F.struct(
-            (dot(col, c["cv"]) / (vnorm * c["cn"])).alias("c"),
+            (dot(col, c["cv"]) / (F.greatest(vnorm, F.lit(1e-30)) * c["cn"])).alias("c"),
             c["nid"].alias("nid"),
         ),
     )
@@ -342,7 +342,14 @@ def ivf_assign_fold(
     import numpy as np
 
     ordered = sorted(cents)  # ascending id: strict > keeps the lowest
-    cvecs = [(int(cid), np.asarray(v, dtype=np.float64), _py_norm(v)) for cid, v in ordered]
+    # max(norm, 1e-30) mirrors cosine()/_cos_raw_sql's epsilon floor: a
+    # zero-norm embedding scores 0.0 (assigned by tie order) instead of
+    # NaN silently landing in the first centroid (r6 advice). For any
+    # non-degenerate vector max() returns the identical double.
+    cvecs = [
+        (int(cid), np.asarray(v, dtype=np.float64), max(_py_norm(v), 1e-30))
+        for cid, v in ordered
+    ]
     n_dims = len(cvecs[0][1]) if cvecs else 0
 
     def kernel(batches):
@@ -355,7 +362,7 @@ def ivf_assign_fold(
             acc = np.zeros(len(pdf))
             for d in range(n_dims):  # dim-ordered: the left fold
                 acc = acc + m[:, d] * m[:, d]
-            vn = np.sqrt(acc)
+            vn = np.maximum(np.sqrt(acc), 1e-30)
             best_s = np.full(len(pdf), -np.inf)
             best_c = np.zeros(len(pdf), dtype=np.int64)
             for cid, cv, cn in cvecs:

@@ -30,7 +30,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DataType, StructType
+from pyspark.sql.types import DataType, StringType, StructType
 
 from tansu_spark.registry.types import (
     avro_to_spark,
@@ -157,29 +157,40 @@ class SchemaRegistry:
             if st is None:
                 continue
             raw = F.col(which).cast("string")
-            if isinstance(st, StructType):
-                # PERMISSIVE from_json yields null for unparseable input —
-                # the null check below is the parse-validity test; the
-                # strictness predicate additionally rejects present-but-
-                # mistyped (or explicit-null) typed fields, which PERMISSIVE
-                # parsing would otherwise disguise as absent (types.py::
-                # compile_type_strictness — json.rs:59-81 parity).
+            if ts.dialect == "json":
+                part = ts._part(which)
+                if isinstance(st, StructType):
+                    # PERMISSIVE from_json yields null for unparseable
+                    # input — the null check is the parse-validity test.
+                    # Constraints and the strictness conjunct evaluate on
+                    # the SHADOW parse (integer fields widened to double)
+                    # so integer-valued floats — valid JSON Schema
+                    # integers — surface values instead of parse-nulls;
+                    # strictness additionally rejects present-but-mistyped
+                    # / explicit-null typed fields that PERMISSIVE parsing
+                    # disguises as absent (types.py — json.rs:59-81).
+                    from tansu_spark.registry.types import (
+                        compile_type_strictness,
+                        shadow_numeric,
+                    )
+
+                    shadow = F.from_json(raw, shadow_numeric(st))
+                    ok = F.col(which).isNull() | (
+                        shadow.isNotNull()
+                        & ts.constraint(which, shadow)
+                        & compile_type_strictness(part, raw, shadow)
+                    )
+                else:
+                    # scalar part: uniform typed-JSON-or-bare-string
+                    # convention, shared with the fallback kernel
+                    from tansu_spark.registry.types import compile_scalar
+
+                    ok = F.col(which).isNull() | compile_scalar(part, raw)
+            elif isinstance(st, StructType):
                 parsed = F.from_json(raw, st)
                 ok = F.col(which).isNull() | (
                     parsed.isNotNull() & ts.constraint(which, parsed)
                 )
-                if ts.dialect == "json":
-                    part = ts._part(which)
-                    if part is not None:
-                        from tansu_spark.registry.types import (
-                            compile_type_strictness,
-                        )
-
-                        ok = F.col(which).isNull() | (
-                            parsed.isNotNull()
-                            & ts.constraint(which, parsed)
-                            & compile_type_strictness(part, raw, parsed)
-                        )
             else:
                 value = raw.cast(st)
                 ok = F.col(which).isNull() | (
@@ -293,10 +304,14 @@ class SchemaRegistry:
                         try:
                             instance = _json.loads(text)
                         except ValueError:
-                            # repo front-door convention (same as the
-                            # compiled path's cast-to-string): a bare
-                            # unquoted scalar is the string instance —
-                            # object/number schemas still reject it.
+                            # uniform front-door convention, shared with
+                            # the compiled path (types.py::compile_scalar):
+                            # unparseable bytes are a bare STRING instance
+                            # — object/number schemas still reject it.
+                            # Documented divergence from the reference,
+                            # which never sees unparseable bytes because
+                            # its CLI JSON-encodes (produce.rs:168-174)
+                            # and rejects anything else (json.rs:65-69).
                             instance = text
                         if not v.is_valid(instance):
                             bad += 1
@@ -360,9 +375,19 @@ class SchemaRegistry:
             if st is None:
                 continue
             raw = F.col(which).cast("string")
-            decoded = (
-                F.from_json(raw, st) if isinstance(st, StructType) else raw.cast(st)
-            )
+            if isinstance(st, StructType):
+                decoded = F.from_json(raw, st)
+            elif ts.dialect == "json" and isinstance(st, StringType):
+                # same convention as validation: a quoted JSON string
+                # decodes to its unquoted instance; unparseable bytes ARE
+                # the string instance (front-door raw utf-8 keys)
+                v = F.try_parse_json(raw)
+                decoded = F.when(
+                    F.schema_of_variant(v) == "STRING",
+                    F.variant_get(v, "$", "string"),
+                ).otherwise(raw)
+            else:
+                decoded = raw.cast(st)
             out = out.withColumn(which, decoded)
         return out
 

@@ -129,7 +129,11 @@ def json_schema_to_spark(schema: dict[str, Any]) -> DataType:
     87-148: integral Number → Int64 else Float64); we map the declared
     schema the same way: integer → Long, number → Double.
     """
-    t = schema.get("type")
+    t = nullable_of(schema.get("type")) or schema.get("type")
+    if isinstance(t, list):
+        # multi-type union: no Spark analog — carry the raw JSON text
+        # (such topics validate through the full-vocabulary fallback)
+        return StringType()
     if t == "object" or (t is None and "properties" in schema):
         props = schema.get("properties", {})
         req = set(schema.get("required", []))
@@ -148,6 +152,19 @@ def json_schema_to_spark(schema: dict[str, Any]) -> DataType:
         "boolean": BooleanType(),
         "null": NullType(),
     }.get(t, StringType())
+
+
+def nullable_of(t: Any) -> str | None:
+    """If ``t`` is the common nullable-union idiom — ``["null", T]`` (either
+    order) or a single-element list ``[T]`` — return the plain type T;
+    otherwise None. These are the union forms the JVM compiler expresses
+    natively; anything else routes to the full-validator fallback."""
+    if not isinstance(t, list) or not all(isinstance(x, str) for x in t):
+        return None
+    members = [x for x in t if x != "null"]
+    if len(members) == 1:
+        return members[0]
+    return None
 
 
 # ----------------------------------------------------------------- Protobuf
@@ -332,6 +349,7 @@ COMPILED_KEYWORDS = frozenset(
         "uniqueItems",
         "minItems",
         "maxItems",
+        "additionalProperties",
     }
 )
 
@@ -351,43 +369,57 @@ _ANNOTATION_KEYWORDS = frozenset(
         "readOnly",
         "writeOnly",
         "format",
-        "additionalProperties",
     }
 )
 
 
-def unsupported_keywords(schema: Any) -> set[str]:
+def unsupported_keywords(schema: Any, *, in_items: bool = False) -> set[str]:
     """Recursively collect constraint keywords outside the compiled
     subset (so the registry can fail loudly / fall back instead of
     silently accepting what the reference rejects — json.rs:59-81).
 
-    ``additionalProperties`` is listed as annotation-only above because
-    the compiled path parses with a FIXED StructType: unknown properties
-    are already dropped by from_json, so ``additionalProperties: false``
-    never admits extra data — but a schema-valued ``additionalProperties``
-    constrains values we can't see, so only the boolean form is benign.
+    ``additionalProperties: false`` compiles (the strictness conjunct
+    checks the instance's object keys against the declared properties —
+    the raw bytes keep unknown keys even though from_json drops them, so
+    the reference's rejection must be replicated, not annotated away).
+    The schema-valued form constrains values the fixed StructType can't
+    see, and any form nested under ``items`` has no per-element key path
+    — both route to the full validator. Likewise the nullable-union
+    ``type: ["null", T]`` compiles; multi-type unions don't.
     """
     out: set[str] = set()
     if not isinstance(schema, dict):
         return out
     for k, v in schema.items():
-        if k == "additionalProperties" and not isinstance(v, bool):
-            out.add(k)
+        if k == "additionalProperties":
+            if not isinstance(v, bool):
+                out.add(k)
+            elif v is False and in_items:
+                out.add("additionalProperties(in-items)")
         elif k == "type" and not isinstance(v, str):
-            # union form ["null","string"]: the compiler and the type-
-            # strictness conjunct only understand plain string types —
-            # a silently-ignored union would validate as always-true
-            out.add("type(union)")
+            # union form: only ["null", T] is expressible in the compiled
+            # strictness conjunct (absent | VOID | T); a silently-ignored
+            # wider union would validate as always-true
+            if nullable_of(v) is None:
+                out.add("type(union)")
         elif k == "items" and not isinstance(v, dict):
             # tuple form [s1, s2] / boolean form: not compiled
             out.add("items(non-object)")
         elif k not in COMPILED_KEYWORDS and k not in _ANNOTATION_KEYWORDS:
             out.add(k)
         if k == "properties" and isinstance(v, dict):
+            if in_items:
+                # typed properties of array-element objects have no
+                # per-element variant path; a mistyped optional element
+                # property would slip through the compiled conjunct
+                for sub in v.values():
+                    if "type" in sub or "properties" in sub:
+                        out.add("properties(in-items)")
+                        break
             for sub in v.values():
-                out |= unsupported_keywords(sub)
+                out |= unsupported_keywords(sub, in_items=in_items)
         elif k == "items":
-            out |= unsupported_keywords(v)
+            out |= unsupported_keywords(v, in_items=True)
     return out
 
 
@@ -405,30 +437,68 @@ def compile_type_strictness(schema: dict[str, Any], raw, parsed):
     exact per-row JSON type (STRING / BIGINT / DECIMAL / DOUBLE /
     BOOLEAN / OBJECT<…> / ARRAY<…> / VOID; null when absent) — checked
     against the declared `type` keyword. All JVM-side expressions, no
-    Python, no extra scan. The typed-parse-null conjunct stays for
-    non-null types: a value of the right JSON type that cannot be
-    REPRESENTED in the declared Spark type (e.g. long overflow) also
-    rejects, matching the reference's Arrow-conversion failure path.
+    Python, no extra scan.
 
-    Known residual divergence (documented): JSON Schema treats
-    integer-VALUED floats (1.0) as valid `integer`s; the variant type
-    is DECIMAL(2,1), so this check rejects them. Untyped properties
-    (no `type` keyword, or a union list) accept any shape.
+    Numeric semantics follow JSON Schema's MATHEMATICAL model exactly
+    (json.rs validates with the jsonschema crate BEFORE any Arrow
+    conversion): `integer` accepts any numeric instance with zero
+    fractional part — 1.0, 1e3, and integers beyond int64 all validate;
+    a value the declared Spark type cannot represent decodes to a null
+    field later (PERMISSIVE), which is a decode-surface limit, not a
+    validation verdict.
+
+    Also compiled here (both need the variant view of the raw bytes):
+    - nullable unions ``["null", T]``: absent | VOID | T;
+    - ``required`` for union-typed fields: KEY presence (an explicit
+      null satisfies both required and the union — from_json can't
+      tell those apart, the variant can);
+    - ``additionalProperties: false``: the instance object's keys must
+      all be declared (from_json silently drops unknown keys; the
+      reference rejects the record);
+    - array element types: every element's variant type matches the
+      ``items`` type (PERMISSIVE parsing nulls mistyped elements,
+      disguising them from element constraints).
     """
     from pyspark.sql import functions as F
 
     v = F.try_parse_json(raw)
     preds = []
 
-    def type_ok(t: str, vt):
+    def elem_type_ok(t: str | None):
+        """Element-level check against an element variant (lambda arg)."""
+        def check(e):
+            evt = F.schema_of_variant(e)
+            if t == "string":
+                return evt == "STRING"
+            if t in ("integer", "number"):
+                numeric = evt.isin("BIGINT", "DOUBLE") | evt.startswith("DECIMAL")
+                if t == "number":
+                    return numeric
+                ed = F.try_variant_get(e, "$", "double")
+                return numeric & ed.isNotNull() & ((ed % F.lit(1.0)) == 0)
+            if t == "boolean":
+                return evt == "BOOLEAN"
+            if t == "object":
+                return evt.startswith("OBJECT")
+            if t == "array":
+                return evt.startswith("ARRAY")
+            if t == "null":
+                return evt == "VOID"
+            return F.lit(True)
+
+        return check
+
+    def type_ok(t: str, vt, path: str, parsed_col):
         if t == "string":
-            return vt == "STRING"
-        if t == "integer":
-            return (vt == "BIGINT") | vt.rlike(r"^DECIMAL\([0-9]+,0\)$")
-        if t == "number":
-            return (vt == "BIGINT") | (vt == "DOUBLE") | vt.startswith("DECIMAL")
+            return (vt == "STRING") & parsed_col.isNotNull()
+        if t in ("integer", "number"):
+            numeric = vt.isin("BIGINT", "DOUBLE") | vt.startswith("DECIMAL")
+            if t == "number":
+                return numeric
+            dv = F.try_variant_get(v, path, "double")
+            return numeric & dv.isNotNull() & ((dv % F.lit(1.0)) == 0)
         if t == "boolean":
-            return vt == "BOOLEAN"
+            return (vt == "BOOLEAN") & parsed_col.isNotNull()
         if t == "object":
             return vt.startswith("OBJECT")
         if t == "array":
@@ -437,26 +507,66 @@ def compile_type_strictness(schema: dict[str, Any], raw, parsed):
             return vt == "VOID"
         return F.lit(True)
 
-    def walk(sub: dict, path: str, parsed_col) -> None:
+    def object_checks(sub: dict, path: str | None) -> None:
+        """additionalProperties:false key audit for one object node
+        (path None = the root instance)."""
+        if sub.get("additionalProperties") is not False:
+            return
+        node = raw if path is None else F.try_variant_get(v, path, "variant").cast("string")
+        keys = F.json_object_keys(node)
+        declared = sorted(sub.get("properties", {}))
+        allowed = (
+            F.array(*[F.lit(d) for d in declared])
+            if declared
+            else F.array().cast("array<string>")
+        )
+        no_extra = F.size(F.array_except(keys, allowed)) == 0
+        # non-object instances (or absent subtrees) are out of scope here
+        preds.append(F.coalesce(no_extra, F.lit(True)))
+
+    def walk(sub: dict, path: str, parsed_col, required: bool) -> None:
         if not isinstance(sub, dict):
             return
         t = sub.get("type")
-        if isinstance(t, str):
-            vt = F.schema_of_variant(F.try_variant_get(v, path, "variant"))
-            present = vt.isNotNull()
-            ok = type_ok(t, vt)
-            if t != "null":
-                ok = ok & parsed_col.isNotNull()
+        t_null = nullable_of(t)
+        t_norm = t_null if t_null is not None else t
+        vt = F.schema_of_variant(F.try_variant_get(v, path, "variant"))
+        present = vt.isNotNull()
+        if isinstance(t_norm, str):
+            ok = type_ok(t_norm, vt, path, parsed_col)
+            if t_null is not None:
+                ok = (vt == "VOID") | ok
+                if required:
+                    # required + nullable union: the KEY must exist; the
+                    # value may be an explicit null (compile_constraints
+                    # can't see the difference, so it defers to us)
+                    preds.append(present)
             preds.append(~present | ok)
-        if isinstance(sub.get("properties"), dict) and (
-            t == "object" or t is None
-        ):
-            for name, child in sub["properties"].items():
-                walk(child, f"{path}.{name}", parsed_col[name])
+        if t_norm == "array" and isinstance(sub.get("items"), dict):
+            it = sub["items"].get("type")
+            it_norm = nullable_of(it) or it
+            if isinstance(it_norm, str):
+                elems = F.try_variant_get(v, path, "array<variant>")
+                check = elem_type_ok(it_norm)
+                if nullable_of(it) is not None:
+                    base = check
+                    check = lambda e, _b=base: (F.schema_of_variant(e) == "VOID") | _b(e)
+                preds.append(
+                    F.coalesce(F.forall(elems, check), F.lit(True))
+                )
+        if t_norm == "object" or t_norm is None:
+            object_checks(sub, path)
+            if isinstance(sub.get("properties"), dict):
+                req = set(sub.get("required", []))
+                for name, child in sub["properties"].items():
+                    walk(child, f"{path}.{name}", parsed_col[name], name in req)
 
-    if schema.get("type") == "object":
+    root_t = schema.get("type")
+    if root_t == "object" or (root_t is None and "properties" in schema):
+        object_checks(schema, None)
+        req = set(schema.get("required", []))
         for name, sub in schema.get("properties", {}).items():
-            walk(sub, f"$.{name}", parsed[name])
+            walk(sub, f"$.{name}", parsed[name], name in req)
 
     if not preds:
         return F.lit(True)
@@ -483,13 +593,24 @@ def compile_constraints(schema: dict[str, Any], col):
 
     preds = []
     t = schema.get("type")
+    t = nullable_of(t) or t
     if t == "object":
+        props = schema.get("properties", {})
         for name in schema.get("required", []):
-            preds.append(col[name].isNotNull())
-        for name, sub in schema.get("properties", {}).items():
+            # a required nullable-union field is satisfied by an explicit
+            # null — from_json can't distinguish that from an absent key,
+            # so KEY presence is enforced variant-side in
+            # compile_type_strictness instead
+            if nullable_of(props.get(name, {}).get("type")) is None:
+                preds.append(col[name].isNotNull())
+        for name, sub in props.items():
             sub_pred = compile_constraints(sub, col[name])
-            # absent optional fields pass
-            if name in schema.get("required", []):
+            # absent optional fields pass; union-typed required fields may
+            # be null, and their constraints only apply to non-null values
+            if (
+                name in schema.get("required", [])
+                and nullable_of(sub.get("type")) is None
+            ):
                 preds.append(sub_pred)
             else:
                 preds.append(col[name].isNull() | sub_pred)
@@ -531,6 +652,106 @@ def compile_constraints(schema: dict[str, Any], col):
     for p in preds[1:]:
         out = out & p
     return out
+
+
+def shadow_numeric(dt: DataType) -> DataType:
+    """The CONSTRAINT-evaluation twin of a decode schema: integer fields
+    widened to double so that integer-VALUED floats (1.0 — valid JSON
+    Schema `integer`s) still surface a value for minimum/multipleOf/enum
+    checks instead of a PERMISSIVE-parse null. Decode keeps the true
+    types; only the validation predicate parses through the shadow."""
+    if isinstance(dt, LongType):
+        return DoubleType()
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, shadow_numeric(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(shadow_numeric(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(dt.keyType, shadow_numeric(dt.valueType), dt.valueContainsNull)
+    return dt
+
+
+def compile_scalar(schema: dict[str, Any], raw):
+    """Validation predicate for a SCALAR (non-object) part schema, using
+    the uniform front-door convention shared with the Python fallback
+    kernel: bytes that parse as JSON are the typed JSON instance; bytes
+    that don't are a bare STRING instance (the reference's CLI always
+    JSON-encodes — produce.rs:168-174 — so its validator only ever sees
+    parseable bytes; raw utf-8 string keys are this repo's documented
+    front-door ergonomic, accepted identically on both validation paths).
+
+    Fixes the r5 divergences: `123` no longer validates against
+    {"type":"string"} (it is a JSON number on both paths now), and a
+    QUOTED key like "123-45-6789" pattern-checks against the unquoted
+    string instance exactly as jsonschema does."""
+    from pyspark.sql import functions as F
+
+    t = schema.get("type")
+    t_null = nullable_of(t)
+    t_norm = t_null if t_null is not None else t
+    v = F.try_parse_json(raw)
+    vt = F.schema_of_variant(v)
+
+    if t_norm == "string":
+        inst = F.when(v.isNull(), raw).when(vt == "STRING", F.variant_get(v, "$", "string"))
+        ok = inst.isNotNull() & compile_constraints(schema, inst)
+    elif t_norm in ("integer", "number"):
+        numeric = vt.isin("BIGINT", "DOUBLE") | vt.startswith("DECIMAL")
+        dv = F.try_variant_get(v, "$", "double")
+        ok = numeric & dv.isNotNull()
+        if t_norm == "integer":
+            ok = ok & ((dv % F.lit(1.0)) == 0)
+        ok = ok & compile_constraints(schema, dv)
+    elif t_norm == "boolean":
+        ok = (vt == "BOOLEAN") & compile_constraints(
+            schema, F.try_variant_get(v, "$", "boolean")
+        )
+    elif t_norm == "null":
+        ok = vt == "VOID"
+    elif t_norm == "array":
+        st = shadow_numeric(json_schema_to_spark(schema))
+        ok = vt.startswith("ARRAY") & compile_constraints(schema, F.from_json(raw, st))
+        it = schema.get("items", {}).get("type") if isinstance(schema.get("items"), dict) else None
+        it_norm = nullable_of(it) or it
+        if isinstance(it_norm, str):
+            elems = F.try_variant_get(v, "$", "array<variant>")
+
+            def echeck(e):
+                evt = F.schema_of_variant(e)
+                if it_norm == "string":
+                    base = evt == "STRING"
+                elif it_norm in ("integer", "number"):
+                    base = evt.isin("BIGINT", "DOUBLE") | evt.startswith("DECIMAL")
+                    if it_norm == "integer":
+                        ed = F.try_variant_get(e, "$", "double")
+                        base = base & ed.isNotNull() & ((ed % F.lit(1.0)) == 0)
+                elif it_norm == "boolean":
+                    base = evt == "BOOLEAN"
+                elif it_norm == "object":
+                    base = evt.startswith("OBJECT")
+                elif it_norm == "array":
+                    base = evt.startswith("ARRAY")
+                elif it_norm == "null":
+                    base = evt == "VOID"
+                else:
+                    base = F.lit(True)
+                if nullable_of(it) is not None:
+                    base = (evt == "VOID") | base
+                return base
+
+            ok = ok & F.coalesce(F.forall(elems, echeck), F.lit(True))
+    else:
+        # untyped scalar: any instance shape; constraints see the raw text
+        ok = compile_constraints(schema, raw)
+
+    if t_null is not None:
+        ok = (vt == "VOID") | ok
+    return ok
 
 
 def load_schema_file(path: str) -> tuple[str, Any]:

@@ -136,14 +136,38 @@ def test_registration_fails_loudly_without_jsonschema(tmp_path, monkeypatch):
         reg.schema_for("t")
 
 
-def test_boolean_additional_properties_is_benign(tmp_path):
-    """from_json parses with a FIXED StructType, so unknown properties are
-    dropped regardless — boolean additionalProperties adds no constraint;
-    the schema-valued form constrains values we can't see and must flag."""
+def test_additional_properties_false_compiles_and_rejects(spark, tmp_path):
+    """from_json silently DROPS unknown properties, but the raw bytes still
+    carry them and the reference's full validator rejects the record when
+    `additionalProperties: false` — so the compiled path audits the
+    instance's object keys against the declared properties set (r6 advice).
+    The schema-valued form constrains values the fixed StructType can't
+    see and still routes to the fallback; so does the boolean form nested
+    under `items` (no per-element key path)."""
     assert unsupported_keywords({"type": "object", "additionalProperties": False}) == set()
     assert unsupported_keywords(
         {"type": "object", "additionalProperties": {"type": "integer"}}
     ) == {"additionalProperties"}
+    assert unsupported_keywords(
+        {"type": "array",
+         "items": {"type": "object", "additionalProperties": False}}
+    ) == {"additionalProperties(in-items)"}
+
+    part = {
+        "type": "object",
+        "additionalProperties": False,
+        "properties": {"a": {"type": "integer"},
+                       "home": {"type": "object",
+                                "additionalProperties": False,
+                                "properties": {"city": {"type": "string"}}}},
+    }
+    reg = _registry(tmp_path, part)
+    assert reg.schema_for("t").full_validator_keywords == []
+    reg.validate("t", _batch(spark, {"a": 1, "home": {"city": "x"}}))
+    with pytest.raises(ValidationError, match="batch rejected"):
+        reg.validate("t", _batch(spark, {"a": 1, "extra": 2}))
+    with pytest.raises(ValidationError, match="batch rejected"):
+        reg.validate("t", _batch(spark, {"home": {"city": "x", "zip": 1}}))
 
 
 # --------------------------------------------- type strictness (r5 late)
@@ -186,23 +210,101 @@ def test_type_strictness_accepts_and_rejects(spark, tmp_path, label, part, good,
         reg.validate("t", _batch(spark, bad))
 
 
-def test_union_type_and_tuple_items_route_to_full_validator(spark, tmp_path):
-    """A union `type` (["null","string"]) or tuple-form `items` would
-    silently compile to always-true — both must route through the full
-    validator instead (the same never-silently-permissive rule as
-    unknown keywords)."""
+def test_nullable_union_compiles_natively(spark, tmp_path):
+    """`["null", T]` — by far the most common union idiom — now compiles
+    (r6 verdict ask #6): absent | explicit null | T all validate JVM-side;
+    a mistyped value still rejects. Required-ness of a nullable field is
+    KEY presence (an explicit null satisfies it), which only the variant
+    can see."""
     part = {
         "type": "object",
-        "properties": {"x": {"type": ["null", "integer"]}},
+        "required": ["x"],
+        "properties": {"x": {"type": ["null", "integer"], "minimum": 0}},
+    }
+    assert unsupported_keywords(part) == set()
+    reg = _registry(tmp_path, part)
+    assert reg.schema_for("t").full_validator_keywords == []
+    reg.validate("t", _batch(spark, {"x": None}))   # null arm
+    reg.validate("t", _batch(spark, {"x": 3}))      # typed arm
+    with pytest.raises(ValidationError):
+        reg.validate("t", _batch(spark, {"x": "nope"}))  # neither arm
+    with pytest.raises(ValidationError):
+        reg.validate("t", _batch(spark, {"x": -1}))  # constraint on T arm
+    with pytest.raises(ValidationError):
+        reg.validate("t", _batch(spark, {}))         # required: key absent
+
+
+def test_multi_type_union_and_tuple_items_route_to_full_validator(spark, tmp_path):
+    """A GENUINE multi-type union (["integer","string"]) or tuple-form
+    `items` would silently compile to always-true — both must route
+    through the full validator (the same never-silently-permissive rule
+    as unknown keywords)."""
+    part = {
+        "type": "object",
+        "properties": {"x": {"type": ["integer", "string"]}},
     }
     assert unsupported_keywords(part) == {"type(union)"}
     reg = _registry(tmp_path, part)
     assert reg.schema_for("t").full_validator_keywords == ["type(union)"]
-    reg.validate("t", _batch(spark, {"x": None}))
     reg.validate("t", _batch(spark, {"x": 3}))
+    reg.validate("t", _batch(spark, {"x": "ok"}))
     with pytest.raises(ValidationError):
-        reg.validate("t", _batch(spark, {"x": "nope"}))
+        reg.validate("t", _batch(spark, {"x": True}))
 
     assert unsupported_keywords(
         {"type": "array", "items": [{"type": "integer"}, {"type": "string"}]}
     ) == {"items(non-object)"}
+
+
+def test_integer_valued_floats_accepted(spark, tmp_path):
+    """JSON Schema's numeric model is mathematical: 1.0 and 1e3 are valid
+    `integer`s (r6 advice — the reference's jsonschema crate admits them;
+    rejecting failed whole batches the reference accepts). Constraints
+    evaluate through the shadow-double parse, so they still apply."""
+    part = _obj("n", {"type": "integer", "minimum": 5})
+    reg = _registry(tmp_path, part)
+    reg.validate("t", _batch(spark, {"n": 5}))
+    reg.validate("t", _batch(spark, {"n": 6.0}))     # integral float
+    reg.validate("t", _batch(spark, {"n": 1e3}))     # exponent form
+    with pytest.raises(ValidationError):
+        reg.validate("t", _batch(spark, {"n": 6.5})) # fractional part
+    with pytest.raises(ValidationError):
+        reg.validate("t", _batch(spark, {"n": 4.0})) # constraint via shadow
+
+
+def test_array_element_types_enforced(spark, tmp_path):
+    """PERMISSIVE parsing nulls a mistyped array element, disguising it
+    from element constraints; the variant element-type check rejects it
+    like the reference's validator."""
+    part = _obj("tags", {"type": "array", "items": {"type": "integer"}})
+    reg = _registry(tmp_path, part)
+    reg.validate("t", _batch(spark, {"tags": [1, 2.0]}))
+    with pytest.raises(ValidationError):
+        reg.validate("t", _batch(spark, {"tags": [1, "y"]}))
+    with pytest.raises(ValidationError):
+        reg.validate("t", _batch(spark, {"tags": [1, None]}))
+    with pytest.raises(ValidationError):
+        reg.validate("t", _batch(spark, {"tags": [1, 2.5]}))
+
+
+def test_scalar_part_uniform_instance_convention(spark, tmp_path):
+    """Scalar (non-object) parts share the fallback kernel's convention:
+    parseable bytes are the typed JSON instance, unparseable bytes are a
+    bare string instance. So a JSON number no longer validates against a
+    string schema, and a QUOTED string pattern-checks unquoted — both
+    previously diverged between the two paths (r6 advice)."""
+    schema = {"type": "object", "properties":
+              {"key": {"type": "string", "pattern": r"^\d{3}-\d{2}-\d{4}$"},
+               "value": {"type": "object", "properties": {}}}}
+    (tmp_path / "t.json").write_text(json.dumps(schema))
+    reg = SchemaRegistry(str(tmp_path))
+
+    def kbatch(key_bytes: bytes):
+        return spark.createDataFrame([(key_bytes, b"{}")], "key binary, value binary")
+
+    reg.validate("t", kbatch(b"123-45-6789"))      # raw utf-8 front door
+    reg.validate("t", kbatch(b'"123-45-6789"'))    # reference-shaped JSON
+    with pytest.raises(ValidationError):
+        reg.validate("t", kbatch(b"123"))           # JSON number, not string
+    with pytest.raises(ValidationError):
+        reg.validate("t", kbatch(b'"nope"'))        # pattern fails unquoted

@@ -12,9 +12,12 @@ Instances include MISTYPED values and explicit JSON nulls: the
 compiled predicate carries a variant-based type-strictness conjunct
 (types.py::compile_type_strictness) so a string-where-integer, a
 number-where-string, or an explicit null for a typed field rejects
-exactly as the reference's validator does. Documented residual
-divergence (not generated): integer-VALUED floats (1.0) are valid
-`integer`s to JSON Schema but reject here (variant type DECIMAL(2,1)).
+exactly as the reference's validator does. Round 6 extends the
+generated surface to the newly-compiled semantics: integer-VALUED
+floats (1.0, 1e3 — valid JSON Schema integers, mathematical numeric
+model), nullable unions ["null", T] (including required-ness = key
+presence), additionalProperties: false (instance keys audited against
+declared properties), and array element types.
 """
 
 from __future__ import annotations
@@ -34,9 +37,11 @@ from tansu_spark.registry import SchemaRegistry, ValidationError
 # strictness conjunct must reject exactly like jsonschema's `type`.
 _STRINGS = ["", "a", "ab", "abc", "abcd", "zzzzz", "order", "refund",
             5, True, None, [1], {"x": 1}]
-_INTS = [-7, -1, 0, 1, 2, 5, 7, 10, 15, "5", "abc", True, None, [1]]
+_INTS = [-7, -1, 0, 1, 2, 5, 7, 10, 15, "5", "abc", True, None, [1],
+         4.0, 10.0, 2.5, -3.0, 1e3]
 _ARRAYS = [[], [1], [1, 2], [2, 1], [1, 1], [0, 5, 10], [-1, 3],
-           [1, 2, 3, 4], ["x"], [1, "y"], "not-an-array", 7, None]
+           [1, 2, 3, 4], ["x"], [1, "y"], [1, None], [2.0, 4], [1, 2.5],
+           "not-an-array", 7, None]
 
 
 def _string_schema(draw):
@@ -102,10 +107,15 @@ def schema_and_instances(draw):
         else:
             fields[name] = _array_schema(draw)
             values_pool[name] = _ARRAYS
+        # nullable-union wrap: same constraints, null also admitted
+        if draw(st.booleans()) and draw(st.booleans()):
+            fields[name]["type"] = ["null", fields[name]["type"]]
     required = draw(
         st.lists(st.sampled_from(sorted(fields)), max_size=n_fields, unique=True)
     )
     part = {"type": "object", "required": required, "properties": fields}
+    if draw(st.booleans()):
+        part["additionalProperties"] = False
 
     instances = []
     for _ in range(draw(st.integers(3, 8))):
@@ -113,6 +123,8 @@ def schema_and_instances(draw):
         for name in fields:
             if draw(st.booleans()):
                 inst[name] = draw(st.sampled_from(values_pool[name]))
+        if draw(st.integers(0, 3)) == 0:
+            inst["zzextra"] = draw(st.sampled_from([1, "x"]))
         instances.append(inst)
     return part, instances
 
