@@ -34,8 +34,27 @@ HEADLINE = [
 ]
 
 
+def cpu_probe() -> float:
+    """Single-thread CPU calibration: best-of-3 wall time of a fixed
+    pure-Python workload (interpreter arithmetic — sensitive to exactly
+    the host contention that inflates query wall times). Rounds compare
+    on control-normalized ratios instead of arguing about load by hand
+    (r5 verdict ask #4: the host ran ~1.23x slower than r4 with zero
+    code change; the probe makes that measurable inside the artifact)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    probe_s = cpu_probe()
+    load_start = os.getloadavg()[0]
     spark = get_spark(app_name="tansu-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -88,12 +107,29 @@ def main() -> None:
         g = group_of(name)
         groups[g] = round(groups.get(g, 0.0) + sec, 3)
 
+    # Calibration block: single-thread CPU probe + the untouched-since-r1
+    # pure-scan control (tpch_q6) + load averages. Cross-round comparisons
+    # normalize per-query times by these controls (tools/bench_compare.py)
+    # instead of eyeballing host contention.
+    calibration = {
+        "cpu_probe_s": probe_s,
+        "scan_control": "tpch_q6_forecast_revenue",
+        "scan_control_s": timings.get("tpch_q6_forecast_revenue"),
+        "load_avg_start": round(load_start, 2),
+        "load_avg_end": round(os.getloadavg()[0], 2),
+    }
+
     detail = {
         "metric": "all_queries_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
+        "calibration": calibration,
+        # the BENCH_DETAIL written by the bench run the driver records as
+        # BENCH_r{N}.json IS the round's canonical measurement (r5 shipped
+        # two runs with different totals and no label — never again)
+        "canonical": True,
     }
     # BENCH_DETAIL.json is the judge's sf0.1 per-query record — a smoke
     # run at another SF must never overwrite it (round-2 commit 60411a4
@@ -112,6 +148,7 @@ def main() -> None:
                 "groups": dict(sorted(groups.items())),
                 "n_queries": len(timings),
                 "sf": float(sf) if sf else sf_dir,
+                "calibration": calibration,
             },
             separators=(",", ":"),
         )

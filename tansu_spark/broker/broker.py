@@ -375,6 +375,39 @@ class Broker:
             "value", F.col("value").cast("binary")
         )
 
+        # Binary-wire topics: stamp each record with the WRITER schema's
+        # fingerprint header and snapshot that schema version into topic
+        # state — after an add-only migration, typed_records resolves old
+        # segments under their writer schema (registry.decode +
+        # avro_wire.decode_resolved; Delta::migrate_schema parity). The
+        # snapshot write is idempotent; the header is how real schema-
+        # registry clients carry schema ids on the Kafka wire.
+        wire_cfg = cfg.config.get("tansu.schema.wire", "json")
+        if self.registry is not None and wire_cfg in ("avro", "proto"):
+            ts = self.registry.schema_for(topic)
+            if ts is not None and ts.dialect == wire_cfg:
+                fp = ts.fingerprint()
+                snap = self._state(topic, f"schema-{fp}.json")
+                if not os.path.exists(snap):
+                    write_json_atomic(snap, {"dialect": ts.dialect, "raw": ts.raw}
+                                      if ts.dialect == "avro"
+                                      else {"dialect": ts.dialect})
+                out = out.withColumn(
+                    "headers",
+                    F.concat(
+                        F.coalesce(
+                            F.col("headers"),
+                            F.array().cast(RECORD_SCHEMA["headers"].dataType),
+                        ),
+                        F.array(
+                            F.struct(
+                                F.lit("tansu.schema.fp").alias("key"),
+                                F.lit(fp.encode()).alias("value"),
+                            )
+                        ),
+                    ),
+                )
+
         # Schema validation before taking the write lock (pg.rs:801-823;
         # bypass via tansu.schema.validation=false, FIXTURES.md §10).
         if (
@@ -737,8 +770,25 @@ class Broker:
         df = self.records(topic)
         if self.registry is not None:
             wire = self.describe_topic(topic).config.get("tansu.schema.wire", "json")
-            df = self.registry.decode(topic, df, wire=wire)
+            df = self.registry.decode(
+                topic, df, wire=wire,
+                writer_schemas=self._writer_schemas(topic) if wire == "avro" else None,
+            )
         return K.with_meta(df)
+
+    def _writer_schemas(self, topic: str) -> dict[str, object]:
+        """{fingerprint: raw avsc} of every schema version that produced
+        into this topic (snapshots written by produce) — the lookup table
+        reader-schema resolution needs to decode pre-migration segments."""
+        import glob
+
+        out: dict[str, object] = {}
+        for p in glob.glob(self._state(topic, "schema-*.json")):
+            fp = os.path.basename(p)[len("schema-"):-len(".json")]
+            snap = read_json(p, {})
+            if snap.get("dialect") == "avro":
+                out[fp] = snap["raw"]
+        return out
 
     def _txns_path(self) -> str:
         return os.path.join(self.root, "txns.json")

@@ -324,3 +324,195 @@ def _decode(schema: Any, buf: io.BytesIO) -> Any:
     if kind == "record":
         return {f["name"]: _decode(f["type"], buf) for f in node["fields"]}
     raise ValueError(f"cannot decode avro kind {kind!r}")
+
+
+# -------------------------------------------- reader/writer schema resolution
+
+# Numeric/lexical promotions the Avro spec allows a reader to apply
+# (spec "Schema Resolution"; the reference migrates add-only —
+# Delta::migrate_schema, nisshi-schema tests migrate-001..003 — but the
+# codec implements the full primitive promotion table since it is free).
+_PROMOTIONS = {
+    ("int", "long"),
+    ("int", "float"),
+    ("int", "double"),
+    ("long", "float"),
+    ("long", "double"),
+    ("float", "double"),
+    ("string", "bytes"),
+    ("bytes", "string"),
+}
+
+
+def decode_resolved(writer: Any, reader: Any, data: bytes) -> Any:
+    """Decode ``data`` (written under ``writer``) into ``reader``'s shape —
+    the operational path after a schema migration: old segments keep the
+    writer's bytes; the evolved registry schema reads them with new
+    fields filled from their defaults and removed fields skipped
+    (mirrors the reference's add-only Delta::migrate_schema fixtures,
+    nisshi-schema/tests/migrate-001..003)."""
+    buf = io.BytesIO(data)
+    return _decode_resolved(writer, reader, buf)
+
+
+def _branch_key(schema: Any) -> tuple:
+    kind, node = _resolve(schema)
+    if kind in ("record", "enum", "fixed") and isinstance(node, dict):
+        return (kind, node.get("name"))
+    return (kind,)
+
+
+def _match_branch(writer_branch: Any, reader_branches: list) -> int:
+    want = _branch_key(writer_branch)
+    for i, rb in enumerate(reader_branches):
+        if _branch_key(rb) == want:
+            return i
+    raise ValueError(f"no reader union branch matches writer branch {want!r}")
+
+
+def _default_value(schema: Any, default: Any) -> Any:
+    """Avro JSON default → the decoded-Python representation this codec
+    yields (so defaulted fields line up with types.avro_to_spark)."""
+    kind, node = _resolve(schema)
+    if kind == "union":
+        branches = list(node)
+        # spec: the default of a union applies to its FIRST branch
+        if default is None:
+            return None
+        if _is_nullable_single(branches):
+            return _default_value([b for b in branches if b != "null"][0], default)
+        non_null = _union_branches(branches)
+        rec = {"_tag": 0}
+        for i in range(len(non_null)):
+            rec[f"u{i}"] = _default_value(non_null[i], default) if i == 0 else None
+        return rec
+    if kind in ("bytes", "fixed") and isinstance(default, str):
+        return default.encode("latin-1")  # spec: defaults for bytes are \u00XX
+    if kind in ("int", "long"):
+        return int(default)
+    if kind in ("float", "double"):
+        return float(default)
+    if kind == "record":
+        return {
+            f["name"]: _default_value(f["type"], (default or {}).get(f["name"], f.get("default")))
+            for f in node["fields"]
+        }
+    if kind == "array":
+        return [_default_value(node["items"], d) for d in (default or [])]
+    if kind == "map":
+        return {k: _default_value(node["values"], v) for k, v in (default or {}).items()}
+    return default
+
+
+def _decode_resolved(writer: Any, reader: Any, buf: io.BytesIO) -> Any:
+    if writer == reader:
+        return _decode(writer, buf)
+    wkind, wnode = _resolve(writer)
+    rkind, rnode = _resolve(reader)
+
+    if wkind == "union":
+        branches = list(wnode)
+        idx = _read_long(buf)
+        branch = branches[idx]
+        if rkind == "union":
+            rbranches = list(rnode)
+            if branch == "null":
+                if "null" not in rbranches:
+                    raise ValueError("writer null branch not readable: reader union has no null")
+                return None
+            if _is_nullable_single(rbranches):
+                return _decode_resolved(
+                    branch, [b for b in rbranches if b != "null"][0], buf
+                )
+            non_null_r = _union_branches(rbranches)
+            ri = _match_branch(branch, non_null_r)
+            rec = {"_tag": ri}
+            for i in range(len(non_null_r)):
+                rec[f"u{i}"] = (
+                    _decode_resolved(branch, non_null_r[ri], buf) if i == ri else None
+                )
+            return rec
+        if branch == "null":
+            raise ValueError("writer null branch not readable by non-union reader")
+        return _decode_resolved(branch, reader, buf)
+
+    if rkind == "union":
+        rbranches = list(rnode)
+        if _is_nullable_single(rbranches):
+            return _decode_resolved(writer, [b for b in rbranches if b != "null"][0], buf)
+        non_null_r = _union_branches(rbranches)
+        ri = _match_branch(writer, non_null_r)
+        rec = {"_tag": ri}
+        for i in range(len(non_null_r)):
+            rec[f"u{i}"] = _decode_resolved(writer, non_null_r[ri], buf) if i == ri else None
+        return rec
+
+    if wkind == "record" and rkind == "record":
+        rfields = {f["name"]: f for f in rnode["fields"]}
+        out: dict[str, Any] = {}
+        for f in wnode["fields"]:
+            if f["name"] in rfields:
+                out[f["name"]] = _decode_resolved(
+                    f["type"], rfields[f["name"]]["type"], buf
+                )
+            else:
+                _decode(f["type"], buf)  # field removed by migration: skip
+        for f in rnode["fields"]:
+            if f["name"] not in out:
+                if "default" not in f:
+                    raise ValueError(
+                        f"reader field {f['name']!r} absent from writer schema "
+                        "and has no default (non-add-only migration)"
+                    )
+                out[f["name"]] = _default_value(f["type"], f["default"])
+        return out
+
+    if wkind == "array" and rkind == "array":
+        out_list: list[Any] = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out_list
+            if n < 0:
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                out_list.append(_decode_resolved(wnode["items"], rnode["items"], buf))
+
+    if wkind == "map" and rkind == "map":
+        pairs: dict[str, Any] = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return pairs
+            if n < 0:
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                k = _decode("string", buf)
+                pairs[k] = _decode_resolved(wnode["values"], rnode["values"], buf)
+
+    if wkind == "enum" and rkind == "enum":
+        sym = wnode["symbols"][_read_long(buf)]
+        if sym in rnode["symbols"]:
+            return sym
+        if "default" in rnode:
+            return rnode["default"]
+        raise ValueError(f"enum symbol {sym!r} not in reader symbols, no default")
+
+    if wkind == rkind:
+        # same primitive/logical kind, differing annotations: the writer
+        # node governs the wire layout
+        return _decode(writer, buf)
+
+    if (wkind, rkind) in _PROMOTIONS:
+        value = _decode(writer, buf)
+        if rkind in ("float", "double"):
+            return float(value)
+        if rkind == "long":
+            return int(value)
+        if rkind == "bytes":
+            return value.encode("utf-8")
+        if rkind == "string":
+            return value.decode("utf-8")
+    raise ValueError(f"cannot resolve writer {wkind!r} against reader {rkind!r}")

@@ -88,6 +88,21 @@ class TopicSchema:
                     )
                 self.full_validator_keywords = sorted(unk)
 
+    def fingerprint(self) -> str:
+        """Stable id of this schema VERSION (md5 of the canonical JSON /
+        proto text) — stamped on produced records so old segments decode
+        under their writer schema after a migration (lib.rs parity: the
+        reference's registry is keyed object storage; versioning by
+        content hash gives the same old-bytes-still-decode property)."""
+        import hashlib
+        import json as _json
+
+        if self.dialect == "proto":
+            text = self.raw.get("_source", _json.dumps(sorted(self.raw["messages"])))
+        else:
+            text = _json.dumps(self.raw, sort_keys=True, separators=(",", ":"))
+        return hashlib.md5(text.encode()).hexdigest()
+
     def _part(self, which: str):  # "key" | "value"
         if self.dialect == "avro":
             # .avsc: record with optional key/value fields (avro.rs:55-64)
@@ -357,18 +372,31 @@ class SchemaRegistry:
         return enc("key", key), enc("value", value)
 
     # ----------------------------------------------------------------- decode
-    def decode(self, topic: str, df: DataFrame, wire: str = "json") -> DataFrame:
+    def decode(
+        self,
+        topic: str,
+        df: DataFrame,
+        wire: str = "json",
+        writer_schemas: dict[str, Any] | None = None,
+    ) -> DataFrame:
         """Typed view of a topic DataFrame: key/value bytes → schema'd
         columns (the AsArrow equivalent, feeding the lake sink).
 
         ``wire="avro"`` decodes Avro BINARY payloads via the pure-Python
         spec codec (avro_wire.py) in one Arrow-batched mapInPandas pass —
-        the non-jar replication of avro.rs:365-540."""
+        the non-jar replication of avro.rs:365-540.
+
+        ``writer_schemas`` ({fingerprint: raw avsc dict}) enables READER-
+        schema resolution: records stamped with a `tansu.schema.fp`
+        header decode under their WRITER schema resolved against the
+        current registry schema (new fields from defaults, removed
+        fields skipped) — the operational path after an add-only
+        migration (Delta::migrate_schema parity, avro_wire.py)."""
         ts = self.schema_for(topic)
         if ts is None:
             return df
         if wire == ts.dialect and wire in ("avro", "proto"):
-            return self._decode_binary_wire(ts, df)
+            return self._decode_binary_wire(ts, df, writer_schemas)
         out = df
         for which in ("key", "value"):
             st = ts.spark_type(which)
@@ -420,13 +448,23 @@ class SchemaRegistry:
         )
         return df.withColumn(which, decoded)
 
-    def _decode_binary_wire(self, ts: TopicSchema, df: DataFrame) -> DataFrame:
+    def _decode_binary_wire(
+        self,
+        ts: TopicSchema,
+        df: DataFrame,
+        writer_schemas: dict[str, Any] | None = None,
+    ) -> DataFrame:
         """One mapInPandas over the batch: every schema'd part's binary
         column → its typed StructType/scalar (avro_wire / proto_wire spec
         decode), all other columns pass through untouched. The kernel is
         a per-cell spec decode — Python, but Arrow-batched and
         decode-bound (the same work the reference does natively per
-        record); undecodable bytes raise, matching reject-whole-batch."""
+        record); undecodable bytes raise, matching reject-whole-batch.
+
+        With ``writer_schemas`` (avro only), rows stamped with a
+        `tansu.schema.fp` header whose fingerprint differs from the
+        current schema decode via avro_wire.decode_resolved — writer
+        bytes, reader shape."""
         import pandas as pd
         from pyspark.sql.types import StructField, StructType as _Struct
 
@@ -445,16 +483,58 @@ class SchemaRegistry:
         out_schema = _Struct(fields)
         names = df.columns
 
+        # per-fingerprint WRITER part schemas for resolved decode
+        resolved_parts: dict[str, dict[str, Any]] = {}
+        reader_parts: dict[str, Any] = {}
+        if ts.dialect == "avro" and writer_schemas and "headers" in names:
+            current_fp = ts.fingerprint()
+            reader_parts = {w: ts._part(w) for w in parts}
+            for fp, raw in writer_schemas.items():
+                if fp == current_fp:
+                    continue
+                wts = TopicSchema("avro", raw)
+                resolved_parts[fp] = {w: wts._part(w) for w in parts}
+
+        def row_fp(headers) -> str | None:
+            if headers is None:
+                return None
+            for h in headers:
+                if h["key"] == "tansu.schema.fp":
+                    return bytes(h["value"]).decode("utf-8", "replace")
+            return None
+
         def kernel(batches):
+            from tansu_spark.registry import avro_wire as W
+
             for pdf in batches:
+                fps = (
+                    [row_fp(h) for h in pdf["headers"]]
+                    if resolved_parts
+                    else None
+                )
                 data = {}
                 for c in names:
                     if c in parts:
                         dec = parts[c][0]
-                        data[c] = [
-                            None if raw is None else dec(bytes(raw))
-                            for raw in pdf[c]
-                        ]
+                        if fps is None:
+                            data[c] = [
+                                None if raw is None else dec(bytes(raw))
+                                for raw in pdf[c]
+                            ]
+                        else:
+                            rpart = reader_parts[c]
+                            cells = []
+                            for raw, fp in zip(pdf[c], fps):
+                                if raw is None:
+                                    cells.append(None)
+                                elif fp in resolved_parts:
+                                    wpart = resolved_parts[fp].get(c) or rpart
+                                    cells.append(
+                                        W.decode_resolved(wpart, rpart, bytes(raw))
+                                    )
+                                else:
+                                    cells.append(dec(bytes(raw)))
+                            data[c] = cells
                     else:
                         data[c] = pdf[c]
                 yield pd.DataFrame(data)

@@ -158,3 +158,73 @@ def test_fold_scorer_bit_identical_to_column_scorer(spark, sf_dir):
         assert cl == pcl == by_col[vid], vid
         assert cc == pcc, (vid, cc, pcc)  # exact doubles, no tolerance
         assert vn == pvn, (vid, vn, pvn)
+
+
+def test_grouped_fold_scorer_matches_driver_model_fold(spark, sf_dir):
+    """ivf_assign_fold_grouped (DISTRIBUTED centroid table, cogrouped on
+    the coarse key) must produce bit-identical assignments and scores to
+    ivf_assign_fold scoring the same centroids from the task closure —
+    the property that lets the two-level SemDeDup keep its fine model
+    distributed while staying under the hash gate."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S._centroid_rows(emb, 12, "vec_id", "embedding")
+
+    # one synthetic coarse cell: the grouped scorer sees the same model
+    members = emb.withColumn("coarse", F.col("vec_id") % 2)
+    cent_rows = [(int(cid) % 2, int(cid), list(v)) for cid, v in cents]
+    cent_df = spark.createDataFrame(
+        cent_rows, "coarse long, fine long, c_vec array<float>"
+    )
+    grouped = S.ivf_assign_fold_grouped(
+        members, cent_df, group_col="coarse", cent_id_col="fine"
+    )
+    by_grouped = {
+        r["vec_id"]: (r["coarse"], r["fine"], r["cent_cos"], r["_vn"])
+        for r in grouped.collect()
+    }
+
+    for parity in (0, 1):
+        sub = emb.filter(F.col("vec_id") % 2 == parity)
+        csub = [(cid, v) for cid, v in cents if cid % 2 == parity]
+        fold = S.ivf_assign_fold(sub, csub)
+        for r in fold.collect():
+            g = by_grouped[r["vec_id"]]
+            assert g[0] == parity
+            assert g[1] == r["cluster"], r["vec_id"]
+            assert g[2] == r["cent_cos"], r["vec_id"]  # exact doubles
+            assert g[3] == r["_vn"], r["vec_id"]
+
+
+def test_semdedup_scaled_driver_state_is_sublinear(spark, sf_dir):
+    """The r5 verdict's scale blocker: the single-level SemDeDup
+    collected the FULL k = n/32 centroid model (O(n) driver rows). The
+    two-level rewrite may only ever collect the coarse model — c x
+    N_DIMS rows with c = ceil(sqrt(k)) — plus the c seed rows. Pin it by
+    intercepting every DataFrame.collect() in the query build."""
+    import math
+
+    from tansu_spark.queries import QUERIES
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    c = math.ceil(math.sqrt(math.ceil(n / 32.0)))
+    budget = c * 64  # coarse model rows (the seed collect is c rows)
+
+    sizes: list[int] = []
+    cls = type(emb)  # classic vs connect DataFrame: patch the live class
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    cls.collect = spy
+    try:
+        df = QUERIES["dedup_semdedup_scaled"](spark, sf_dir)
+    finally:
+        cls.collect = orig
+    assert sizes, "expected the coarse-model collects to happen at build time"
+    assert max(sizes) <= budget, (sizes, budget, n)
+    # the result itself stays distributed and complete
+    assert df.count() == n

@@ -161,15 +161,18 @@ SNAPSHOTS: dict[str, str] = {
         "list. Never all-pairs."
     ),
     "dedup_semdedup_scaled": (
-        "The scale-safe SemDeDup: assignment is ONE Arrow-batched "
-        "`MapInPandas` scan (ivf_assign_fold — the trained k~n/32 model "
-        "rides the task closure; scores bit-identical to the column "
-        "fold), checkpointed so the pairwise stage re-reads a slim "
-        "(id, vec, norm, cluster, score) table (`Scan ExistingRDD`), "
-        "then a self-join on cluster id whose per-task work is capped "
-        "by the CONSTANT cluster size — total pairwise cost ~32n, "
-        "linear, vs the pinned-k variant's n²/16. The keep-decision is "
-        "the same slim anti-join."
+        "The TWO-LEVEL SemDeDup (r6): coarse assignment is one Arrow-"
+        "batched `MapInPandas` scan with only the c=ceil(sqrt(k)) coarse "
+        "model in the closure (O(sqrt n) driver state, pytest-pinned); "
+        "the fine model is a DISTRIBUTED table cogrouped with its "
+        "members on the coarse key (`FlatMapCoGroupsInPandas` — one "
+        "hash shuffle per side, the same co-partitioning a bucketed "
+        "join uses), so per-vector scoring is O(cell/32)~=O(sqrt k) and "
+        "NO O(n) model rows ever collect. The final assignment is "
+        "checkpointed (`Scan ExistingRDD`) and the pairwise stage is a "
+        "self-join on (coarse, fine) capped by the ~32-member fine-cell "
+        "invariant — ~32n comparisons, linear. The keep-decision is the "
+        "same slim anti-join."
     ),
     "streaming_dedup_replay": (
         "A REAL streaming run: the returned frame is the memory-sink "
