@@ -568,11 +568,17 @@ def ivf_ann_topk(
     """
     if cents is None:
         cents = _centroid_rows(corpus, n_centroids, id_col, vec_col)
-    cb = ivf_assign(corpus, cents, id_col, vec_col).select(
+    # packed scorer: bit-identical to _score_array (pinned by
+    # test_fold_scorer_bit_identical) with plan size CONSTANT in k — the
+    # k-fold expression tree dominated this query's wall time (planning/
+    # codegen, not compute, at 16 x 64 literals; r6 verdict ask #3)
+    cb = ivf_assign_packed(corpus, cents, id_col, vec_col).select(
         F.col(id_col), F.col(vec_col), "cluster"
     )
     probes = F.slice(
-        F.sort_array(_score_array(vec_col, cents, F.col("_vn")), asc=False), 1, n_probe
+        F.sort_array(score_array_packed(vec_col, cents, F.col("_vn")), asc=False),
+        1,
+        n_probe,
     )
     qb = (
         queries.withColumn("_vn", norm(vec_col))

@@ -1167,6 +1167,108 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "streaming_interval_join_outer",
+    oracle="""
+    WITH wm AS (
+      SELECT date_trunc('milliseconds',
+               least(max(ts) FILTER (WHERE event_type = 'purchase'),
+                     max(ts) FILTER (WHERE event_type = 'click'))) AS w
+      FROM events)
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           CASE WHEN c.event_id IS NULL THEN NULL
+                ELSE CAST(floor(epoch(p.ts)) AS BIGINT)
+                     - CAST(floor(epoch(c.ts)) AS BIGINT) END AS lag_sec,
+           (c.event_id IS NULL) AS unattributed
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts
+    -- watermark semantics, replayed exactly: a NEGATIVE verdict emits
+    -- only once the (ms-truncated, min-of-both-inputs) watermark passes
+    -- the purchase's join-window upper bound (= p.ts, upper slack 0) —
+    -- the final purchase(s) of a finite replay stay pending, just as
+    -- they would on the real unbounded stream
+    WHERE c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
+    """,
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT-OUTER interval join with watermark-expiry null
+    padding (round-6 verdict ask #5): every purchase emits — with its
+    attributed click(s), or ONCE null-padded when the watermark passes
+    its 24 h lookback window and no click arrived. The negative verdict
+    ("this purchase had NO click in the last 24 h") is exactly the
+    output Spark can only produce for watermarked interval joins: it
+    requires knowing no matching row can still arrive.
+
+    State boundedness: each side's state retention is watermark +
+    interval slack — purchases wait at most 24 h past the watermark for
+    a late click, clicks are droppable once no future purchase's window
+    can reach back to them. On an unbounded topic both stores hold
+    O(in-flight window), not O(history). Under the availableNow replay
+    the final no-data batch advances the watermark past max event time,
+    so every pending negative emits and the appended result hash-equals
+    the batch LEFT JOIN the oracle replays."""
+    import os
+
+    from tansu_spark.streaming.join import stream_interval_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    ts_is_long = schema["ts"].dataType.typeName() == "long"
+    ts_col = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
+
+    def src(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                "user_id", F.col("event_id"), ts_col.alias("timestamp")
+            )
+        )
+
+    joined = stream_interval_join(
+        src("purchase"),
+        src("click"),
+        key="user_id",
+        l_ts="timestamp",
+        r_ts="timestamp",
+        lower="24 hours",
+        upper="0 seconds",
+        watermark="0 seconds",
+        how="left_outer",
+    )
+    out = joined.select(
+        "user_id",
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        (
+            F.col("l_timestamp").cast("long") - F.col("r_timestamp").cast("long")
+        ).alias("lag_sec"),
+        F.col("r_event_id").isNull().alias("unattributed"),
+    )
+    name = "stream_interval_join_outer_oracle"
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 @query("kmv_supplier_overlap_by_brand", plan=("single_row_broadcast",), oracle=None)  # oracle built below
 def kmv_supplier_overlap_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch MERGE under the oracle: which part brands share supplier

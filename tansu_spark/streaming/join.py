@@ -61,15 +61,27 @@ def stream_interval_join(
     lower: str = "0 seconds",
     upper: str = "5 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Streaming interval join: both sides watermarked on their event-time
     column, joined on `key` with the same interval predicate as the batch
     twin. Spark derives the state-retention bound for each side from the
     watermark plus the interval slack — late rows beyond it are dropped
-    and their state evicted."""
+    and their state evicted.
+
+    ``how="left_outer"`` adds WATERMARK-EXPIRY NULL PADDING: a left row
+    that found no right match emits once, null-padded, when the watermark
+    passes its join window's upper bound (r_ts can no longer arrive) —
+    the "purchases with NO click in 24 h" attribution shape. Matched rows
+    still emit immediately; only the negative verdict waits for the
+    watermark, which is exactly what bounds the state. Under an
+    availableNow replay of a finite source, the final no-data batch
+    advances the watermark past every event, so the result equals the
+    batch left-outer twin row-for-row (pinned by the
+    streaming_interval_join_outer gate entry)."""
     lw = left.withWatermark(l_ts, watermark)
     rw = right.withWatermark(r_ts, watermark)
     j = lw.alias("l").join(
-        rw.alias("r"), _pred(key, l_ts, r_ts, lower, upper), "inner"
+        rw.alias("r"), _pred(key, l_ts, r_ts, lower, upper), how
     )
     return j.select(*_project(left, right, key))

@@ -79,6 +79,8 @@ FLOORS = {
     "dedup_semdedup_scaled": 250,  # one decision row per vector (500)
     "streaming_dedup_replay": 3,  # one row per event type (5 at sf0.01)
     "streaming_interval_join": 400,  # click->purchase pairs (860 at sf0.01)
+    # every purchase emits, matched or null-padded (2157 at sf0.01)
+    "streaming_interval_join_outer": 1000,
     "sim_matryoshka_recall": 24,  # exactly 8 queries x 3 truncation bands
 }
 
