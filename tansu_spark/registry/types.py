@@ -373,19 +373,20 @@ _ANNOTATION_KEYWORDS = frozenset(
 )
 
 
-def unsupported_keywords(schema: Any, *, in_items: bool = False) -> set[str]:
+def unsupported_keywords(schema: Any) -> set[str]:
     """Recursively collect constraint keywords outside the compiled
     subset (so the registry can fail loudly / fall back instead of
     silently accepting what the reference rejects — json.rs:59-81).
 
-    ``additionalProperties: false`` compiles (the strictness conjunct
-    checks the instance's object keys against the declared properties —
-    the raw bytes keep unknown keys even though from_json drops them, so
-    the reference's rejection must be replicated, not annotated away).
-    The schema-valued form constrains values the fixed StructType can't
-    see, and any form nested under ``items`` has no per-element key path
-    — both route to the full validator. Likewise the nullable-union
-    ``type: ["null", T]`` compiles; multi-type unions don't.
+    ``additionalProperties: false`` compiles at any depth — including
+    inside array elements — because the strictness conjunct validates
+    structure recursively over the VARIANT (types.py::variant_ok), not
+    through parsed-struct paths: the raw bytes keep unknown keys even
+    though from_json drops them, so the reference's rejection must be
+    replicated, not annotated away. The schema-valued form constrains
+    values the compiler can't enumerate and routes to the full
+    validator. Likewise the nullable-union ``type: ["null", T]``
+    compiles; multi-type unions don't.
     """
     out: set[str] = set()
     if not isinstance(schema, dict):
@@ -394,8 +395,6 @@ def unsupported_keywords(schema: Any, *, in_items: bool = False) -> set[str]:
         if k == "additionalProperties":
             if not isinstance(v, bool):
                 out.add(k)
-            elif v is False and in_items:
-                out.add("additionalProperties(in-items)")
         elif k == "type" and not isinstance(v, str):
             # union form: only ["null", T] is expressible in the compiled
             # strictness conjunct (absent | VOID | T); a silently-ignored
@@ -408,18 +407,10 @@ def unsupported_keywords(schema: Any, *, in_items: bool = False) -> set[str]:
         elif k not in COMPILED_KEYWORDS and k not in _ANNOTATION_KEYWORDS:
             out.add(k)
         if k == "properties" and isinstance(v, dict):
-            if in_items:
-                # typed properties of array-element objects have no
-                # per-element variant path; a mistyped optional element
-                # property would slip through the compiled conjunct
-                for sub in v.values():
-                    if "type" in sub or "properties" in sub:
-                        out.add("properties(in-items)")
-                        break
             for sub in v.values():
-                out |= unsupported_keywords(sub, in_items=in_items)
+                out |= unsupported_keywords(sub)
         elif k == "items":
-            out |= unsupported_keywords(v, in_items=True)
+            out |= unsupported_keywords(v)
     return out
 
 
@@ -454,126 +445,105 @@ def compile_type_strictness(schema: dict[str, Any], raw, parsed):
       tell those apart, the variant can);
     - ``additionalProperties: false``: the instance object's keys must
       all be declared (from_json silently drops unknown keys; the
-      reference rejects the record);
-    - array element types: every element's variant type matches the
-      ``items`` type (PERMISSIVE parsing nulls mistyped elements,
-      disguising them from element constraints).
+      reference rejects the record) — at ANY depth, including inside
+      array elements;
+    - array element STRUCTURE: `variant_ok` recurses through ``items``
+      with `forall` over `array<variant>`, so element types, element
+      object properties, element required-ness, and nested arrays are
+      all enforced (PERMISSIVE parsing nulls mistyped elements,
+      disguising them from element constraints; parsed-struct columns
+      have no per-element key-presence signal at all).
+
+    ``parsed`` is accepted for call-site compatibility; the predicate is
+    built entirely from the variant (a value of the declared JSON type
+    always parses into its Spark type, except numerics — handled by the
+    mathematical model above).
     """
     from pyspark.sql import functions as F
 
-    v = F.try_parse_json(raw)
-    preds = []
+    del parsed  # variant-only since r6; see docstring
 
-    def elem_type_ok(t: str | None):
-        """Element-level check against an element variant (lambda arg)."""
-        def check(e):
-            evt = F.schema_of_variant(e)
-            if t == "string":
-                return evt == "STRING"
-            if t in ("integer", "number"):
-                numeric = evt.isin("BIGINT", "DOUBLE") | evt.startswith("DECIMAL")
-                if t == "number":
-                    return numeric
-                ed = F.try_variant_get(e, "$", "double")
-                return numeric & ed.isNotNull() & ((ed % F.lit(1.0)) == 0)
-            if t == "boolean":
-                return evt == "BOOLEAN"
-            if t == "object":
-                return evt.startswith("OBJECT")
-            if t == "array":
-                return evt.startswith("ARRAY")
-            if t == "null":
-                return evt == "VOID"
-            return F.lit(True)
-
-        return check
-
-    def type_ok(t: str, vt, path: str, parsed_col):
-        if t == "string":
-            return (vt == "STRING") & parsed_col.isNotNull()
-        if t in ("integer", "number"):
-            numeric = vt.isin("BIGINT", "DOUBLE") | vt.startswith("DECIMAL")
-            if t == "number":
-                return numeric
-            dv = F.try_variant_get(v, path, "double")
-            return numeric & dv.isNotNull() & ((dv % F.lit(1.0)) == 0)
-        if t == "boolean":
-            return (vt == "BOOLEAN") & parsed_col.isNotNull()
-        if t == "object":
-            return vt.startswith("OBJECT")
-        if t == "array":
-            return vt.startswith("ARRAY")
-        if t == "null":
-            return vt == "VOID"
-        return F.lit(True)
-
-    def object_checks(sub: dict, path: str | None) -> None:
-        """additionalProperties:false key audit for one object node
-        (path None = the root instance)."""
-        if sub.get("additionalProperties") is not False:
-            return
-        node = raw if path is None else F.try_variant_get(v, path, "variant").cast("string")
-        keys = F.json_object_keys(node)
-        declared = sorted(sub.get("properties", {}))
-        allowed = (
-            F.array(*[F.lit(d) for d in declared])
-            if declared
-            else F.array().cast("array<string>")
-        )
-        no_extra = F.size(F.array_except(keys, allowed)) == 0
-        # non-object instances (or absent subtrees) are out of scope here
-        preds.append(F.coalesce(no_extra, F.lit(True)))
-
-    def walk(sub: dict, path: str, parsed_col, required: bool) -> None:
+    def variant_ok(node, sub: dict):
+        """Predicate: the VARIANT ``node`` (null = absent) satisfies the
+        structural part of ``sub`` — recursive over properties and items,
+        so the same code validates a top-level field and an array
+        element five levels deep."""
         if not isinstance(sub, dict):
-            return
+            return F.lit(True)
+        vt = F.schema_of_variant(node)
+        present = vt.isNotNull()
+        preds = []
+
         t = sub.get("type")
         t_null = nullable_of(t)
         t_norm = t_null if t_null is not None else t
-        vt = F.schema_of_variant(F.try_variant_get(v, path, "variant"))
-        present = vt.isNotNull()
         if isinstance(t_norm, str):
-            ok = type_ok(t_norm, vt, path, parsed_col)
+            if t_norm == "string":
+                ok = vt == "STRING"
+            elif t_norm in ("integer", "number"):
+                ok = vt.isin("BIGINT", "DOUBLE") | vt.startswith("DECIMAL")
+                if t_norm == "integer":
+                    dv = F.try_variant_get(node, "$", "double")
+                    ok = ok & dv.isNotNull() & ((dv % F.lit(1.0)) == 0)
+            elif t_norm == "boolean":
+                ok = vt == "BOOLEAN"
+            elif t_norm == "object":
+                ok = vt.startswith("OBJECT")
+            elif t_norm == "array":
+                ok = vt.startswith("ARRAY")
+            elif t_norm == "null":
+                ok = vt == "VOID"
+            else:
+                ok = F.lit(True)
             if t_null is not None:
                 ok = (vt == "VOID") | ok
-                if required:
-                    # required + nullable union: the KEY must exist; the
-                    # value may be an explicit null (compile_constraints
-                    # can't see the difference, so it defers to us)
-                    preds.append(present)
-            preds.append(~present | ok)
+            preds.append(ok)
+
         if t_norm == "array" and isinstance(sub.get("items"), dict):
-            it = sub["items"].get("type")
-            it_norm = nullable_of(it) or it
-            if isinstance(it_norm, str):
-                elems = F.try_variant_get(v, path, "array<variant>")
-                check = elem_type_ok(it_norm)
-                if nullable_of(it) is not None:
-                    base = check
-                    check = lambda e, _b=base: (F.schema_of_variant(e) == "VOID") | _b(e)
-                preds.append(
-                    F.coalesce(F.forall(elems, check), F.lit(True))
+            elems = F.try_variant_get(node, "$", "array<variant>")
+            preds.append(
+                F.coalesce(
+                    F.forall(elems, lambda e: variant_ok(e, sub["items"])),
+                    F.lit(True),
                 )
+            )
+
         if t_norm == "object" or t_norm is None:
-            object_checks(sub, path)
+            if sub.get("additionalProperties") is False:
+                keys = F.json_object_keys(node.cast("string"))
+                declared = sorted(sub.get("properties", {}))
+                allowed = (
+                    F.array(*[F.lit(d) for d in declared])
+                    if declared
+                    else F.array().cast("array<string>")
+                )
+                preds.append(
+                    F.coalesce(F.size(F.array_except(keys, allowed)) == 0, F.lit(True))
+                )
             if isinstance(sub.get("properties"), dict):
                 req = set(sub.get("required", []))
                 for name, child in sub["properties"].items():
-                    walk(child, f"{path}.{name}", parsed_col[name], name in req)
+                    cnode = F.try_variant_get(node, f"$.{name}", "variant")
+                    cpred = variant_ok(cnode, child)
+                    if name in req and nullable_of(child.get("type")) is not None:
+                        # required + nullable union: the KEY must exist;
+                        # the value may be an explicit null (from_json
+                        # can't see the difference, the variant can)
+                        cpred = cpred & F.schema_of_variant(cnode).isNotNull()
+                    preds.append(cpred)
+
+        if not preds:
+            return F.lit(True)
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        # absent nodes pass: required-ness is the PARENT's concern
+        return ~present | out
 
     root_t = schema.get("type")
     if root_t == "object" or (root_t is None and "properties" in schema):
-        object_checks(schema, None)
-        req = set(schema.get("required", []))
-        for name, sub in schema.get("properties", {}).items():
-            walk(sub, f"$.{name}", parsed[name], name in req)
-
-    if not preds:
-        return F.lit(True)
-    out = preds[0]
-    for p in preds[1:]:
-        out = out & p
-    return out
+        return variant_ok(F.try_parse_json(raw), schema)
+    return F.lit(True)
 
 
 def compile_constraints(schema: dict[str, Any], col):

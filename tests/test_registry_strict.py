@@ -140,18 +140,20 @@ def test_additional_properties_false_compiles_and_rejects(spark, tmp_path):
     """from_json silently DROPS unknown properties, but the raw bytes still
     carry them and the reference's full validator rejects the record when
     `additionalProperties: false` — so the compiled path audits the
-    instance's object keys against the declared properties set (r6 advice).
-    The schema-valued form constrains values the fixed StructType can't
-    see and still routes to the fallback; so does the boolean form nested
-    under `items` (no per-element key path)."""
+    instance's object keys against the declared properties set (r6 advice),
+    at any depth including inside array elements (variant recursion). Only
+    the schema-valued form — values the compiler can't enumerate — routes
+    to the fallback."""
     assert unsupported_keywords({"type": "object", "additionalProperties": False}) == set()
     assert unsupported_keywords(
         {"type": "object", "additionalProperties": {"type": "integer"}}
     ) == {"additionalProperties"}
+    # the boolean form compiles at any depth (variant recursion) — only
+    # the schema-valued form needs the full validator
     assert unsupported_keywords(
         {"type": "array",
          "items": {"type": "object", "additionalProperties": False}}
-    ) == {"additionalProperties(in-items)"}
+    ) == set()
 
     part = {
         "type": "object",
@@ -308,3 +310,33 @@ def test_scalar_part_uniform_instance_convention(spark, tmp_path):
         reg.validate("t", kbatch(b"123"))           # JSON number, not string
     with pytest.raises(ValidationError):
         reg.validate("t", kbatch(b'"nope"'))        # pattern fails unquoted
+
+
+def test_array_element_objects_validate_recursively(spark, tmp_path):
+    """Structure inside array ELEMENTS is enforced by the same variant
+    recursion as top-level fields (r6): element property types, element
+    required-ness (incl. the nullable-union KEY-presence rule), and
+    additionalProperties:false all reject per element — none of which a
+    parsed-struct path can see."""
+    part = _obj("xs", {
+        "type": "array",
+        "items": {
+            "type": "object",
+            "additionalProperties": False,
+            "required": ["zip", "note"],
+            "properties": {"zip": {"type": "integer"},
+                           "note": {"type": ["null", "string"]}},
+        },
+    })
+    reg = _registry(tmp_path, part)
+    assert reg.schema_for("t").full_validator_keywords == []
+    reg.validate("t", _batch(spark, {"xs": [{"zip": 10, "note": "a"},
+                                            {"zip": 2.0, "note": None}]}))
+    with pytest.raises(ValidationError):  # mistyped element property
+        reg.validate("t", _batch(spark, {"xs": [{"zip": "abc", "note": "a"}]}))
+    with pytest.raises(ValidationError):  # extra key inside an element
+        reg.validate("t", _batch(spark, {"xs": [{"zip": 1, "note": "a", "x": 1}]}))
+    with pytest.raises(ValidationError):  # required union key absent
+        reg.validate("t", _batch(spark, {"xs": [{"zip": 1}]}))
+    with pytest.raises(ValidationError):  # explicit null for plain type
+        reg.validate("t", _batch(spark, {"xs": [{"zip": None, "note": "a"}]}))

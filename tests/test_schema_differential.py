@@ -90,6 +90,31 @@ def _array_schema(draw):
     return s
 
 
+# array-of-objects: element structure must validate per element through
+# the variant recursion (types, required, additionalProperties:false)
+_OBJ_ARRAYS = [
+    [], [{"z": 1}], [{"z": 1, "n": "a"}], [{"z": 2.0}], [{"z": 2.5}],
+    [{"z": "bad"}], [{"z": None}], [{"n": "a"}], [{}],
+    [{"z": 1, "extra": 7}], [{"z": 1}, {"z": "bad"}], [7], ["x"], None,
+    [{"z": 1, "n": None}],
+]
+
+
+def _obj_array_schema(draw):
+    item: dict = {
+        "type": "object",
+        "properties": {"z": {"type": "integer"},
+                       "n": {"type": ["null", "string"]}},
+    }
+    if draw(st.booleans()):
+        item["required"] = draw(
+            st.lists(st.sampled_from(["z", "n"]), max_size=2, unique=True)
+        )
+    if draw(st.booleans()):
+        item["additionalProperties"] = False
+    return {"type": "array", "items": item}
+
+
 @st.composite
 def schema_and_instances(draw):
     fields: dict = {}
@@ -97,13 +122,16 @@ def schema_and_instances(draw):
     n_fields = draw(st.integers(1, 3))
     for i in range(n_fields):
         name = f"f{i}"
-        kind = draw(st.sampled_from(["string", "integer", "array"]))
+        kind = draw(st.sampled_from(["string", "integer", "array", "objarray"]))
         if kind == "string":
             fields[name] = _string_schema(draw)
             values_pool[name] = _STRINGS
         elif kind == "integer":
             fields[name] = _int_schema(draw)
             values_pool[name] = _INTS
+        elif kind == "objarray":
+            fields[name] = _obj_array_schema(draw)
+            values_pool[name] = _OBJ_ARRAYS
         else:
             fields[name] = _array_schema(draw)
             values_pool[name] = _ARRAYS
