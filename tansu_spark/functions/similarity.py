@@ -736,3 +736,72 @@ def int8_rerank_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def binary_pack(df: DataFrame, vec_col: str = "embedding", n_dims: int = 64) -> DataFrame:
+    """1-bit (sign) quantization: each vector becomes two BIGINTs — bit d
+    set iff dim d > 0 — 32x smaller than the f32 array. Two 32-bit halves
+    instead of one 64-bit word keep the packing fold overflow-free in
+    engines that reject `1 << 63` (DuckDB), and the pair costs the same
+    two xor+popcount ops at query time. Pure codegen'd JVM fold, map-only."""
+    assert n_dims == 64, "packing layout is fixed at 64 dims (two halves)"
+
+    def half(lo: int, hi: int, shift_base: int) -> str:
+        return (
+            f"aggregate(sequence({lo}, {hi}), 0L, (acc, d) -> "
+            f"acc | CASE WHEN CAST({vec_col}[d] AS DOUBLE) > 0.0D "
+            f"THEN shiftleft(1L, d - {shift_base}) ELSE 0L END)"
+        )
+
+    return df.withColumn("_blo", F.expr(half(0, 31, 0))).withColumn(
+        "_bhi", F.expr(half(32, 63, 32))
+    )
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 10,
+) -> DataFrame:
+    """Binary-quantized ANN: sign-bit pack both sides, shortlist by
+    HAMMING distance (two xor + popcount per pair — no per-dimension
+    arithmetic), then re-rank the shortlist by exact cosine. The
+    production memory/speed path when 32x compression and ~popcount
+    scan speed matter more than first-stage recall (used by e.g.
+    binary-embedding retrieval stacks; the exact re-rank restores
+    ranking quality on the survivors).
+
+    Scale: the corpus scan for the shortlist stage touches TWO LONGS per
+    row (the packed halves); queries broadcast (tiny by contract), the
+    corpus never shuffles, and the 64-dim exact fold runs only on
+    |queries| x shortlist rows. Ties: hamming then lowest id; re-rank
+    cosine desc then lowest id."""
+    cp = binary_pack(corpus.select(id_col, vec_col), vec_col)
+    qp = binary_pack(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_blo").alias("_qlo"),
+        F.col("_bhi").alias("_qhi"),
+    )
+    hamming = (
+        F.bit_count(F.col("_blo").bitwiseXOR(F.col("_qlo")))
+        + F.bit_count(F.col("_bhi").bitwiseXOR(F.col("_qhi")))
+    ).cast("long")
+    short_w = Window.partitionBy("query_id").orderBy("hamming", id_col)
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), id_col
+    )
+    return (
+        cp.join(F.broadcast(qp), F.col(id_col) != F.col("query_id"))
+        .withColumn("hamming", hamming)
+        .withColumn("_rn", F.row_number().over(short_w))
+        .where(F.col("_rn") <= shortlist)
+        .withColumn("cosine", F.round(cosine("q_vec", vec_col), round_digits))
+        .withColumn("_rk", F.row_number().over(rank_w))
+        .where(F.col("_rk") <= k)
+        .select("query_id", id_col, "hamming", "cosine")
+    )

@@ -1223,3 +1223,166 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / F.lit(5.0)).alias("recall_at_5"),
         )
     )
+
+
+def _pack_sql(e: str, lo: int, hi: int) -> str:
+    """Sign-bit packing of dims [lo, hi) into one BIGINT (bit d-lo set iff
+    dim d > 0) — DuckDB twin of functions/similarity.binary_pack (two
+    32-bit halves keep the fold clear of the 1<<63 overflow)."""
+    return (
+        f"list_reduce(list_transform(range({lo + 1}, {hi + 1}), "
+        f"i -> CASE WHEN CAST({e}[i] AS DOUBLE) > 0.0 "
+        f"THEN (1::BIGINT << (i - {lo + 1})) ELSE 0::BIGINT END), (x, y) -> x | y)"
+    )
+
+
+@query(
+    "sim_binary_hamming_topk",
+    plan=("broadcast_query_set",),
+    oracle=f"""
+    WITH packed AS (
+        SELECT vec_id, embedding,
+               {_pack_sql("embedding", 0, 32)} AS blo,
+               {_pack_sql("embedding", 32, 64)} AS bhi
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, blo AS qlo, bhi AS qhi
+          FROM packed WHERE vec_id < 8),
+    h AS (SELECT q.query_id, p.vec_id, q.qe, p.embedding AS ce,
+                 CAST(bit_count(xor(p.blo, q.qlo))
+                      + bit_count(xor(p.bhi, q.qhi)) AS BIGINT) AS hamming
+          FROM packed p CROSS JOIN q
+          WHERE p.vec_id != q.query_id),
+    shortlist AS (
+        SELECT query_id, vec_id, qe, ce, hamming
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY hamming, vec_id) AS rn FROM h)
+        WHERE rn <= 32)
+    SELECT query_id, vec_id, hamming, {_cos_sql("qe", "ce")} AS cosine
+    FROM shortlist
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY {_cos_sql("qe", "ce")} DESC, vec_id) <= 5
+    """,
+)
+def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) quantization ANN: sign-pack each 64-dim vector into
+    TWO BIGINTS (32x compression), shortlist the 32 nearest by HAMMING
+    distance — two xor+popcount ops per pair, no per-dimension floats —
+    then re-rank the shortlist by exact cosine. The third quantization
+    rung alongside int8 (`sim_int8_rerank_topk`, 4x) and PQ
+    (`sim_ivfpq_topk_seeded`, 32x with codebooks): binary needs NO
+    trained model at all, so it composes with any index and survives
+    distribution shift.
+
+    Scale: the Hamming scan reads two longs per corpus row (the packed
+    columns are what a production table would store); the 8-query set
+    broadcasts, the corpus never shuffles, and the 64-dim exact fold
+    runs only on the 8 x 32 shortlist survivors."""
+    emb = _emb(spark, sf_dir)
+    return S.binary_hamming_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "sim_rank_fusion_rrf",
+    plan=("broadcast_query_set",),
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                      {_bucket_sql("embedding")} AS bucket
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, embedding AS ce,
+                 {_bucket_sql("embedding")} AS bucket
+          FROM embeddings),
+    lsh_run AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY {_cos_sql("qe", "ce")} DESC, vec_id) AS rnk
+        FROM c JOIN q USING (bucket)
+        WHERE vec_id != query_id
+        QUALIFY rnk <= 10),
+    packed AS (
+        SELECT vec_id, embedding,
+               {_pack_sql("embedding", 0, 32)} AS blo,
+               {_pack_sql("embedding", 32, 64)} AS bhi
+        FROM embeddings),
+    bq AS (SELECT vec_id AS query_id, embedding AS qe, blo AS qlo, bhi AS qhi
+           FROM packed WHERE vec_id < 8),
+    h AS (SELECT bq.query_id, p.vec_id, bq.qe, p.embedding AS ce,
+                 bit_count(xor(p.blo, bq.qlo))
+                 + bit_count(xor(p.bhi, bq.qhi)) AS hamming
+          FROM packed p CROSS JOIN bq
+          WHERE p.vec_id != bq.query_id),
+    bshort AS (
+        SELECT query_id, vec_id, qe, ce
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY hamming, vec_id) AS rn FROM h)
+        WHERE rn <= 32),
+    bin_run AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY {_cos_sql("qe", "ce")} DESC, vec_id) AS rnk
+        FROM bshort
+        QUALIFY rnk <= 10),
+    fused AS (
+        SELECT COALESCE(l.query_id, b.query_id) AS query_id,
+               COALESCE(l.vec_id, b.vec_id) AS vec_id,
+               COALESCE(1.0 / (60.0 + l.rnk), 0.0)
+               + COALESCE(1.0 / (60.0 + b.rnk), 0.0) AS rrf
+        FROM lsh_run l
+        FULL OUTER JOIN bin_run b
+          ON l.query_id = b.query_id AND l.vec_id = b.vec_id)
+    SELECT query_id, vec_id, round(rrf, 10) AS rrf
+    FROM fused
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, vec_id) <= 5
+    """,
+)
+def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two heterogeneous ANN runs — the
+    standard ensemble-retrieval combiner (score = sum over runs of
+    1/(60 + rank); Cormack et al.'s k=60): the LSH-bucket run and the
+    binary-Hamming run each contribute a top-10, and candidates found
+    by BOTH climb. RRF needs only ranks, never score calibration, which
+    is exactly why production retrieval stacks fuse this way across
+    indexes that don't share a score scale.
+
+    Scale: both runs keep their own shapes (bucket equi-join; packed
+    popcount scan) — the fusion itself is a full-outer equi-join on
+    (query_id, vec_id) over 2 x |queries| x 10 rows, constant per
+    query regardless of corpus size."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+
+    def ranked(run: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), "vec_id"
+        )
+        return (
+            run.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 10)
+            .select("query_id", "vec_id", "rnk")
+        )
+
+    lsh_run = ranked(S.lsh_ann_topk(emb, q, k=10))
+    bin_run = ranked(S.binary_hamming_topk(emb, q, k=10))
+    fused = (
+        lsh_run.alias("l")
+        .join(
+            bin_run.alias("b"),
+            (F.col("l.query_id") == F.col("b.query_id"))
+            & (F.col("l.vec_id") == F.col("b.vec_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("l.query_id", "b.query_id").alias("query_id"),
+            F.coalesce("l.vec_id", "b.vec_id").alias("vec_id"),
+            (
+                F.coalesce(1.0 / (60.0 + F.col("l.rnk")), F.lit(0.0))
+                + F.coalesce(1.0 / (60.0 + F.col("b.rnk")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "vec_id")
+    return (
+        fused.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 5)
+        .select("query_id", "vec_id", F.round("rrf", 10).alias("rrf"))
+    )

@@ -81,6 +81,8 @@ FLOORS = {
     "streaming_interval_join": 400,  # click->purchase pairs (860 at sf0.01)
     # every purchase emits, matched or null-padded (2157 at sf0.01)
     "streaming_interval_join_outer": 1000,
+    "sim_binary_hamming_topk": 40,  # 8 queries x top-5 (exact)
+    "sim_rank_fusion_rrf": 40,      # 8 queries x top-5 (exact)
     "sim_matryoshka_recall": 24,  # exactly 8 queries x 3 truncation bands
 }
 
