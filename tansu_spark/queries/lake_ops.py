@@ -394,3 +394,65 @@ def lake_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id_trunc").alias("trunc_bands"),
         F.countDistinct("type_trunc").alias("type_prefixes"),
     )
+
+
+@query(
+    "lake_delete_vectors_mor",
+    oracle="""
+    WITH survivors AS (
+        SELECT l_linestatus AS s, l_quantity AS q, l_extendedprice AS p
+        FROM lineitem
+        WHERE NOT (l_returnflag = 'R')
+          AND NOT (CAST(l_quantity AS DOUBLE) < 4.0)
+    )
+    SELECT s,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS qty_total,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS price_total
+    FROM survivors GROUP BY s
+    """,
+)
+def lake_delete_vectors_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETES via deletion vectors (lake/dv.py — the
+    read-path twin of lake_merge_upsert's copy-on-write MERGE; Delta DVs /
+    Iceberg v2 positional deletes, neither runtime ships in this
+    container): write lineitem across multiple parquet files, apply TWO
+    delete generations (returned items, then tiny quantities) that only
+    APPEND (file, row-position) pairs — data files stay byte-identical,
+    pytest-pinned — then aggregate the merged-on-read view. The read
+    anti-joins Spark's native `_metadata.row_index` positions against
+    the vector store, so matching the oracle proves the POSITIONAL
+    plumbing end-to-end: the oracle only knows the predicates; the Spark
+    side deletes by stored positions, not by re-evaluating them."""
+    import shutil
+    import tempfile
+
+    from tansu_spark.lake.dv import DvTable
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_linestatus", "l_extendedprice",
+    )
+    scratch = tempfile.mkdtemp(prefix="lake_dv_")
+    try:
+        t = DvTable(spark, f"{scratch}/t")
+        t.write(li.repartition(4))  # several files: per-file positions
+        t.delete_where(F.col("l_returnflag") == "R")
+        t.delete_where(F.col("l_quantity").cast("double") < 4.0)
+        out = (
+            t.read()
+            .groupBy(F.col("l_linestatus").alias("s"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("qty_total"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("price_total"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

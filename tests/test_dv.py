@@ -1,0 +1,71 @@
+"""Deletion-vector merge-on-read tests (lake/dv.py).
+
+The property that distinguishes MOR from the copy-on-write MERGE
+(lake/merge.py): deletes never rewrite a data file — they append
+positions — and the read anti-joins those positions back out.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tansu_spark.lake.dv import DvTable
+
+
+def _data_state(data_dir: str) -> dict[str, tuple[int, float]]:
+    return {
+        f: (os.path.getsize(os.path.join(data_dir, f)),
+            os.path.getmtime(os.path.join(data_dir, f)))
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    }
+
+
+def test_deletes_never_rewrite_data_files(spark, tmp_path):
+    t = DvTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("m")).repartition(3))
+    before = _data_state(t.data_dir)
+
+    t.delete_where(F.col("m") == 3)
+    t.delete_where(F.col("id") < 50)
+
+    assert _data_state(t.data_dir) == before  # byte-identical, untouched
+    got = {r["id"] for r in t.read().collect()}
+    want = {i for i in range(1000) if i % 10 != 3 and i >= 50}
+    assert got == want
+
+
+def test_second_generation_deletes_only_live_rows(spark, tmp_path):
+    """Overlapping predicates across generations don't double-delete or
+    resurrect: the second delete scans the MERGED view, and the anti-join
+    dedups positions regardless."""
+    t = DvTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(100).select("id").repartition(2))
+    t.delete_where(F.col("id") % 2 == 0)
+    t.delete_where(F.col("id") % 3 == 0)  # overlaps multiples of 6
+    got = {r["id"] for r in t.read().collect()}
+    assert got == {i for i in range(100) if i % 2 and i % 3}
+
+
+def test_deleted_fraction_feeds_compaction_decision(spark, tmp_path):
+    t = DvTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(400).select("id").repartition(4))
+    t.delete_where(F.col("id") < 100)
+    frac = t.deleted_fraction_by_file().collect()
+    assert len(frac) == 4
+    total_deleted = sum(r["deleted"] for r in frac)
+    assert total_deleted == 100
+    for r in frac:
+        assert 0.0 <= r["fraction"] <= 1.0
+        assert r["deleted"] <= r["total"]
+
+
+def test_empty_dv_reads_everything(spark, tmp_path):
+    t = DvTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(10).select("id"))
+    assert t.read().count() == 10
+    frac = t.deleted_fraction_by_file().collect()
+    assert all(r["deleted"] == 0 and r["fraction"] == 0.0 for r in frac)

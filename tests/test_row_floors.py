@@ -83,6 +83,7 @@ FLOORS = {
     "streaming_interval_join_outer": 1000,
     "sim_binary_hamming_topk": 40,  # 8 queries x top-5 (exact)
     "sim_rank_fusion_rrf": 40,      # 8 queries x top-5 (exact)
+    "lake_delete_vectors_mor": 2,   # one row per surviving linestatus
     "sim_matryoshka_recall": 24,  # exactly 8 queries x 3 truncation bands
 }
 
