@@ -9,7 +9,7 @@ regexp_replace needs the 'g' flag to match Spark's replace-all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tansu_spark.functions import dedup as D
@@ -4568,4 +4568,94 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_in").cast("long").alias("n_in"),
         F.col("n_out").cast("long").alias("n_out"),
         F.col("n_flagged").cast("long").alias("n_flagged"),
+    )
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=_SH_CTE
+    + """,
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfreq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+    ranked AS (SELECT e.doc_id, e.s,
+                      row_number() OVER (PARTITION BY e.doc_id
+                                         ORDER BY d.df, e.s) AS rn,
+                      count(*) OVER (PARTITION BY e.doc_id) AS n
+               FROM e JOIN dfreq d USING (s)),
+    pref AS (SELECT doc_id, s FROM ranked
+             WHERE rn <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM pref a JOIN pref b USING (s)
+             WHERE a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(sa.shingles, sb.shingles))
+                 / greatest(len(sa.shingles) + len(sb.shingles)
+                            - len(list_intersect(sa.shingles, sb.shingles)), 1), 6)
+             AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+                / greatest(len(sa.shingles) + len(sb.shingles)
+                           - len(list_intersect(sa.shingles, sb.shingles)), 1), 6)
+            >= 0.5
+    """,
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin family) — the deterministic complement to the
+    probabilistic MinHash-LSH pipeline: every pair with shingle-Jaccard
+    >= 0.5 is found, with NO all-pairs stage. The filter: order each
+    document's shingles by ascending global document frequency (rarest
+    first, ties lexical); two sets with J >= t MUST share a shingle in
+    each other's first n - ceil(t*n) + 1 shingles, so candidate
+    generation explodes only those prefixes and equi-joins on the
+    shingle itself.
+
+    Scale: candidates are generated from PREFIX shingles only — and
+    because prefixes prefer RARE shingles, the join key distribution is
+    the anti-skew tail, not the hot head (a stopword shingle can never
+    enter a prefix unless the document is almost all stopwords). Cost =
+    one df-count shuffle + one per-doc window + one equi-join on
+    prefix shingles + exact verification on candidates. Versus
+    dedup_minhash_lsh: no recall loss (exact), higher candidate cost on
+    extremely-common-prefix corpora — which is why production systems
+    ship both and this repo now does too."""
+    from tansu_spark.functions.dedup import with_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = with_shingles(docs)  # (doc_id, shingles)
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    dfreq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
+    w_n = Window.partitionBy("doc_id")
+    pref = (
+        e.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+        .where(
+            F.col("rn")
+            <= F.col("n") - F.ceil(0.5 * F.col("n")).cast("long") + 1
+        )
+        .select("doc_id", "s")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sa.shingles", "sb.shingles"))
+    union = F.greatest(
+        F.size("sa.shingles") + F.size("sb.shingles") - inter, F.lit(1)
+    )
+    jac = F.round(inter / union, 6)
+    return (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )

@@ -321,3 +321,21 @@ def test_cdc_chunks_survive_prefix_insertion_grid_does_not(spark):
         for r in text_chunk_windows(spark, td).collect():
             grid[r["doc_id"]].add(r["chunk_md5"])
     assert len(grid[0] & grid[1]) == 0
+
+
+def test_prefix_filter_join_is_superset_of_lsh_verified(spark, sf_dir):
+    """The prefix-filtered set-similarity join is EXACT: every pair the
+    probabilistic MinHash-LSH pipeline verified at the same threshold
+    (and on the same shingle sets) must appear in its output — banding
+    can miss pairs, the prefix filter cannot."""
+    from tansu_spark.queries import QUERIES
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_prefix_filter_jaccard"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    assert lsh <= exact, lsh - exact

@@ -84,6 +84,7 @@ FLOORS = {
     "sim_binary_hamming_topk": 40,  # 8 queries x top-5 (exact)
     "sim_rank_fusion_rrf": 40,      # 8 queries x top-5 (exact)
     "lake_delete_vectors_mor": 2,   # one row per surviving linestatus
+    "dedup_prefix_filter_jaccard": 12,  # exact pairs >= 0.5 (25 at sf0.01)
     "sim_matryoshka_recall": 24,  # exactly 8 queries x 3 truncation bands
 }
 
