@@ -86,6 +86,50 @@ class DvTable:
         return self.read_with_pos().drop(_FILE, _POS)
 
     # ------------------------------------------------------- maintenance
+    def compact(self, threshold: float = 0.3) -> list[str]:
+        """Fold deletion vectors into rewrites — the OPTIMIZE half of
+        merge-on-read: files whose deleted fraction reached ``threshold``
+        are rewritten WITHOUT their deleted rows and their vectors are
+        dropped; files below it (and their vectors) stay byte-identical.
+        Returns the rewritten file paths. Cost is O(rewritten files),
+        chosen by the caller's threshold — the standard DV maintenance
+        trade: read amplification (anti-join state) vs write
+        amplification (rewrites)."""
+        stats = self.deleted_fraction_by_file().collect()
+        victims = [r["file"] for r in stats if r["fraction"] >= threshold and r["deleted"] > 0]
+        if not victims:
+            return []
+        survivors = (
+            self._scan_with_pos()
+            .where(F.col(_FILE).isin(victims))
+            .join(self._dv(), [_FILE, _POS], "left_anti")
+            .drop(_FILE, _POS)
+        )
+        survivors.write.mode("append").parquet(self.data_dir)
+        from urllib.parse import urlparse
+
+        for f in victims:
+            # _metadata.file_path is a URI ("file:/..." single-slash form)
+            local = urlparse(f).path if ":" in f else f
+            os.remove(local)
+            crc = os.path.join(os.path.dirname(local), "." + os.path.basename(local) + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+        # drop the folded vectors; keep the rest (write-aside then swap —
+        # never collected to the driver)
+        import shutil
+
+        tmp = self.dv_dir + ".rewrite"
+        (
+            self.spark.read.parquet(self.dv_dir)
+            .where(~F.col(_FILE).isin(victims))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.rmtree(self.dv_dir, ignore_errors=True)
+        os.rename(tmp, self.dv_dir)
+        return victims
+
     def deleted_fraction_by_file(self) -> DataFrame:
         """(file, total, deleted, fraction) — the compaction planner's
         input: files past a deleted-fraction threshold are worth

@@ -69,3 +69,36 @@ def test_empty_dv_reads_everything(spark, tmp_path):
     assert t.read().count() == 10
     frac = t.deleted_fraction_by_file().collect()
     assert all(r["deleted"] == 0 and r["fraction"] == 0.0 for r in frac)
+
+
+def test_compact_folds_vectors_into_rewrites(spark, tmp_path):
+    """OPTIMIZE half of MOR: files past the deleted-fraction threshold are
+    rewritten without their dead rows and their vectors dropped; files
+    below it stay byte-identical with their vectors intact. The merged
+    view is unchanged by compaction."""
+    t = DvTable(spark, str(tmp_path / "t"))
+    # partition by range so one file takes ALL the deletes
+    t.write(spark.range(400).select(
+        "id", (F.col("id") < 100).cast("int").alias("hot")
+    ).repartitionByRange(4, "id"))
+    t.delete_where(F.col("id") < 90)  # ~90% of one file, 0% of others
+
+    before_view = {r["id"] for r in t.read().collect()}
+    before_files = _data_state(t.data_dir)
+
+    victims = t.compact(threshold=0.5)
+    assert len(victims) == 1
+
+    after_view = {r["id"] for r in t.read().collect()}
+    assert after_view == before_view  # compaction never changes the view
+
+    after_files = _data_state(t.data_dir)
+    untouched = {f: s for f, s in before_files.items()
+                 if os.path.join(t.data_dir, f) not in [
+                     v.replace("file://", "").replace("file:", "") for v in victims]}
+    for f, s in untouched.items():
+        if f in after_files:
+            assert after_files[f] == s  # non-victims byte-identical
+    # the folded file's vectors are gone; remaining DV rows (none here)
+    frac = {r["file"]: r["deleted"] for r in t.deleted_fraction_by_file().collect()}
+    assert all(d == 0 for d in frac.values())
