@@ -133,6 +133,62 @@ def read_snapshot(
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
 
 
+def restore_version(table_dir: str, version: int) -> int:
+    """RESTORE the table to an old snapshot as a NEW commit (Delta's
+    `RESTORE TABLE ... TO VERSION AS OF n`; the reference gets the same
+    from delta-rs's transaction log, nisshi-schema/src/lake/delta.rs
+    commit path): the target version's files become the LIVE file set —
+    so plain `spark.read.parquet(table_dir)` (and every other engine
+    pointed at the directory) sees the restored data, not just
+    `read_snapshot` — and a new version is committed on top, so the
+    restore itself is time-travelable and undoable. Intermediate
+    versions stay readable: files displaced by the restore are relocated
+    into history exactly like a maintenance rewrite, never deleted.
+
+    Scale notes: O(files changed between current and target) same-
+    filesystem renames, no data copied — the same cost profile as Delta,
+    where RESTORE writes only log entries. Returns the new version."""
+    doc = load_manifest(table_dir)
+    if doc is None or not doc["versions"]:
+        raise FileNotFoundError(f"no snapshots committed in {table_dir}")
+    by_v = {e["v"]: e for e in doc["versions"]}
+    if version not in by_v:
+        raise KeyError(
+            f"version {version} not found in {table_dir}; have {sorted(by_v)}"
+        )
+    target = set(by_v[version]["files"])
+    # Files the target needs that were relocated by later rewrites: move
+    # them back into place (and drop the now-stale relocation entries).
+    missing = []
+    for rel in sorted(target):
+        live = os.path.join(table_dir, rel)
+        if os.path.exists(live):
+            continue
+        hist_rel = doc["relocations"].get(rel)
+        if hist_rel is None or not os.path.exists(os.path.join(table_dir, hist_rel)):
+            missing.append(rel)
+            continue
+        os.makedirs(os.path.dirname(live), exist_ok=True)
+        os.replace(os.path.join(table_dir, hist_rel), live)
+        del doc["relocations"][rel]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {table_dir} to version {version}: "
+            f"{len(missing)} file(s) were vacuumed, e.g. {missing[0]}"
+        )
+    write_json_atomic(_manifest_path(table_dir), doc)
+    # Files live now but absent from the target version: relocate to
+    # history so the versions that reference them keep resolving.
+    displaced = [
+        os.path.join(table_dir, rel)
+        for rel in _live_files(table_dir)
+        if rel not in target
+    ]
+    if displaced:
+        relocate_for_rewrite(table_dir, displaced)
+    return commit_snapshot(table_dir, operation=f"restore(v{version})")
+
+
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> int:
     """VACUUM: keep only the newest `keep_last` versions; physically
     delete history files referenced solely by dropped versions. Returns

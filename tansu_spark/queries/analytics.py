@@ -1269,6 +1269,156 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name)
 
 
+@query(
+    "streaming_ewma_state",
+    oracle="""
+    WITH seq AS (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             list(value ORDER BY ts, event_id) AS v
+      FROM events GROUP BY user_id
+    )
+    SELECT key,
+           CAST(len(v) AS BIGINT) AS n_events,
+           list_reduce(v, (a, b) -> a + 0.25*(b - a)) AS ewma,
+           CASE WHEN len(v) = 1 THEN 0.0 ELSE
+             list_max(list_transform(range(2, len(v) + 1),
+               i -> abs(v[i] - list_reduce(v[1:i-1],
+                                           (a, b) -> a + 0.25*(b - a)))))
+           END AS max_deviation
+    FROM seq
+    """,
+)
+def streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL applyInPandasWithState custom stateful operator under the
+    hash gate: per-user EWMA + max one-step deviation over the events
+    stream (streaming/source.py::ewma_by_key — three scalars of state
+    per key, update-mode emission, the anomaly-detector shape the
+    reference's engine cannot express). The availableNow run's final
+    state row per key must be BIT-IDENTICAL to DuckDB replaying the
+    same IEEE fold sequentially via list_reduce — no rounding, no
+    tolerance: the stream's chunked folds composing to the batch fold
+    is exactly the seeded-fold law the operator is built on.
+
+    Oracle note: the max-deviation term needs the RUNNING ewma, and
+    DuckDB 1.0's list_reduce mis-evaluates multi-field struct
+    accumulators (second field sees the first field's updated value —
+    probed, tools-verified), so the oracle recomputes each prefix's
+    EWMA with a scalar fold: O(n^2) per key, fine for an oracle, never
+    on the Spark side.
+
+    Scale: state is (e, m, n) per key in the state store — millions of
+    keys per executor; per-batch work proportional to the batch. The
+    final `max_by` collapse is only the memory-sink dedup for multi-
+    batch availableNow splits (update mode re-emits touched keys)."""
+    import os
+
+    from tansu_spark.streaming.source import ewma_by_key
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    ts_is_long = schema["ts"].dataType.typeName() == "long"
+    ts_col = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("value"),
+            ts_col.alias("timestamp"),
+            F.col("event_id").alias("offset"),
+        )
+    )
+    out = ewma_by_key(stream, alpha=0.25)
+    name = "stream_ewma_oracle"
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = (
+        spark.table(name)
+        .groupBy("key")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "ewma", "max_deviation"), "n_events"
+            ).alias("s")
+        )
+    )
+    return final.select("key", "s.n_events", "s.ewma", "s.max_deviation")
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment under the hash gate
+    (streaming/source.py::enrich_stream — the streaming form of the
+    reference's config-lookup join, SURVEY §2.4 J5): the events stream
+    joins a BROADCAST customer dimension per micro-batch, then a
+    complete-mode streaming aggregation rolls up per (segment, type).
+    The static side never shuffles the stream: the join is a broadcast
+    hash join inside the stream's own stage.
+
+    Determinism: the money column sums through DECIMAL(18,6) — streaming
+    partial aggregates merge in nondeterministic order, and decimal
+    addition is associative-exact where double addition is not; the
+    unchanged oracle hash is the proof."""
+    import os
+
+    from tansu_spark.streaming.source import enrich_stream
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    dim = F.broadcast(
+        load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "event_type", "value")
+    )
+    enriched = enrich_stream(stream, dim, on="user_id", how="inner")
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("value_total"),
+    )
+    name = "stream_enrich_oracle"
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select("segment", "event_type", "n_events", "value_total")
+
+
 @query("kmv_supplier_overlap_by_brand", plan=("single_row_broadcast",), oracle=None)  # oracle built below
 def kmv_supplier_overlap_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch MERGE under the oracle: which part brands share supplier

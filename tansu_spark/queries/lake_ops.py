@@ -456,3 +456,64 @@ def lake_delete_vectors_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "lake_restore_version",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_total
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def lake_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE to an old version (lake/snapshots.py::restore_version
+    — Delta's `RESTORE ... VERSION AS OF`, which the reference inherits
+    from delta-rs's transaction log, nisshi-schema/src/lake/delta.rs
+    commit path): write orders in two version-committed batches, COMPACT
+    (so v0's files are all relocated into _history/ — restore must chase
+    the relocation map, not just flip a pointer), restore to v0, then
+    read the table with a PLAIN parquet scan — no read_snapshot — and
+    aggregate. Matching the batch-1 oracle proves the restore rewired
+    the LIVE file set every engine sees, while v1/v2 stay readable
+    (asserted in tests/test_snapshots.py).
+
+    Scale: restore is O(files changed) renames — no data copied — the
+    same cost profile as Delta RESTORE writing only log entries."""
+    import shutil
+    import tempfile
+
+    from tansu_spark.lake.maintain import compact_table
+    from tansu_spark.lake.snapshots import commit_snapshot, restore_version
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="lake_restore_")
+    try:
+        d = f"{scratch}/t"
+        orders.where(F.col("o_orderkey") % 3 == 0).repartition(3).write.mode(
+            "append"
+        ).parquet(d)
+        commit_snapshot(d, "append")  # v0
+        orders.where(F.col("o_orderkey") % 3 != 0).write.mode("append").parquet(d)
+        commit_snapshot(d, "append")  # v1
+        compact_table(spark, d, target_bytes=1 << 40)  # v2: relocates v0 files
+        restore_version(d, 0)  # v3: v0's files live again
+        out = (
+            spark.read.parquet(d)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("price_total"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -86,6 +86,10 @@ FLOORS = {
     "lake_delete_vectors_mor": 2,   # one row per surviving linestatus
     "dedup_prefix_filter_jaccard": 12,  # exact pairs >= 0.5 (25 at sf0.01)
     "sim_matryoshka_recall": 24,  # exactly 8 queries x 3 truncation bands
+    # round-6 additions
+    "streaming_ewma_state": 75,  # one state row per user (150 at sf0.01)
+    "streaming_static_enrich": 10,  # segments x event types (25 at sf0.01)
+    "lake_restore_version": 3,  # one row per order priority (5 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null

@@ -103,3 +103,32 @@ def test_sink_store_commits_versions(spark, tmp_path):
     d = sink.table_dir("t")
     assert read_snapshot(spark, d, 0).count() == 1
     assert read_snapshot(spark, d, 1).count() == 3
+
+
+def test_restore_version_rewires_live_reads(spark, tmp_path):
+    from tansu_spark.lake.maintain import compact_table
+    from tansu_spark.lake.snapshots import restore_version
+
+    d = str(tmp_path / "t")
+    _write(spark, d, range(10))
+    commit_snapshot(d)  # v0
+    _write(spark, d, range(10, 25))
+    commit_snapshot(d)  # v1
+    compact_table(spark, d, target_bytes=1 << 30)  # v2 — v0/v1 files relocated
+
+    v = restore_version(d, 0)
+    assert v == 3
+    # The PLAIN read — the path every engine uses — sees v0's data again.
+    assert sorted(r["id"] for r in spark.read.parquet(d).collect()) == list(range(10))
+    # Intermediate versions stay readable (restore relocates, never deletes).
+    assert read_snapshot(spark, d, 1).count() == 25
+    assert read_snapshot(spark, d, 2).count() == 25
+    # The restore itself is a version: time travel to it and back out.
+    assert read_snapshot(spark, d, 3).count() == 10
+    restore_version(d, 2)
+    assert spark.read.parquet(d).count() == 25
+    # Restoring a vacuumed version errors clearly rather than partial-reading.
+    restore_version(d, 0)
+    expire_snapshots(d, keep_last=1)
+    with pytest.raises((FileNotFoundError, KeyError)):
+        restore_version(d, 1)
