@@ -517,3 +517,81 @@ def lake_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "streaming_lake_sink",
+    oracle="""
+    SELECT CAST(event_id % 4 AS INTEGER) AS partition,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(SUM(length(props)) AS BIGINT) AS value_chars,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The topic -> lake WRITE path, end to end, under the hash gate:
+    events are PRODUCED into a scratch broker (4 partitions, explicit
+    routing so DuckDB can replay it), materialized to a parquet lake
+    table by the REAL streaming sink (streaming/source.py::
+    stream_to_lake — foreachBatch over the topic stream driving
+    LakeSink.store on the per-partition offset frontier; the
+    reference's per-batch sink, pg.rs:987), then DELIBERATELY REPLAYED
+    with a fresh checkpoint — the frontier fence must make the second
+    run a no-op (idempotent produce T3, the exactly-once contract).
+    The aggregate over the lake table hash-equals the source: rows
+    landed exactly once, with key/value/timestamp intact.
+
+    Scale: store() reads only offsets in (frontier, high-watermark) per
+    partition — incremental cost follows the new data, and the replay
+    run costs one empty scan."""
+    import shutil
+    import tempfile
+
+    from tansu_spark.broker.broker import Broker
+    from tansu_spark.lake.sink import LakeSink
+    from tansu_spark.streaming.source import stream_to_lake
+
+    ev = load(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="lake_stream_sink_")
+    try:
+        broker = Broker(spark, f"{scratch}/store")
+        broker.create_topic("ev", partitions=4)
+        broker.produce(
+            "ev",
+            ev.select(
+                F.col("user_id").cast("string").cast("binary").alias("key"),
+                F.col("props").cast("binary").alias("value"),
+                # ts contract: BIGINT nanos (tables.load) -> µs timestamp,
+                # exactly what DuckDB's parquet reader yields for MIN/MAX.
+                F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+                (F.col("event_id") % 4).cast("int").alias("partition"),
+            ),
+        )
+        sink = LakeSink(broker, f"{scratch}/lake")
+        q = stream_to_lake(broker, sink, "ev", checkpoint=f"{scratch}/ck1")
+        q.awaitTermination()
+        # Replay from a fresh checkpoint: the offset-frontier fence, not
+        # the checkpoint, is what guarantees exactly-once — rows must NOT
+        # double.
+        q2 = stream_to_lake(broker, sink, "ev", checkpoint=f"{scratch}/ck2")
+        q2.awaitTermination()
+        out = (
+            sink.read("ev")
+            .groupBy(F.col("partition").cast("int").alias("partition"))
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.countDistinct(F.col("key").cast("string")).alias("n_keys"),
+                F.sum(F.length(F.col("value").cast("string")))
+                .cast("long")
+                .alias("value_chars"),
+                F.min("timestamp").alias("first_ts"),
+                F.max("timestamp").alias("last_ts"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

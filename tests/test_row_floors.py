@@ -90,6 +90,7 @@ FLOORS = {
     "streaming_ewma_state": 75,  # one state row per user (150 at sf0.01)
     "streaming_static_enrich": 10,  # segments x event types (25 at sf0.01)
     "lake_restore_version": 3,  # one row per order priority (5 at sf0.01)
+    "streaming_lake_sink": 4,  # exactly one row per topic partition
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
