@@ -1270,6 +1270,111 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_interval_join_full",
+    oracle="""
+    WITH wm AS (
+      SELECT date_trunc('milliseconds',
+               least(max(ts) FILTER (WHERE event_type = 'purchase'),
+                     max(ts) FILTER (WHERE event_type = 'click'))) AS w
+      FROM events)
+    SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+             - CAST(floor(epoch(c.ts)) AS BIGINT) AS lag_sec,
+           c.event_id IS NULL AS no_click,
+           p.event_id IS NULL AS no_purchase
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts
+    -- watermark semantics, replayed exactly, per side: an unmatched
+    -- purchase emits once the (ms-truncated, min-of-both-inputs)
+    -- watermark passes its window's upper bound (= p.ts, slack 0); an
+    -- unmatched click emits once the watermark passes c.ts + 24 h (no
+    -- future purchase's lookback can reach it). Negatives still inside
+    -- either horizon stay pending — exactly as on the unbounded stream.
+    WHERE (p.event_id IS NOT NULL AND c.event_id IS NOT NULL)
+       OR (c.event_id IS NULL AND p.ts < (SELECT w FROM wm))
+       OR (p.event_id IS NULL
+           AND c.ts + INTERVAL 24 HOUR < (SELECT w FROM wm))
+    """,
+)
+def streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream interval join — the last cell of the
+    join matrix (inner r5, left-outer r6): matched purchase-click pairs
+    emit immediately; a purchase with no click in its 24 h lookback AND
+    a click that attributed no purchase in its 24 h lookahead each emit
+    ONCE, null-padded, when the watermark proves no partner can still
+    arrive. Both negative verdicts in one pass is the shape audit
+    pipelines want (unattributed spend AND dead clicks).
+
+    State boundedness is symmetric: each side's retention is watermark +
+    its interval slack, O(in-flight window) on unbounded topics. Under
+    the availableNow replay the final no-data batch advances the
+    watermark past max event time, flushing every pending negative, so
+    the appended result hash-equals the batch FULL JOIN the oracle
+    replays."""
+    import os
+
+    from tansu_spark.streaming.join import stream_interval_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    ts_is_long = schema["ts"].dataType.typeName() == "long"
+    ts_col = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
+
+    def src(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select("user_id", F.col("event_id"), ts_col.alias("timestamp"))
+        )
+
+    joined = stream_interval_join(
+        src("purchase"),
+        src("click"),
+        key="user_id",
+        l_ts="timestamp",
+        r_ts="timestamp",
+        lower="24 hours",
+        upper="0 seconds",
+        watermark="0 seconds",
+        how="full_outer",
+    )
+    out = joined.select(
+        "user_id",
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        (
+            F.col("l_timestamp").cast("long") - F.col("r_timestamp").cast("long")
+        ).alias("lag_sec"),
+        F.col("r_event_id").isNull().alias("no_click"),
+        F.col("l_event_id").isNull().alias("no_purchase"),
+    )
+    name = "stream_interval_join_full_oracle"
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
     "streaming_ewma_state",
     oracle="""
     WITH seq AS (

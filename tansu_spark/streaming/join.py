@@ -29,7 +29,9 @@ def _pred(key: str, l_ts: str, r_ts: str, lower: str, upper: str):
 
 
 def _project(left: DataFrame, right: DataFrame, key: str) -> list:
-    cols = [F.col(f"l.{key}").alias(key)]
+    # coalesce: for inner/left_outer the left key is always present; for
+    # right/full outer the unmatched right rows carry the key alone.
+    cols = [F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)]
     cols += [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns if c != key]
     cols += [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns if c != key]
     return cols

@@ -91,6 +91,8 @@ FLOORS = {
     "streaming_static_enrich": 10,  # segments x event types (25 at sf0.01)
     "lake_restore_version": 3,  # one row per order priority (5 at sf0.01)
     "streaming_lake_sink": 4,  # exactly one row per topic partition
+    # matched pairs + watermark-flushed negatives both ways (3418 at sf0.01)
+    "streaming_interval_join_full": 1700,
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
