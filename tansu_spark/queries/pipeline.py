@@ -1808,6 +1808,126 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Interpolated Kneser-Ney: the per-bigram probability, written ONCE and
+# evaluated with the IDENTICAL op order in both engines (all inputs exact
+# BIGINTs, constants cast to DOUBLE explicitly — Spark and DuckDB both
+# parse bare `0.75` as DECIMAL), then fixed-pointed to an integer
+# micro-probability with the repo's floor(x+0.5) rule so per-doc SUMs are
+# order-independent BIGINT arithmetic, never double accumulation.
+_KN_P = (
+    "greatest(CAST(c12 AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))"
+    " / CAST(c1 AS DOUBLE)"
+    " + ((CAST(0.75 AS DOUBLE) * CAST(n1f AS DOUBLE)) / CAST(c1 AS DOUBLE))"
+    " * (CAST(n1b AS DOUBLE) / CAST(ntypes AS DOUBLE))"
+)
+_KN_MICRO = f"CAST(floor(({_KN_P}) * CAST(1000000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+
+@query(
+    "text_kneser_ney_lm",
+    oracle=_TOK_CTE
+    + f""",
+    bi AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+           FROM tok),
+    ms AS (SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+                  CAST(count(*) AS BIGINT) AS c12
+           FROM bi GROUP BY bg),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1f
+            FROM ms GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM ms GROUP BY w2),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM ms),
+    model AS (SELECT ms.bg, {_KN_MICRO} AS micro
+              FROM ms JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nt),
+    sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+                  CAST(SUM(micro) AS BIGINT) AS s_micro,
+                  MIN(micro) AS min_micro
+           FROM bi JOIN model USING (bg) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(nb, 0) AS n_bigrams,
+           coalesce(s_micro, 0) AS sum_prob_micro,
+           min_micro AS min_prob_micro,
+           (CAST(s_micro AS DOUBLE) / CAST(nb AS DOUBLE))
+             / CAST(1000000000000 AS DOUBLE) AS mean_prob
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def text_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring — the real smoothing
+    behind KenLM-style perplexity filters (vs text_bigram_lm_score's
+    unsmoothed MLE ratio): P(w2|w1) = max(c12 - D, 0)/c1 + D·N1+(w1·)/c1
+    · N1+(·w2)/N1+(··), D = 0.75. The continuation weight is what makes
+    KN discriminate: "san francisco" scores on how many DISTINCT
+    contexts precede "francisco", not its raw frequency — boilerplate
+    with high-frequency-but-single-context tokens stops looking fluent.
+
+    Numeric parity: every model quantity is an exact BIGINT count; the
+    per-bigram probability is ONE shared expression evaluated in the
+    identical IEEE op order in both engines, then fixed-pointed to an
+    integer micro-probability (floor(p·1e12 + 0.5) — the repo's
+    engine-neutral rounding). Per-doc aggregation is BIGINT sum + min:
+    double accumulation order never enters; the one double division
+    happens once, at the end.
+
+    Scale: two passes over the tokenized corpus (train + score, inherent
+    to self-trained filters). Model tables partial-agg map-side on
+    uniformly-hashed string keys; the score join is model-sized on the
+    build side with AQE skew-split for stock-phrase hot keys. The only
+    driver state is ntypes — ONE scalar. Self-scoring means every scored
+    bigram exists in the model, so the join is equi and dense."""
+    from tansu_spark.functions import text as T
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", T.tokens("text").alias("t"))
+    bi = toks.select("doc_id", F.explode(T.bigrams("t")).alias("bg"))
+    ms = (
+        bi.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .select(
+            "bg",
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+            "c12",
+        )
+    )
+    ctx = ms.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).alias("n1f"),
+    )
+    cont = ms.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    ntypes = ms.count()  # O(1) driver state: one scalar
+    model = (
+        ms.join(ctx, "w1")
+        .join(cont, "w2")
+        .withColumn("ntypes", F.lit(ntypes))
+        .select("bg", F.expr(_KN_MICRO).alias("micro"))
+    )
+    sc = (
+        bi.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("micro").cast("long").alias("s_micro"),
+            F.min("micro").alias("min_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nb", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("s_micro", F.lit(0)).alias("sum_prob_micro"),
+            F.col("min_micro").alias("min_prob_micro"),
+            F.expr(
+                "(CAST(s_micro AS DOUBLE) / CAST(nb AS DOUBLE))"
+                " / CAST(1000000000000 AS DOUBLE)"
+            ).alias("mean_prob"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination, BM25 retrieval, inverted index
 # ---------------------------------------------------------------------------

@@ -93,6 +93,7 @@ FLOORS = {
     "streaming_lake_sink": 4,  # exactly one row per topic partition
     # matched pairs + watermark-flushed negatives both ways (3418 at sf0.01)
     "streaming_interval_join_full": 1700,
+    "text_kneser_ney_lm": 400,  # one row per document (974 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
