@@ -261,6 +261,87 @@ def knn_graph_lsh(
     )
 
 
+def knn_graph_incremental(
+    base_graph: DataFrame,
+    base: DataFrame,
+    new: DataFrame,
+    k: int = 5,
+    n_bands: int = 2,
+    n_planes: int = 4,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 10,
+) -> DataFrame:
+    """Incremental k-NN graph maintenance: fold a NEW vector batch into
+    an existing `knn_graph_lsh` adjacency without rebuilding. Candidate
+    generation touches only pairs with a new endpoint (new×all for new
+    sources, base×new for affected base sources), so cost follows the
+    BATCH, not the corpus. Base nodes gaining a new candidate re-rank
+    their stored top-k merged with the fresh edges; untouched base rows
+    pass through verbatim.
+
+    Exactness (the gate's whole check): true top-k over all candidates
+    ⊆ stored top-k ∪ new-endpoint edges — a displaced stored edge is
+    only ever displaced by a new edge that IS present in the merge — so
+    the incremental result equals the full rebuild bit-for-bit."""
+
+    def tag(df: DataFrame) -> DataFrame:
+        parts = [
+            with_lsh_bucket(
+                df, n_planes, n_dims, vec_col, plane_offset=b * n_planes
+            ).select(
+                F.col(id_col), F.col(vec_col), F.lit(b).alias("band"), "bucket"
+            )
+            for b in range(n_bands)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def score(a: DataFrame, c: DataFrame) -> DataFrame:
+        pairs = (
+            a.selectExpr(
+                f"{id_col} as id_a", f"{vec_col} as v_a", "band", "bucket"
+            )
+            .join(
+                c.selectExpr(
+                    f"{id_col} as id_b", f"{vec_col} as v_b", "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine("v_a", "v_b"), round_digits).alias("cosine"),
+            )
+        )
+        return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+
+    nb, bb = tag(new), tag(base)
+    all_b = bb.unionByName(nb)
+    from_new = score(nb, all_b)  # new sources: complete candidate set
+    to_new = score(bb, nb)  # base sources: only their NEW candidates
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    new_rows = (
+        from_new.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    touched = to_new.select("id_a").distinct()
+    merged = (
+        base_graph.join(touched, "id_a", "left_semi")
+        .select("id_a", "id_b", "cosine")
+        # stored neighbors are base-side, fresh ones new-side: disjoint
+        .unionByName(to_new)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    untouched = base_graph.join(touched, "id_a", "left_anti")
+    return untouched.unionByName(merged).unionByName(new_rows)
+
+
 def _centroid_rows(
     corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
 ) -> list[tuple[int, list[float]]]:

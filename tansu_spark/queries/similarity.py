@@ -1429,3 +1429,49 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs graph it approximates. The oracle replays both bands'
     plane folds, the candidate union, and the window bit-for-bit."""
     return S.knn_graph_lsh(_emb(spark, sf_dir), k=5, n_bands=2, n_planes=4)
+
+
+@query(
+    "sim_knn_graph_incremental",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, 0 AS band, {_bucket_sql("embedding")} AS bucket
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id, embedding, 1 AS band,
+             {_bucket_sql("embedding", plane_offset=4)} AS bucket
+      FROM embeddings
+    ),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+             FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+             WHERE a.vec_id != c.vec_id),
+    sc AS (SELECT id_a, id_b, {_cos_sql("e1.embedding", "e2.embedding")} AS cosine
+           FROM cand
+           JOIN embeddings e1 ON e1.vec_id = id_a
+           JOIN embeddings e2 ON e2.vec_id = id_b)
+    SELECT id_a, id_b, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+                  PARTITION BY id_a ORDER BY cosine DESC, id_b) AS BIGINT) AS rank
+      FROM sc)
+    WHERE rank <= 5
+    """,
+)
+def sim_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental k-NN graph maintenance (functions/similarity.py::
+    knn_graph_incremental): the corpus arrives as base (90%) + a new
+    batch (vec_id % 10 = 0); the base graph is folded forward with
+    candidate work proportional to the BATCH (new×all + base×new bucket
+    joins only — the base×base join never reruns). The oracle is the
+    FULL-REBUILD graph: the incremental result must equal it
+    bit-for-bit, which is the top-k merge property (a stored edge is
+    only displaced by a new edge present in the merge) made into a
+    hash check.
+
+    Scale: this is the daily-ingest shape — a billion-vector graph
+    absorbs a million-vector day at million-scale cost; untouched
+    adjacency rows pass through without recompute or shuffle-by-rank."""
+    emb = _emb(spark, sf_dir)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    base_graph = S.knn_graph_lsh(base, k=5, n_bands=2)
+    return S.knn_graph_incremental(base_graph, base, new, k=5, n_bands=2)

@@ -95,6 +95,7 @@ FLOORS = {
     "streaming_interval_join_full": 1700,
     "text_kneser_ney_lm": 400,  # one row per document (974 at sf0.01)
     "sim_knn_graph_lsh": 1000,  # ~5 neighbors x 500 vectors at sf0.01
+    "sim_knn_graph_incremental": 1000,  # must equal the full rebuild
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null

@@ -205,6 +205,20 @@ SNAPSHOTS: dict[str, str] = {
         "(ReadSchema: 3 columns) and the partial-agg groupBy. No "
         "row-at-a-time UDFs, no extra shuffles."
     ),
+    "sim_knn_graph_lsh": (
+        "k-NN graph candidate generation: the embedding arrays appear in "
+        "exactly the per-band bucket self-join exchanges (one hash exchange "
+        "per side on (band, bucket)); the pair-dedup HashAggregate and the "
+        "per-node rank Window exchange only (id_a, id_b, cosine) scalars — "
+        "no array column in their Input lists, no CartesianProduct anywhere."
+    ),
+    "text_kneser_ney_lm": (
+        "Self-trained LM: model CTEs are partial-agg groupBys on uniformly "
+        "hashed string keys (bg/w1/w2); the scoring join back to the bigram "
+        "stream is an equi-join AQE can skew-split; the only driver-side "
+        "value is the ntypes scalar literal. Per-doc aggregation sums "
+        "BIGINT micro-probabilities — no double accumulation stage."
+    ),
 }
 
 
