@@ -225,11 +225,19 @@ def knn_graph_lsh(
     arrays (a pair co-bucketing in b bands costs b cheap folds instead
     of dragging 64 doubles through an exchange). Final top-k is one
     window per source node. Output: (id_a, id_b, cosine, rank)."""
+    # Norms ride the per-vector row (one fold per vector per band), so
+    # each candidate pair costs ONE dot fold + two scalar ops instead of
+    # three folds — same IEEE doubles as the per-pair sqrt(dot(x,x)), so
+    # the oracle's cosine is bit-identical.
     bands = [
         with_lsh_bucket(
             df, n_planes, n_dims, vec_col, plane_offset=b * n_planes
         ).select(
-            F.col(id_col), F.col(vec_col), F.lit(b).alias("band"), "bucket"
+            F.col(id_col),
+            F.col(vec_col),
+            norm(vec_col).alias("_vn"),
+            F.lit(b).alias("band"),
+            "bucket",
         )
         for b in range(n_bands)
     ]
@@ -237,19 +245,21 @@ def knn_graph_lsh(
     for extra in bands[1:]:
         tagged = tagged.unionByName(extra)
     a = tagged.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "band", "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        F.col("_vn").alias("n_a"), "band", "bucket"
     )
     c = tagged.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "band", "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        F.col("_vn").alias("n_b"), "band", "bucket"
+    )
+    cos = dot("v_a", "v_b") / (
+        F.greatest(F.col("n_a"), F.lit(1e-30))
+        * F.greatest(F.col("n_b"), F.lit(1e-30))
     )
     scored = (
         a.join(c, ["band", "bucket"])
         .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine("v_a", "v_b"), round_digits).alias("cosine"),
-        )
+        .select("id_a", "id_b", F.round(cos, round_digits).alias("cosine"))
         # dedup across bands: same pair -> same deterministic cosine
         .groupBy("id_a", "id_b")
         .agg(F.max("cosine").alias("cosine"))
@@ -291,7 +301,11 @@ def knn_graph_incremental(
             with_lsh_bucket(
                 df, n_planes, n_dims, vec_col, plane_offset=b * n_planes
             ).select(
-                F.col(id_col), F.col(vec_col), F.lit(b).alias("band"), "bucket"
+                F.col(id_col),
+                F.col(vec_col),
+                norm(vec_col).alias("_vn"),
+                F.lit(b).alias("band"),
+                "bucket",
             )
             for b in range(n_bands)
         ]
@@ -301,22 +315,26 @@ def knn_graph_incremental(
         return out
 
     def score(a: DataFrame, c: DataFrame) -> DataFrame:
+        # one dot fold per pair — norms precomputed per vector (same IEEE
+        # doubles as per-pair sqrt folds; see knn_graph_lsh)
+        cos = dot("v_a", "v_b") / (
+            F.greatest(F.col("n_a"), F.lit(1e-30))
+            * F.greatest(F.col("n_b"), F.lit(1e-30))
+        )
         pairs = (
             a.selectExpr(
-                f"{id_col} as id_a", f"{vec_col} as v_a", "band", "bucket"
+                f"{id_col} as id_a", f"{vec_col} as v_a", "_vn as n_a",
+                "band", "bucket"
             )
             .join(
                 c.selectExpr(
-                    f"{id_col} as id_b", f"{vec_col} as v_b", "band", "bucket"
+                    f"{id_col} as id_b", f"{vec_col} as v_b", "_vn as n_b",
+                    "band", "bucket"
                 ),
                 ["band", "bucket"],
             )
             .filter(F.col("id_a") != F.col("id_b"))
-            .select(
-                "id_a",
-                "id_b",
-                F.round(cosine("v_a", "v_b"), round_digits).alias("cosine"),
-            )
+            .select("id_a", "id_b", F.round(cos, round_digits).alias("cosine"))
         )
         return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 

@@ -1473,5 +1473,10 @@ def sim_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     new = emb.filter(F.col("vec_id") % 10 == 0)
     base = emb.filter(F.col("vec_id") % 10 != 0)
+    # The fold references the "stored" adjacency three ways (touched
+    # semi, untouched anti, merge); Spark's ReusedExchange shares the
+    # graph build across them (measured: an eager localCheckpoint here
+    # is SLOWER — materialization cost without saved work). Production
+    # reads the adjacency from a table and skips the build entirely.
     base_graph = S.knn_graph_lsh(base, k=5, n_bands=2)
     return S.knn_graph_incremental(base_graph, base, new, k=5, n_bands=2)
