@@ -595,3 +595,100 @@ def streaming_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "lake_write_audit_publish",
+    oracle="""
+    WITH good AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 1 AND o_orderkey % 7 <> 1
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_total,
+           CAST(1 AS BIGINT) AS n_rollbacks,
+           CAST(1 AS BIGINT) AS n_publishes
+    FROM good GROUP BY o_orderpriority
+    """,
+)
+def lake_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (the Iceberg/Delta WAP operational pattern,
+    composed from this repo's snapshot primitives): each ingest batch is
+    STAGED as a committed version, AUDITED against the live table, and
+    either PUBLISHED (kept) or ROLLED BACK (`restore_version` to the
+    pre-stage version — O(staged files) renames; the dirty data leaves
+    the live file set entirely). The gate run stages the odd-orders
+    batch with a contract violation injected (priority NULLed on the
+    o_orderkey % 7 = 1 subset), the audit catches it, the stage rolls
+    back; the corrected batch (violating rows quarantined) stages and
+    publishes. The final PLAIN read must equal the oracle's
+    base + quarantine-filtered replay — a leftover dirty file or a lost
+    base file would shift counts AND null-group the hash.
+
+    Scale: audit cost is one predicate scan (production audits only the
+    staged files via the version diff); rollback is O(files staged)."""
+    import shutil
+    import tempfile
+
+    from tansu_spark.lake.snapshots import commit_snapshot, restore_version
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="lake_wap_")
+    try:
+        d = f"{scratch}/t"
+        base = orders.where(F.col("o_orderkey") % 2 == 0)
+        base.write.mode("append").parquet(d)
+        published = commit_snapshot(d, "append")  # v0 = published base
+
+        def audit_fails() -> bool:
+            live = spark.read.parquet(d)
+            return (
+                live.where(F.col("o_orderpriority").isNull()).limit(1).count()
+                > 0
+            )
+
+        rollbacks = publishes = 0
+        odd = orders.where(F.col("o_orderkey") % 2 == 1)
+        # Stage 1: dirty batch — a deterministic subset violates the
+        # NOT NULL priority contract.
+        dirty = odd.withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 7 == 1, F.lit(None)).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        dirty.write.mode("append").parquet(d)
+        commit_snapshot(d, "stage")
+        if audit_fails():
+            restore_version(d, published)  # rollback: dirty stage undone
+            rollbacks += 1
+        # Stage 2: corrected batch — violating rows quarantined upstream.
+        clean = odd.where(F.col("o_orderkey") % 7 != 1)
+        clean.write.mode("append").parquet(d)
+        staged = commit_snapshot(d, "stage")
+        if not audit_fails():
+            published = staged  # publish: the staged version is now live
+            publishes += 1
+        out = (
+            spark.read.parquet(d)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("price_total"),
+            )
+            .withColumn("n_rollbacks", F.lit(rollbacks).cast("long"))
+            .withColumn("n_publishes", F.lit(publishes).cast("long"))
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

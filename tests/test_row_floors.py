@@ -96,6 +96,7 @@ FLOORS = {
     "text_kneser_ney_lm": 400,  # one row per document (974 at sf0.01)
     "sim_knn_graph_lsh": 1000,  # ~5 neighbors x 500 vectors at sf0.01
     "sim_knn_graph_incremental": 1000,  # must equal the full rebuild
+    "lake_write_audit_publish": 3,  # one row per order priority (5)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
