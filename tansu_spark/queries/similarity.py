@@ -1480,3 +1480,77 @@ def sim_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads the adjacency from a table and skips the build entirely.
     base_graph = S.knn_graph_lsh(base, k=5, n_bands=2)
     return S.knn_graph_incremental(base_graph, base, new, k=5, n_bands=2)
+
+
+@query(
+    "graph_knn_mutual_components",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding, 0 AS band, {_bucket_sql("embedding")} AS bucket
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id, embedding, 1 AS band,
+             {_bucket_sql("embedding", plane_offset=4)} AS bucket
+      FROM embeddings
+    ),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+             FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+             WHERE a.vec_id != c.vec_id),
+    sc AS (SELECT id_a, id_b, {_cos_sql("e1.embedding", "e2.embedding")} AS cosine
+           FROM cand
+           JOIN embeddings e1 ON e1.vec_id = id_a
+           JOIN embeddings e2 ON e2.vec_id = id_b),
+    knn AS (SELECT id_a, id_b, cosine FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn
+              FROM sc)
+            WHERE rn <= 5),
+    ed AS (SELECT x.id_a AS a, x.id_b AS bb
+           FROM knn x JOIN knn y ON x.id_a = y.id_b AND x.id_b = y.id_a
+           WHERE x.cosine >= 0.3),
+    walk AS (SELECT a AS node, a AS lbl FROM ed
+             UNION
+             SELECT e2.bb, w.lbl FROM walk w JOIN ed e2 ON e2.a = w.node),
+    comp AS (SELECT node, min(lbl) AS component_id FROM walk GROUP BY node)
+    SELECT node AS vec_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS component_size,
+           (node = component_id) AS is_canonical
+    FROM comp
+    """,
+)
+def graph_knn_mutual_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clusters from the k-NN GRAPH: mutual-kNN edges (each
+    endpoint ranks the other in its top-5, cosine >= 0.3) fed through
+    hash-min connected components — the standard mutual-kNN clustering
+    that resists hub nodes (a boilerplate vector near everything is
+    nobody's RECIPROCATED neighbor, so it cannot glue unrelated
+    clusters the way raw threshold pairs can). Output is the per-vector
+    decision list (component, size, canonical flag) a semantic-dedup or
+    diversity-sampling pass consumes.
+
+    Scale: mutuality is one self-equi-join of the k-NN adjacency on the
+    swapped pair key (k rows per node, so the join input is O(nk));
+    components run on the mutual edge set, one shuffle per round,
+    rounds <= cluster diameter (mutual-kNN clusters are tight — small
+    diameters by construction). The oracle replays graph, mutuality,
+    and components (recursive CTE) end to end."""
+    from tansu_spark.operators.graph import connected_components
+
+    g = S.knn_graph_lsh(_emb(spark, sf_dir), k=5, n_bands=2)
+    mutual = (
+        g.alias("x")
+        .join(
+            g.alias("y"),
+            (F.col("x.id_a") == F.col("y.id_b"))
+            & (F.col("x.id_b") == F.col("y.id_a")),
+        )
+        .where(F.col("x.cosine") >= 0.3)
+        .select(F.col("x.id_a").alias("src"), F.col("x.id_b").alias("dst"))
+    )
+    cc = connected_components(mutual)
+    w = Window.partitionBy("component_id")
+    return (
+        cc.select(F.col("node").alias("vec_id"), "component_id")
+        .withColumn("component_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("vec_id") == F.col("component_id"))
+    )

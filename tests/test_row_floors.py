@@ -97,6 +97,7 @@ FLOORS = {
     "sim_knn_graph_lsh": 1000,  # ~5 neighbors x 500 vectors at sf0.01
     "sim_knn_graph_incremental": 1000,  # must equal the full rebuild
     "lake_write_audit_publish": 3,  # one row per order priority (5)
+    "graph_knn_mutual_components": 150,  # clustered vectors (300 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
