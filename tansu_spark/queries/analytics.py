@@ -2118,6 +2118,116 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hourly_lerp",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value, date_trunc('hour', ts) AS h, ts
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'),
+    hr AS (SELECT user_id, h, value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, h
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+             FROM e) WHERE rn = 1),
+    b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY user_id),
+    sp AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM b),
+    j AS (SELECT sp.user_id, sp.h,
+                 CAST(floor(epoch(sp.h)) AS BIGINT) AS hs, hr.value
+          FROM sp LEFT JOIN hr USING (user_id, h)),
+    k AS (SELECT user_id, h, hs, value,
+            last_value(CASE WHEN value IS NULL THEN NULL
+                            ELSE {'s': hs, 'v': value} END IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+            first_value(CASE WHEN value IS NULL THEN NULL
+                             ELSE {'s': hs, 'v': value} END IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY h
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+          FROM j)
+    SELECT user_id, h AS hour,
+           CASE WHEN value IS NOT NULL THEN value
+                ELSE p.v + (n.v - p.v)
+                     * (CAST(hs - p.s AS DOUBLE) / CAST(n.s - p.s AS DOUBLE))
+           END AS value_lerp,
+           CAST(CASE WHEN value IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+    FROM k
+    """,
+)
+def events_hourly_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation — the numeric
+    sibling of events_hourly_locf (LOCF carries a level; lerp
+    reconstructs a trend, the right fill for rates and gauges): each
+    user's week re-sampled onto an hourly spine, gap hours interpolated
+    between the surrounding observed hours. Both endpoints always exist
+    because the spine spans exactly first..last observed hour per user.
+
+    Numeric parity: the interpolation is ONE shared expression —
+    p + (n - p) * ((h - hp) / (hn - hp)) with integer-second inputs —
+    evaluated in identical IEEE order in both engines; observed hours
+    pass their value through verbatim. The prev/next anchors travel as
+    (second, value) structs under last/first(IGNORE NULLS), so anchor
+    time and anchor value can never come from different rows.
+
+    Scale: identical to LOCF — everything partitions by user_id, spine
+    state is O(users x 168 h), the two anchor windows are one
+    partition-ordered pass each."""
+    from pyspark.sql import Window
+
+    lo, hi = "2024-01-08", "2024-01-15"
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    e = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value", ts.alias("ts"))
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .withColumn("h", F.date_trunc("hour", F.col("ts")))
+    )
+    pick = Window.partitionBy("user_id", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hr = (
+        e.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    j = spine.join(hr, ["user_id", "h"], "left").withColumn(
+        "hs", F.col("h").cast("long")
+    )
+    anchor = F.when(
+        F.col("value").isNotNull(),
+        F.struct(F.col("hs").alias("s"), F.col("value").alias("v")),
+    )
+    back = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    k = j.withColumn("p", F.last(anchor, ignorenulls=True).over(back)).withColumn(
+        "n", F.first(anchor, ignorenulls=True).over(fwd)
+    )
+    lerp = F.col("p.v") + (F.col("n.v") - F.col("p.v")) * (
+        (F.col("hs") - F.col("p.s")).cast("double")
+        / (F.col("n.s") - F.col("p.s")).cast("double")
+    )
+    return k.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .otherwise(lerp)
+        .alias("value_lerp"),
+        F.when(F.col("value").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+    )
+
+
+@query(
     "asof_join_tolerant_order",
     oracle="""
     WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),

@@ -98,6 +98,7 @@ FLOORS = {
     "sim_knn_graph_incremental": 1000,  # must equal the full rebuild
     "lake_write_audit_publish": 3,  # one row per order priority (5)
     "graph_knn_mutual_components": 150,  # clustered vectors (300 at sf0.01)
+    "events_hourly_lerp": 10000,  # users x hourly spine (21950 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
