@@ -4779,3 +4779,85 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.5)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
+
+
+@query(
+    "corpus_quantile_calibration",
+    oracle="""
+    WITH N AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) - 1
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS m
+      FROM documents),
+    grank AS (
+      SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                  AS BIGINT) AS gidx,
+             CAST(n_chars AS BIGINT) AS calibrated
+      FROM documents),
+    mapped AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN m > 1 THEN (rn * (n - 1)) // (m - 1)
+                  ELSE (n - 1) // 2 END AS gidx
+      FROM ranked CROSS JOIN N)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS raw_score, calibrated
+    FROM mapped JOIN grank USING (gidx)
+    """,
+)
+def corpus_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization — the calibration step that
+    makes per-source quality scores COMPARABLE before corpus mixing: a
+    doc at the p-th quantile of ITS source maps to the global score at
+    the same quantile, so "top 20% of source A" and "top 20% of source
+    B" mean the same thing downstream even when A's raw scores run
+    systematically long. (text_quality_calibrated normalizes WITHIN a
+    source; this entry aligns sources against the global distribution.)
+
+    All rank math is integer (type-1 quantile: global index
+    rn·(N−1) div (m−1)), so parity is exact with zero float plumbing.
+
+    Scale: one window per source partition, one global rank — the
+    global sort is the only corpus-wide ordering and it IS the
+    calibration table (N rows of two BIGINTs); the mapping join is an
+    equi-join on the rank index. Driver state: the single N scalar. At
+    extreme scale the exact global rank swaps for a KLL/bottom-k
+    quantile table (functions/sketch.py) at the cost of approximation;
+    the exact form is kept here because the gate demands bit parity."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    n = docs.count()  # O(1) driver state
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("n_chars", "doc_id")
+            )
+            - 1
+        ).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("m"),
+    )
+    glob = docs.select(
+        (
+            F.row_number().over(Window.orderBy("n_chars", "doc_id")) - 1
+        ).cast("long").alias("gidx"),
+        F.col("n_chars").cast("long").alias("calibrated"),
+    )
+    mapped = ranked.withColumn(
+        "gidx",
+        F.when(
+            F.col("m") > 1,
+            F.expr(f"(rn * ({n} - 1)) div (m - 1)"),
+        ).otherwise(F.lit((n - 1) // 2)),
+    )
+    return mapped.join(glob, "gidx").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("raw_score"),
+        "calibrated",
+    )

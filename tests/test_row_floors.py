@@ -99,6 +99,7 @@ FLOORS = {
     "lake_write_audit_publish": 3,  # one row per order priority (5)
     "graph_knn_mutual_components": 150,  # clustered vectors (300 at sf0.01)
     "events_hourly_lerp": 10000,  # users x hourly spine (21950 at sf0.01)
+    "corpus_quantile_calibration": 400,  # one row per document (974)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
