@@ -387,3 +387,82 @@ def kafka_offset_for_max_timestamp(spark: SparkSession, sf_dir: str) -> DataFram
     aggregation (operators/kafka.py::offsets_for_max_timestamp), never a
     sort."""
     return K.offsets_for_max_timestamp(events_topic(spark, sf_dir))
+
+
+@query(
+    "kafka_group_lag_report",
+    oracle="""
+    WITH t AS (SELECT CAST(event_id % 4 AS INTEGER) AS "partition",
+                      CAST(event_id // 4 AS BIGINT) AS o, ts
+               FROM events),
+    hw AS (SELECT "partition", MIN(o) AS earliest, MAX(o) + 1 AS high_watermark
+           FROM t GROUP BY "partition"),
+    cm AS (SELECT "partition",
+                  MIN(o) FILTER (WHERE ts >= TIMESTAMP '2024-01-15')
+                    AS committed
+           FROM t GROUP BY "partition")
+    SELECT hw."partition", hw.earliest, hw.high_watermark,
+           cm.committed,
+           hw.high_watermark - cm.committed AS lag
+    FROM hw JOIN cm USING ("partition")
+    """,
+)
+def kafka_group_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-group lag — the kafka-consumer-groups.sh describe view —
+    as a full CONTROL-PLANE round trip under the hash gate: events are
+    produced into a scratch broker (explicit partition routing +
+    event_id order, so offsets replay as event_id div 4), the group's
+    cursor is seeded at ListOffsets(timestamp) of a mid-dataset cutoff
+    (offset_commit, pg.rs:2104-2186), and the report reads back
+    `consumer_lag` (watermark document vs group cursor file — zero
+    Spark jobs) plus the earliest watermark. Every number crosses broker
+    STATE (watermarks.json, groups/<g>.json), not just DataFrames — a
+    broken watermark bump, a lost commit, or an off-by-one in
+    ListOffsets(ts >= cutoff, ORDER BY offset LIMIT 1) shifts the hash.
+
+    Scale: produce is the one data-plane job; the report itself is
+    control-plane file reads, exactly like the reference's describe
+    path."""
+    import shutil
+    import tempfile
+
+    from tansu_spark.broker.broker import Broker
+
+    ev = load(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="kafka_lag_")
+    try:
+        broker = Broker(spark, f"{scratch}/store")
+        broker.create_topic("ev", partitions=4)
+        broker.produce(
+            "ev",
+            ev.orderBy("event_id").select(
+                F.col("user_id").cast("string").cast("binary").alias("key"),
+                F.col("props").cast("binary").alias("value"),
+                F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+                (F.col("event_id") % 4).cast("int").alias("partition"),
+            ),
+        )
+        cutoff = "2024-01-15"
+        committed = broker.list_offsets("ev", cutoff)
+        broker.commit_offsets(
+            "g1", {("ev", p): o for p, o in committed.items()}
+        )
+        lag = broker.consumer_lag("g1", "ev")
+        earliest = broker.list_offsets("ev", "earliest")
+        rows = [
+            (
+                int(p),
+                int(earliest[p]),
+                int(d["high_watermark"]),
+                int(d["committed"]),
+                int(d["lag"]),
+            )
+            for p, d in sorted(lag.items())
+        ]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "partition int, earliest bigint, high_watermark bigint, "
+        "committed bigint, lag bigint",
+    )

@@ -100,6 +100,7 @@ FLOORS = {
     "graph_knn_mutual_components": 150,  # clustered vectors (300 at sf0.01)
     "events_hourly_lerp": 10000,  # users x hourly spine (21950 at sf0.01)
     "corpus_quantile_calibration": 400,  # one row per document (974)
+    "kafka_group_lag_report": 4,  # exactly one row per topic partition
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
