@@ -466,3 +466,98 @@ def kafka_group_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition int, earliest bigint, high_watermark bigint, "
         "committed bigint, lag bigint",
     )
+
+
+@query(
+    "kafka_txn_visibility_report",
+    oracle="""
+    WITH t AS (SELECT CAST(event_id % 4 AS INTEGER) AS "partition",
+                      (event_id % 3 <> 0) AS is_base
+               FROM events),
+    c AS (SELECT "partition",
+                 CAST(count(*) FILTER (WHERE is_base) AS BIGINT) AS base_n,
+                 CAST(count(*) FILTER (WHERE NOT is_base) AS BIGINT) AS txn_n
+          FROM t GROUP BY "partition")
+    SELECT "partition",
+           base_n AS n_rc_open,
+           base_n + txn_n AS n_ru_open,
+           base_n AS lso_open,
+           base_n + txn_n AS n_rc_committed,
+           base_n + txn_n AS n_rc_after_abort,
+           base_n + 2 * txn_n AS n_ru_after_abort
+    FROM c
+    """,
+)
+def kafka_txn_visibility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional visibility (T2/T4) under the hash gate — the full
+    lifecycle the reference implements across pg.rs:3187-3647 and the
+    LSO fetch gate (pg.rs:1821-1827): committed base rows, an OPEN
+    transaction (read_committed must stop at the LSO = the txn's first
+    offset; read_uncommitted sees through it), EndTxn commit (one
+    atomic visibility flip), then a second transaction ABORTED —
+    read_committed counts must not move, read_uncommitted shows the
+    aborted rows (Kafka semantics: abort markers hide rows only from
+    read_committed). Six numbers per partition, every one crossing
+    broker txn state, watermarks, and the isolation-bounded fetch path.
+
+    Scale: three produces + four control-plane-bounded fetch scans; the
+    report itself is a groupBy count per snapshot."""
+    import shutil
+    import tempfile
+
+    from tansu_spark.broker.broker import Broker
+
+    ev = load(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="kafka_txn_")
+    try:
+        broker = Broker(spark, f"{scratch}/store")
+        broker.create_topic("tx", partitions=4)
+
+        def payload(pred):
+            return ev.where(pred).orderBy("event_id").select(
+                F.col("user_id").cast("string").cast("binary").alias("key"),
+                F.col("props").cast("binary").alias("value"),
+                F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+                (F.col("event_id") % 4).cast("int").alias("partition"),
+            )
+
+        broker.produce("tx", payload(F.col("event_id") % 3 != 0))
+        broker.produce("tx", payload(F.col("event_id") % 3 == 0), txn_id="t1")
+
+        def counts(isolation):
+            return {
+                int(r["partition"]): int(r["n"])
+                for r in broker.fetch("tx", isolation=isolation)
+                .groupBy("partition")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+
+        rc_open = counts("read_committed")
+        ru_open = counts("read_uncommitted")
+        lso = broker.last_stable_offsets("tx")
+        broker.end_transaction("t1", commit=True)
+        rc_committed = counts("read_committed")
+        broker.produce("tx", payload(F.col("event_id") % 3 == 0), txn_id="t2")
+        broker.end_transaction("t2", commit=False)
+        rc_abort = counts("read_committed")
+        ru_abort = counts("read_uncommitted")
+        rows = [
+            (
+                p,
+                rc_open.get(p, 0),
+                ru_open.get(p, 0),
+                int(lso[p]),
+                rc_committed.get(p, 0),
+                rc_abort.get(p, 0),
+                ru_abort.get(p, 0),
+            )
+            for p in sorted(ru_open)
+        ]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "partition int, n_rc_open bigint, n_ru_open bigint, lso_open bigint, "
+        "n_rc_committed bigint, n_rc_after_abort bigint, n_ru_after_abort bigint",
+    )

@@ -101,6 +101,7 @@ FLOORS = {
     "events_hourly_lerp": 10000,  # users x hourly spine (21950 at sf0.01)
     "corpus_quantile_calibration": 400,  # one row per document (974)
     "kafka_group_lag_report": 4,  # exactly one row per topic partition
+    "kafka_txn_visibility_report": 4,  # exactly one row per partition
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
