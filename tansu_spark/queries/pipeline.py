@@ -4861,3 +4861,146 @@ def corpus_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("raw_score"),
         "calibrated",
     )
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH vid AS (SELECT doc_id FROM documents
+                 WHERE doc_id % 3 = 2 AND doc_id % 2 = 0),
+    fr AS (SELECT doc_id, unnest(range(0, 6)) AS f FROM vid),
+    m AS (SELECT doc_id, f,
+            CAST(list_sum(list_transform(range(0, 8), k ->
+              CASE WHEN f >= 3
+                   THEN 128 + (doc_id * 19 + f * 23 + k * 29) % 128
+                   ELSE (doc_id * 19 + f * 23 + k * 29) % 128 END))
+              AS DOUBLE) / 8 AS mean_y
+          FROM fr),
+    d AS (SELECT doc_id, f, mean_y,
+                 lag(mean_y) OVER (PARTITION BY doc_id ORDER BY f) AS prev_y
+          FROM m)
+    SELECT doc_id AS asset_id, CAST(f AS INTEGER) AS frame_index,
+           round(abs(mean_y - prev_y), 6) AS luma_delta,
+           abs(mean_y - prev_y) > 32 AS is_cut
+    FROM d WHERE f > 0
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL frame decodes: each video asset is
+    a six-frame YUV4MPEG2 stream with a PLANTED cut at frame 3 (the
+    luma construction shifts by +128 there); the per-frame parser
+    (decode_y4m_frames — FRAME markers, 4:2:0 stride) extracts every
+    frame's mean luma, and consecutive-frame deltas above the threshold
+    mark cuts. The oracle predicts each mean from the construction
+    formula, so a stride off-by-one, a swapped plane, or a lost FRAME
+    marker shifts every downstream delta and the hash — the
+    shot-boundary primitive a video-curation pipeline keys on.
+
+    Scale: decode is the Arrow-batched map pass (bytes never shuffle);
+    the delta is a per-asset lag window over (asset, frame) scalars —
+    state is frames-per-asset, embarrassingly partitioned."""
+    import pandas as pd
+
+    from tansu_spark.functions.multimodal import decode_y4m_frames, encode_y4m
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 2 == 0)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    bytes(
+                        (128 if f >= 3 else 0)
+                        + (did * 19 + f * 23 + k * 29) % 128
+                        for k in range(8)
+                    )
+                    + bytes(4)
+                    for f in range(6)
+                ]
+                content = encode_y4m(frames, 4, 2)
+                for i, mean_y in enumerate(decode_y4m_frames(content)):
+                    rows.append(
+                        {"asset_id": did, "frame_index": i, "mean_y": mean_y}
+                    )
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_index", "mean_y"])
+
+    means = d.mapInPandas(run, "asset_id bigint, frame_index int, mean_y double")
+    w = Window.partitionBy("asset_id").orderBy("frame_index")
+    delta = F.abs(F.col("mean_y") - F.lag("mean_y").over(w))
+    return (
+        means.withColumn("_d", delta)
+        .where(F.col("frame_index") > 0)
+        .select(
+            "asset_id",
+            "frame_index",
+            F.round("_d", 6).alias("luma_delta"),
+            (F.col("_d") > 32).alias("is_cut"),
+        )
+    )
+
+
+@query(
+    "orders_in_fulfillment_sweepline",
+    oracle="""
+    WITH closed AS (
+      SELECT o.o_orderkey, o.o_orderdate AS open_day,
+             MAX(l.l_shipdate) AS close_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    opens AS (SELECT open_day AS day, count(*) AS n FROM closed GROUP BY 1),
+    closes AS (SELECT close_day AS day, count(*) AS n FROM closed GROUP BY 1),
+    days AS (SELECT day, coalesce(o.n, 0) AS opened, coalesce(c.n, 0) AS closed_n
+             FROM opens o FULL JOIN closes c USING (day))
+    SELECT day,
+           CAST(opened AS BIGINT) AS opened,
+           CAST(closed_n AS BIGINT) AS closed,
+           CAST(SUM(opened - closed_n) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS in_fulfillment
+    FROM days
+    """,
+)
+def orders_in_fulfillment_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval counting — how many orders are IN FULFILLMENT
+    on each day (placed, not yet fully shipped) — without a range join:
+    each order contributes +1 at its order date and −1 at its LAST
+    lineitem ship date; the daily census is the running sum of the
+    aggregated deltas. The classic rewrite that turns an
+    O(orders × days) "day BETWEEN open AND close" range join into O(n)
+    event rows plus one tiny ordered series.
+
+    Scale: the close-day lookup is one orders⋈lineitem equi-join +
+    per-order max (both partial-agg friendly); the ±1 events collapse
+    map-side to one row per day, and the global window orders only the
+    DAY series — calendar-span length, independent of corpus size.
+    Counts are integers end to end."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    closed = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("close_day"))
+    )
+    opens = closed.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("opened")
+    )
+    closes = closed.groupBy(F.col("close_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("closed")
+    )
+    days = (
+        opens.join(closes, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("opened", F.lit(0)).cast("long").alias("opened"),
+            F.coalesce("closed", F.lit(0)).cast("long").alias("closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return days.withColumn(
+        "in_fulfillment",
+        F.sum(F.col("opened") - F.col("closed")).over(w).cast("long"),
+    )

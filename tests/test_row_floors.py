@@ -102,6 +102,8 @@ FLOORS = {
     "corpus_quantile_calibration": 400,  # one row per document (974)
     "kafka_group_lag_report": 4,  # exactly one row per topic partition
     "kafka_txn_visibility_report": 4,  # exactly one row per partition
+    "multimodal_scene_cuts": 200,  # 5 deltas x video assets (415 at sf0.01)
+    "orders_in_fulfillment_sweepline": 1200,  # calendar days (2499)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
