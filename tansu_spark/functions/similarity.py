@@ -271,6 +271,55 @@ def knn_graph_lsh(
     )
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 10,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07): instead of paying
+    recall with MORE tables/bands, each query also probes the buckets at
+    Hamming distance 1 from its own — the buckets a near-neighbor most
+    likely fell into when ONE hyperplane projection disagreed. One
+    corpus bucketing serves (1 + n_planes) probes per query: candidate
+    volume scales with probes x bucket size while index storage stays
+    single-table (the bands approach pays storage AND a second corpus
+    pass for the same recall lever).
+
+    Plan: the probe set is a per-query exploded literal array (tiny);
+    candidates come from ONE equi-join of the broadcast probe set
+    against the bucketed corpus — the corpus never shuffles."""
+    cb = with_lsh_bucket(corpus, n_planes, n_dims, vec_col)
+    qb = with_lsh_bucket(queries, n_planes, n_dims, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+    )
+    qp = qb.select(
+        "query_id", "q_vec", F.explode(probes).alias("_b")
+    ).select("query_id", "q_vec", F.col("_b").cast("int").alias("bucket"))
+    scored = (
+        cb.join(F.broadcast(qp), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine("q_vec", vec_col), round_digits).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_graph_incremental(
     base_graph: DataFrame,
     base: DataFrame,

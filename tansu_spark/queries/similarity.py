@@ -1554,3 +1554,44 @@ def graph_knn_mutual_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component_size", F.count(F.lit(1)).over(w))
         .withColumn("is_canonical", F.col("vec_id") == F.col("component_id"))
     )
+
+
+@query(
+    "sim_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH q0 AS (SELECT vec_id AS query_id, embedding AS qe,
+                       {_bucket_sql("embedding")} AS b0
+                FROM embeddings WHERE vec_id < 8),
+         q AS (SELECT query_id, qe,
+                      unnest([b0, xor(b0, 1), xor(b0, 2),
+                              xor(b0, 4), xor(b0, 8)]) AS bucket
+               FROM q0),
+         c AS (SELECT vec_id, embedding AS ce,
+                      {_bucket_sql("embedding")} AS bucket
+               FROM embeddings)
+    SELECT query_id, vec_id, {_cos_sql("qe", "ce")} AS cosine, rank
+    FROM (
+      SELECT query_id, vec_id, qe, ce,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY {_cos_sql("qe", "ce")} DESC, vec_id) AS BIGINT)
+               AS rank
+      FROM c JOIN q USING (bucket)
+      WHERE vec_id != query_id)
+    WHERE rank <= 5
+    """,
+)
+def sim_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (functions/similarity.py::lsh_multiprobe_topk
+    — Lv et al., VLDB'07): each query probes its own bucket PLUS the
+    n_planes buckets at Hamming distance 1, recovering the neighbors a
+    single disagreeing hyperplane projection would hide — the recall of
+    extra hash tables at single-table index cost. Candidates stay an
+    equi-join of the broadcast (query x probe) set against the bucketed
+    corpus; the corpus never shuffles.
+
+    vs sim_lsh_ann_topk (single probe): same index, 5x the candidate
+    budget per query, strictly-superset candidates — the pytest pins
+    recall dominance. The oracle replays the probe expansion and the
+    window bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    return S.lsh_multiprobe_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)

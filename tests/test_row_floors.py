@@ -104,6 +104,7 @@ FLOORS = {
     "kafka_txn_visibility_report": 4,  # exactly one row per partition
     "multimodal_scene_cuts": 200,  # 5 deltas x video assets (415 at sf0.01)
     "orders_in_fulfillment_sweepline": 1200,  # calendar days (2499)
+    "sim_lsh_multiprobe_topk": 40,  # exactly 8 queries x top-5
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null

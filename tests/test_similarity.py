@@ -257,3 +257,25 @@ def test_knn_graph_lsh_structure_and_recall(spark, sf_dir):
     one_pairs = set(zip(one_band["id_a"], one_band["id_b"]))
     assert len(true_pairs & got_pairs) >= len(true_pairs & one_pairs)
     assert len(true_pairs & got_pairs) > 0
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a strict superset of the single-probe
+    bucket's, so its top-k recall vs brute force can never be lower —
+    and its candidate sets must actually differ (the probes do work)."""
+    from tansu_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_ann_topk,
+        lsh_multiprobe_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    truth = brute_force_topk(emb, q, k=5).toPandas()
+    single = lsh_ann_topk(emb, q, k=5).toPandas()
+    multi = lsh_multiprobe_topk(emb, q, k=5).toPandas()
+    tp = set(zip(truth["query_id"], truth["vec_id"]))
+    sp = set(zip(single["query_id"], single["vec_id"]))
+    mp = set(zip(multi["query_id"], multi["vec_id"]))
+    assert len(tp & mp) >= len(tp & sp)
+    assert len(mp) >= len(sp)
