@@ -23,18 +23,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_verified() -> set[str]:
-    """Names that fully passed a prior round's driver gate (rows + schema +
-    hash). The driver's correctness gate checks only a bounded window of
-    ``queries()`` (50 entries in round 1), so we rotate: queries WITHOUT a
-    passing row from any previous round go first. Reading the accumulated
-    CORRECTNESS_r*.json files makes the rotation automatic each round."""
+# Queries whose IMPLEMENTATION changed after their last driver-green row,
+# where the change lives in a helper module the per-function fingerprint
+# can't see (or predates the fingerprint sidecar, first written at the
+# round-7 close). They rotate into the verification window ahead of
+# unchanged already-verified entries. Maintained by hand for deep-helper
+# rewrites; the fingerprint band below handles query-function edits
+# automatically from round 8 on.
+GATE_FORCE_REVERIFY: set[str] = {
+    # r6 two-level rewrite landed after its last green row (r5).
+    "dedup_semdedup_scaled",
+    # r6 packed-scorer change + r7 collect-free training rework.
+    "sim_ivf_ann_topk",
+    "sim_kmeans_trained_topk",
+    "sim_ivfpq_topk_seeded",
+    "sim_pq_encode_seeded",
+    "sim_matryoshka_recall",
+}
+
+
+def _latest_green_round() -> dict[str, int]:
+    """name -> latest round whose driver gate fully passed it (rows +
+    schema + hash). The driver's correctness gate checks only a bounded
+    window of ``queries()`` (~50 entries), so we rotate on this: queries
+    WITHOUT a passing row from any previous round go first. Reading the
+    accumulated CORRECTNESS_r*.json files makes the rotation automatic."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    passed: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             data = json.load(open(path))
         except (OSError, ValueError):
@@ -43,51 +67,57 @@ def _driver_verified() -> set[str]:
             continue
         for name, row in data.items():
             if isinstance(row, dict) and row.get("rows_match") and row.get("err") is None:
-                passed.add(name)
-    return passed
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _changed_since_green(latest_green: dict[str, int]) -> set[str]:
+    """Names whose source fingerprint differs from the one recorded at
+    their last green round (``gate_fingerprints.json``, written by
+    ``tools/write_gate_fingerprints.py`` at every round close). A green
+    row proves the code AS OF THAT ROUND — a later rewrite must re-enter
+    the window (round-6 verdict, "What's wrong #2")."""
+    import json
+
+    from tansu_spark.queries import fingerprint
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        recorded = json.load(open(os.path.join(here, "gate_fingerprints.json")))
+    except (OSError, ValueError):
+        recorded = {}
+    changed: set[str] = set()
+    for name, rnd in latest_green.items():
+        fps = recorded.get(str(rnd))
+        if fps is None:
+            continue  # pre-sidecar round: GATE_FORCE_REVERIFY covers these
+        if name in fps and fps[name] != fingerprint(name):
+            changed.add(name)
+    return changed
 
 
 def _ordered_names() -> list[str]:
-    """Deterministic rotation: queries without a driver-green row from ANY
-    prior round go first (registry order within each priority band), so
-    the gate's bounded window converges on full verification across
-    rounds; already-verified queries follow in registry order and are
-    re-checked whenever the window allows. Set TANSU_GATE_ROTATION=0 for
-    plain registry order (no CORRECTNESS_r*.json dependence)."""
+    """Deterministic rotation, four bands (registry order within each):
+    (1) never driver-green, (2) green but SOURCE CHANGED since that green
+    row (fingerprint mismatch or GATE_FORCE_REVERIFY), (3) green and
+    unchanged — re-checked whenever the window allows, (4) rows-only
+    unverified. Set TANSU_GATE_ROTATION=0 for plain registry order (no
+    CORRECTNESS_r*.json dependence)."""
     from tansu_spark.queries import ORACLE, QUERIES
 
     if os.environ.get("TANSU_GATE_ROTATION", "1") == "0":
         return list(QUERIES)
 
-    passed = _driver_verified()
+    latest_green = _latest_green_round()
+    passed = set(latest_green)
+    stale = (_changed_since_green(latest_green) | GATE_FORCE_REVERIFY) & passed
     unverified = [n for n in QUERIES if n not in passed]
 
-    # Round-5 window math: every registry entry is oracled now (the
-    # last rows-only entry, events_approx_aggregates, became hash-
-    # gateable this round) and only the round's new/changed queries are
-    # unverified — they go FIRST, then already-verified queries for
-    # re-checking fill the rest of the ~50-slot window. The rows-only
-    # band (prio 95) is empty but kept for safety.
-    # (r3 history: the five text singles were pinned first; they are
-    # all driver-green since r4.)
-    first_text = {
-        "text_top_tokens",
-        "text_type_token_ratio",
-        "text_fingerprint",
-        "text_quality_score",
-        "text_vocab_prune",
-    }
-
-    def prio(name: str) -> int:
-        if name not in ORACLE:
-            return 95  # rows-only: pinned dead-last (behind verified)
-        if name in first_text:
-            return 0
-        return 10
-
-    head = sorted((n for n in unverified if n in ORACLE), key=prio)
+    head = [n for n in unverified if n in ORACLE]
     tail_rows_only = [n for n in unverified if n not in ORACLE]
-    return head + [n for n in QUERIES if n in passed] + tail_rows_only
+    changed = [n for n in QUERIES if n in stale]
+    fresh = [n for n in QUERIES if n in passed and n not in stale]
+    return head + changed + fresh + tail_rows_only
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

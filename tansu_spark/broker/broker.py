@@ -978,21 +978,24 @@ class Broker:
         doc = read_json(os.path.join(self.root, "groups", f"{group}.json"), {})
         return {int(p): int(o) for p, o in doc.get(topic, {}).items()}
 
-    def consumer_lag(self, group: str, topic: str) -> dict[int, dict[str, int]]:
+    def consumer_lag(self, group: str, topic: str) -> dict[int, dict[str, int | None]]:
         """Per-partition consumer lag: high watermark vs the group's
         committed offset (the kafka-consumer-groups.sh describe view).
-        Pure control-plane — watermark document + group cursor file, no
+        A partition with NO committed offset reports committed/lag as
+        None — the describe tool prints "-" there, not 0 (a 0 would claim
+        lag = high_watermark for a group that never consumed). Pure
+        control-plane — watermark document + group cursor file, no
         Spark job."""
         marks = read_json(self._state(topic, "watermarks.json"), {})
         committed = self.fetch_offsets(group, topic)
-        out: dict[int, dict[str, int]] = {}
+        out: dict[int, dict[str, int | None]] = {}
         for p, m in marks.items():
             hi = int(m["high"])
-            cur = int(committed.get(int(p), 0))
+            cur = committed.get(int(p))
             out[int(p)] = {
                 "high_watermark": hi,
-                "committed": cur,
-                "lag": max(0, hi - cur),
+                "committed": None if cur is None else int(cur),
+                "lag": None if cur is None else max(0, hi - int(cur)),
             }
         return out
 

@@ -57,13 +57,15 @@ def _live_files(table_dir: str) -> list[str]:
     return sorted(out)
 
 
-def commit_snapshot(table_dir: str, operation: str = "append") -> int:
+def commit_snapshot(table_dir: str, operation: str = "append", force: bool = False) -> int:
     """Record the current live file set as the next table version.
     Returns the new version number. Idempotent for an unchanged file set
-    (re-commits with identical files are collapsed)."""
+    (re-commits with identical files are collapsed) unless `force` — used
+    by RESTORE, which like Delta always records the operation even when
+    the restored file set equals the current one."""
     doc = read_json(_manifest_path(table_dir), {"versions": [], "relocations": {}})
     files = _live_files(table_dir)
-    if doc["versions"] and doc["versions"][-1]["files"] == files:
+    if not force and doc["versions"] and doc["versions"][-1]["files"] == files:
         return doc["versions"][-1]["v"]
     v = doc["versions"][-1]["v"] + 1 if doc["versions"] else 0
     doc["versions"].append(
@@ -157,8 +159,11 @@ def restore_version(table_dir: str, version: int) -> int:
             f"version {version} not found in {table_dir}; have {sorted(by_v)}"
         )
     target = set(by_v[version]["files"])
-    # Files the target needs that were relocated by later rewrites: move
-    # them back into place (and drop the now-stale relocation entries).
+    # PASS 1 — resolve the full plan before touching the filesystem, so a
+    # partially-vacuumed target version raises with the live set intact
+    # (Delta RESTORE is log-only and therefore all-or-nothing; mutating
+    # mid-validation would leave duplicated data live on failure).
+    moves: list[tuple[str, str, str]] = []  # (hist_abs, live_abs, rel)
     missing = []
     for rel in sorted(target):
         live = os.path.join(table_dir, rel)
@@ -168,14 +173,18 @@ def restore_version(table_dir: str, version: int) -> int:
         if hist_rel is None or not os.path.exists(os.path.join(table_dir, hist_rel)):
             missing.append(rel)
             continue
-        os.makedirs(os.path.dirname(live), exist_ok=True)
-        os.replace(os.path.join(table_dir, hist_rel), live)
-        del doc["relocations"][rel]
+        moves.append((os.path.join(table_dir, hist_rel), live, rel))
     if missing:
         raise FileNotFoundError(
             f"cannot restore {table_dir} to version {version}: "
             f"{len(missing)} file(s) were vacuumed, e.g. {missing[0]}"
         )
+    # PASS 2 — the plan validated in full; now perform the renames and
+    # drop the now-stale relocation entries.
+    for hist_abs, live, rel in moves:
+        os.makedirs(os.path.dirname(live), exist_ok=True)
+        os.replace(hist_abs, live)
+        del doc["relocations"][rel]
     write_json_atomic(_manifest_path(table_dir), doc)
     # Files live now but absent from the target version: relocate to
     # history so the versions that reference them keep resolving.
@@ -186,7 +195,9 @@ def restore_version(table_dir: str, version: int) -> int:
     ]
     if displaced:
         relocate_for_rewrite(table_dir, displaced)
-    return commit_snapshot(table_dir, operation=f"restore(v{version})")
+    # force=True: RESTORE always records a version entry, even when the
+    # restored file set equals the current live set (Delta parity).
+    return commit_snapshot(table_dir, operation=f"restore(v{version})", force=True)
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> int:

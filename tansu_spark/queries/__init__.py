@@ -79,6 +79,29 @@ def query(
     return deco
 
 
+def fingerprint(name: str) -> str:
+    """Source fingerprint of a registered query: sha256 over the query
+    function's source text plus its oracle SQL. The driver-gate rotation
+    (``__spark_entry__._ordered_names``) compares this against the
+    fingerprint recorded at the query's last driver-green round
+    (``gate_fingerprints.json``) so a REWRITTEN query rotates back into
+    the verification window instead of coasting on a stale green row.
+
+    Granularity note: helper changes in other modules don't move this
+    hash — deep-helper rewrites are flagged via the explicit
+    ``GATE_FORCE_REVERIFY`` list in ``__spark_entry__.py``."""
+    import hashlib
+    import inspect
+
+    fn = QUERIES[name]
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # pragma: no cover - source always on disk
+        src = getattr(fn, "__qualname__", name)
+    blob = src + "\n--oracle--\n" + ORACLE.get(name, "")
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
 def _load_all() -> None:
     # Import for registration side effects.
     from tansu_spark.queries import (  # noqa: F401

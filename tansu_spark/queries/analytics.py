@@ -1313,10 +1313,11 @@ def streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     State boundedness is symmetric: each side's retention is watermark +
     its interval slack, O(in-flight window) on unbounded topics. Under
-    the availableNow replay the final no-data batch advances the
-    watermark past max event time, flushing every pending negative, so
-    the appended result hash-equals the batch FULL JOIN the oracle
-    replays."""
+    the availableNow replay the final no-data batch advances the global
+    watermark to the MIN of the two sides' max event times (minus delay)
+    — so negatives flush only up to that min-of-both-inputs bound;
+    unmatched rows inside either side's remaining horizon stay pending,
+    and the oracle's WHERE clause replays exactly that bound."""
     import os
 
     from tansu_spark.streaming.join import stream_interval_join

@@ -449,13 +449,17 @@ def kafka_group_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lag = broker.consumer_lag("g1", "ev")
         earliest = broker.list_offsets("ev", "earliest")
+        # A partition with no post-cutoff event gets no ListOffsets(ts)
+        # entry, hence no committed offset: report NULL committed/lag
+        # (describe prints "-"), exactly what the oracle's MIN FILTER
+        # emits for that partition — robust at any cutoff/scale factor.
         rows = [
             (
                 int(p),
                 int(earliest[p]),
                 int(d["high_watermark"]),
-                int(d["committed"]),
-                int(d["lag"]),
+                None if d["committed"] is None else int(d["committed"]),
+                None if d["lag"] is None else int(d["lag"]),
             )
             for p, d in sorted(lag.items())
         ]

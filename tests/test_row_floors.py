@@ -93,13 +93,13 @@ FLOORS = {
     "streaming_lake_sink": 4,  # exactly one row per topic partition
     # matched pairs + watermark-flushed negatives both ways (3418 at sf0.01)
     "streaming_interval_join_full": 1700,
-    "text_kneser_ney_lm": 400,  # one row per document (974 at sf0.01)
+    "text_kneser_ney_lm": 400,  # scored document slice (500 at sf0.01)
     "sim_knn_graph_lsh": 1000,  # ~5 neighbors x 500 vectors at sf0.01
     "sim_knn_graph_incremental": 1000,  # must equal the full rebuild
     "lake_write_audit_publish": 3,  # one row per order priority (5)
     "graph_knn_mutual_components": 150,  # clustered vectors (300 at sf0.01)
     "events_hourly_lerp": 10000,  # users x hourly spine (21950 at sf0.01)
-    "corpus_quantile_calibration": 400,  # one row per document (974)
+    "corpus_quantile_calibration": 400,  # calibrated slice (500 at sf0.01)
     "kafka_group_lag_report": 4,  # exactly one row per topic partition
     "kafka_txn_visibility_report": 4,  # exactly one row per partition
     "multimodal_scene_cuts": 200,  # 5 deltas x video assets (415 at sf0.01)

@@ -132,3 +132,50 @@ def test_restore_version_rewires_live_reads(spark, tmp_path):
     expire_snapshots(d, keep_last=1)
     with pytest.raises((FileNotFoundError, KeyError)):
         restore_version(d, 1)
+
+
+def test_restore_failure_is_atomic(spark, tmp_path):
+    """A restore to a PARTIALLY-vacuumed version must raise without
+    mutating the live file set — the two-pass plan-then-move contract
+    (Delta RESTORE is log-only and therefore all-or-nothing). The old
+    single-pass code moved resolvable files back live before discovering
+    the missing one, leaving duplicated data readable."""
+    from tansu_spark.lake.maintain import compact_table
+    from tansu_spark.lake.snapshots import load_manifest, restore_version
+
+    d = str(tmp_path / "t")
+    _write(spark, d, range(10))  # coalesce(2) → v0 has 2 files
+    commit_snapshot(d)  # v0
+    _write(spark, d, range(10, 25))
+    commit_snapshot(d)  # v1
+    compact_table(spark, d, target_bytes=1 << 30)  # v2 — v0 files relocated
+
+    # Simulate a partial vacuum: delete exactly ONE of v0's history files.
+    doc = load_manifest(d)
+    v0_files = doc["versions"][0]["files"]
+    assert len(v0_files) >= 2
+    os.unlink(os.path.join(d, doc["relocations"][v0_files[0]]))
+
+    before = sorted(r["id"] for r in spark.read.parquet(d).collect())
+    with pytest.raises(FileNotFoundError):
+        restore_version(d, 0)
+    # Live reads unchanged — no duplicated rows, no half-restored state.
+    assert sorted(r["id"] for r in spark.read.parquet(d).collect()) == before
+    # The surviving history file was NOT moved: v1 (which shares it) still
+    # resolves every file it can, and the relocation map is intact.
+    assert load_manifest(d)["relocations"].keys() == doc["relocations"].keys()
+
+
+def test_restore_to_current_version_records_operation(spark, tmp_path):
+    """No-op restore (target == current file set) still commits a version
+    entry, like Delta RESTORE which always records the operation."""
+    from tansu_spark.lake.snapshots import load_manifest, restore_version
+
+    d = str(tmp_path / "t")
+    _write(spark, d, range(10))
+    commit_snapshot(d)  # v0
+    v = restore_version(d, 0)
+    assert v == 1
+    entry = load_manifest(d)["versions"][-1]
+    assert entry["operation"] == "restore(v0)"
+    assert read_snapshot(spark, d, 1).count() == 10
