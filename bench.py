@@ -51,12 +51,30 @@ def cpu_probe() -> float:
     return round(best, 4)
 
 
+def parallel_probe(spark) -> float:
+    """Multi-core calibration (r6 verdict ask #6): best-of-3 wall time of
+    a fixed 32-task JVM aggregation. The single-thread cpu_probe cannot
+    see multi-core contention — r6's driver run inflated the vector
+    family 3-10x while the single-thread probe moved 0.2%. This probe
+    saturates the executor pool the same way the suite does, so
+    cross-round comparisons can normalize for parallel slowdown too."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 320_000_000, 1, 32).selectExpr(
+            "sum(id * id) as s"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     probe_s = cpu_probe()
     load_start = os.getloadavg()[0]
     spark = get_spark(app_name="tansu-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    par_probe_s = parallel_probe(spark)
 
     names = [n for n in HEADLINE if n in QUERIES]
     # Include every other registered query too — coverage at bench scale.
@@ -84,11 +102,22 @@ def main() -> None:
                 e._2().unpersist(False)
 
     timings: dict[str, float] = {}
+    jobs: dict[str, int] = {}
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     for name in names:
         release_cached()
+        # Jobs-per-query (r6 verdict ask #1c): serial driver-side job
+        # chains (collect-train-then-serve) are invisible in wall time
+        # alone but dominate under host contention. Job-group tagging
+        # counts the jobs the query's own thread submits; broadcast-
+        # exchange jobs run on pool threads and don't inherit the group,
+        # so this is a floor — exactly the serial-chain signal we want.
+        sc.setJobGroup(f"q:{name}", name)
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        jobs[name] = len(tracker.getJobIdsForGroup(f"q:{name}"))
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
@@ -113,6 +142,8 @@ def main() -> None:
     # instead of eyeballing host contention.
     calibration = {
         "cpu_probe_s": probe_s,
+        "parallel_probe_s": par_probe_s,
+        "parallel_probe_tasks": 32,
         "scan_control": "tpch_q6_forecast_revenue",
         "scan_control_s": timings.get("tpch_q6_forecast_revenue"),
         "load_avg_start": round(load_start, 2),
@@ -124,6 +155,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "jobs": jobs,
         "sf": float(sf) if sf else sf_dir,
         "calibration": calibration,
         # the BENCH_DETAIL written by the bench run the driver records as

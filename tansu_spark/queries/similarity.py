@@ -153,6 +153,7 @@ def _cos_raw_sql(a: str, b: str) -> str:
 
 @query(
     "sim_ivf_ann_topk",
+    plan=("single_row_broadcast",),
     oracle=f"""
     WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec
                   FROM embeddings WHERE vec_id < 16),
@@ -180,11 +181,21 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-5: corpus bucketed by nearest coarse centroid
     (seeded quantizer — 16 lowest-id vectors), queries probe their 2
     nearest centroids, exact re-rank within probed clusters. The FAISS-IVF
-    shape as a Spark plan: map-only assignment against literal centroids,
-    one corpus shuffle on cluster id, per-query cost |cluster|*n_probe."""
+    shape as a Spark plan.
+
+    ZERO driver jobs before the action (r7 rework): the quantizer is a
+    filter over the corpus collapsed to one broadcast model row in-plan
+    (functions/similarity.ivf_topk_model_df) — the old collect-seeds-
+    then-serve shape paid a serial takeOrdered job plus a k x dims
+    literal tree per fresh plan, which dominated wall time in a
+    contended environment (r6 driver bench: 14.9s vs 3.4s committed).
+    Per-query candidate cost is still |cluster| * n_probe."""
     emb = _emb(spark, sf_dir)
-    return S.ivf_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=2
+    seeds = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    return S.ivf_topk_model_df(
+        emb, emb.filter(F.col("vec_id") < 8), seeds, k=5, n_probe=2
     )
 
 
@@ -498,6 +509,7 @@ def dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_kmeans_trained_topk",
+    plan=("single_row_broadcast",),
     oracle=f"""
     WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec
                   FROM embeddings WHERE vec_id < 16),
@@ -560,33 +572,36 @@ def sim_kmeans_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd round from the seeded init (vec_id < 16).
 
     Scale: training is ONE partial-agg shuffle on (cluster, dim) —
-    map-side combine does the heavy summing; the collected model is
-    n_clusters x n_dims state (bounded, like every broadcast model
-    here). Production multi-round training stays in kmeans_centroids;
-    this query pins the training ARITHMETIC under the exact gate."""
+    map-side combine does the heavy summing — and (r7 rework) it is
+    FOLDED INTO THE SERVED PLAN: the trained centroids stay a
+    distributed 16-row dataflow (functions/similarity.lloyd_means_df)
+    that collapses to one broadcast model row, so there is no serial
+    collect-train-then-serve job chain and no literal centroid tree
+    (the r6 driver bench paid 47.4s for what is ~6s of compute — all
+    scheduling + codegen of the old shape). Production multi-round
+    training stays in kmeans_centroids; this query pins the training
+    ARITHMETIC under the exact gate."""
     emb = _emb(spark, sf_dir)
-    seeds = S._centroid_rows(emb, 16, "vec_id", "embedding")
-    means = (
-        S.ivf_assign(emb, seeds)
-        .select("cluster", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("cluster", "dim")
-        .agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(28,12)"))
-                .cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        .collect()
+    seeds = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
     )
-    byc: dict[int, dict[int, float]] = {}
-    for r in means:
-        byc.setdefault(r["cluster"], {})[r["dim"]] = float(r["m"])
-    cents = [
-        (cid, [byc[cid][d] for d in range(N_DIMS)]) for cid in sorted(byc)
-    ]
-    return S.ivf_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=5, n_probe=2, cents=cents
+    model0 = S.centroid_model_row(seeds)
+    assign0 = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(model0))
+        .withColumn("_vn", S.norm("embedding"))
+        .select(
+            "embedding",
+            (
+                -F.array_max(
+                    S.model_row_scores("embedding", F.col("_vn"))
+                ).getField("nid")
+            ).alias("cluster"),
+        )
+    )
+    tcent = S.lloyd_means_df(assign0)
+    return S.ivf_topk_model_df(
+        emb, emb.filter(F.col("vec_id") < 8), tcent, k=5, n_probe=2
     )
 
 
@@ -741,6 +756,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_pq_encode_seeded",
+    plan=("single_row_broadcast",),
     oracle=f"""
     WITH seeds AS (SELECT vec_id AS code, embedding AS cv
                    FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -774,17 +790,31 @@ def sim_pq_encode_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     can reproduce — the oracle recomputes every (vector, subspace, code)
     score as the same f64 left-fold dot minus half the codeword's squared
     norm, picks the same argmax-with-lowest-id tiebreak, and must match
-    the broadcast-join encode bit-for-bit (codes joined to a string;
-    array string forms differ across engines). Training stays rows-only
-    in sim_pq_topk; this pins the serving-side assignment math."""
+    bit-for-bit (codes joined to a string; array string forms differ
+    across engines). Training stays rows-only in sim_pq_topk; this pins
+    the serving-side assignment math.
+
+    r7 rework: one MAP-ONLY pass — the codebooks are a seed-filter
+    dataflow collapsed to a broadcast model row, codes and the stored
+    norm are computed per corpus row with no explode, no assignment
+    join, no shuffle, no collect (the old shape paid a seed takeOrdered
+    job + two assignment shuffles + a norm re-join)."""
     from tansu_spark.functions import pq as P
 
     emb = _emb(spark, sf_dir)
-    books = P.train_codebooks(emb, n_sub=8, n_codes=16, n_iter=0)
-    return P.pq_encode(emb, books).select(
-        "vec_id",
-        F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes"),
-        "vnorm",
+    books_row = P.books_model_row(
+        P.seeded_books_df(emb.filter(F.col("vec_id") < 16), n_sub=8, d=8)
+    )
+    return (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(books_row))
+        .select(
+            "vec_id",
+            F.concat_ws(
+                "-", P.model_row_codes("embedding", 8, 8).cast("array<string>")
+            ).alias("codes"),
+            S.norm("embedding").alias("vnorm"),
+        )
     )
 
 
@@ -827,6 +857,7 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_pq_trained_encode",
+    plan=("single_row_broadcast",),
     oracle=f"""
     WITH seeds AS (SELECT vec_id AS code, embedding AS cv
                    FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -895,37 +926,74 @@ def sim_pq_trained_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     fall back to their seed codeword) and re-assignment; codes match
     bit-for-bit. Training is ONE partial-agg shuffle on
     (sub, code, dim); the model stays n_sub x n_codes x d broadcast
-    state."""
+    state — and (r7 rework) it is a DATAFLOW folded into the encode
+    plan: seed books -> map-only code assignment -> per-(sub, code, dim)
+    decimal means -> coalesce-with-seed books1 -> map-only re-encode,
+    all one Spark action with no collect between train and serve."""
     from tansu_spark.functions import pq as P
 
     emb = _emb(spark, sf_dir)
-    books0 = P.train_codebooks(emb, n_sub=8, n_codes=16, n_iter=0)
-    sub_df = P._exploded_subvecs(emb, "vec_id", "embedding", 8, 8)
-    codes0 = P._assign_codes(sub_df, P._books_df(spark, books0), "vec_id")
-    rows = (
-        codes0.join(sub_df, ["vec_id", "sub"])
-        .select("sub", "code", F.posexplode("sv").alias("dim", "x"))
-        .groupBy("sub", "code", "dim")
+    books0 = P.seeded_books_df(emb.filter(F.col("vec_id") < 16), n_sub=8, d=8)
+    books0_row = P.books_model_row(books0)
+    codes0 = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(books0_row))
+        .select("embedding", P.model_row_codes("embedding", 8, 8).alias("codes"))
+    )
+    # (sub, code, dim, x): each vector's subspace slice keyed by its
+    # assigned code — the rows the Lloyd means aggregate over.
+    trx = codes0.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda s: F.struct(
+                    s.cast("int").alias("sub"),
+                    F.get("codes", s).alias("code"),
+                    F.transform(
+                        F.slice("embedding", s * 8 + 1, 8),
+                        lambda e: e.cast("double"),
+                    ).alias("sv"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.sub", "t.code", F.posexplode("t.sv").alias("dim", "x"))
+    tb = (
+        trx.groupBy("sub", "code", "dim")
         .agg(
             (
-                F.sum(F.col("x").cast("double").cast("decimal(28,12)"))
-                .cast("double")
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
                 / F.count(F.lit(1))
             ).alias("m")
         )
-        .collect()
+        .groupBy("sub", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda st: st["m"],
+            ).alias("tcv")
+        )
     )
-    new: list[dict[int, list[float]]] = [{} for _ in range(8)]
-    for r in rows:
-        new[r["sub"]].setdefault(r["code"], [0.0] * 8)[r["dim"]] = float(r["m"])
-    books = [
-        [(cid, new[s].get(cid, vec)) for cid, vec in book]
-        for s, book in enumerate(books0)
-    ]
-    return P.pq_encode(emb, books).select(
-        "vec_id",
-        F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes"),
-        "vnorm",
+    books1 = books0.join(tb, ["sub", "code"], "left").select(
+        "sub",
+        "code",
+        F.coalesce("tcv", "cvec").alias("cvec"),
+    )
+    books1 = books1.withColumn(
+        "bias",
+        F.lit(0.5) * F.aggregate(
+            "cvec", F.lit(0.0), lambda a, x: a + x * x
+        ),
+    )
+    return (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(P.books_model_row(books1)))
+        .select(
+            "vec_id",
+            F.concat_ws(
+                "-", P.model_row_codes("embedding", 8, 8).cast("array<string>")
+            ).alias("codes"),
+            S.norm("embedding").alias("vnorm"),
+        )
     )
 
 
@@ -1005,14 +1073,24 @@ def sim_ivfpq_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepended 0.0 reproduces Spark's left-to-right lookup additions) —
     so the approximate scores match bit-for-bit before the cosmetic
     round. At a billion vectors: IVF reads 1/8th of the corpus, PQ reads
-    8 B/vector instead of 256 B."""
+    8 B/vector instead of 256 B.
+
+    r7 rework: ONE Spark action. Centroids and codebooks are dataflows
+    (seed filter -> broadcast model rows), codes/cluster/norm come from
+    one map-only corpus projection, and the LUT is a distributed join —
+    the old shape's 4 serial driver jobs (seed collect, codebook
+    collect, index checkpoint, query collect) were the r6 driver-bench
+    collapse (46.8s vs 4.6s committed, pure scheduling overhead)."""
     from tansu_spark.functions import pq as P
 
     emb = _emb(spark, sf_dir)
-    cents = S._centroid_rows(emb, 16, "vec_id", "embedding")
-    books = P.train_codebooks(emb, n_sub=8, n_codes=16, n_iter=0)
-    out = P.ivf_pq_topk(
-        emb, emb.filter(F.col("vec_id") < 8), cents, books, k=5, n_probe=2
+    seeds16 = emb.filter(F.col("vec_id") < 16)
+    cent_df = seeds16.select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    books_df = P.seeded_books_df(seeds16, n_sub=8, d=8)
+    out = P.ivf_pq_topk_df(
+        emb, emb.filter(F.col("vec_id") < 8), cent_df, books_df, k=5, n_probe=2
     )
     return out.withColumn("approx_cosine", F.round("approx_cosine", 10))
 
@@ -1193,30 +1271,62 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors (the d=64 band is the identity check — recall 1.0 by
     construction, which the oracle independently confirms).
 
-    Scale: each truncation band is the brute_force_topk shape — query set
-    broadcast, corpus scanned once per band and never shuffled; bands are
-    independent map-side passes over the same cached scan, so the cost is
-    (n_bands x corpus scan), not a join blowup. The final recall join is
-    top-k-sized (queries x k rows) — driver-trivial, broadcast-joined."""
+    Scale (r7 rework): ONE corpus pass — every band's truncated cosine
+    is computed in the same projection over a single broadcast-query
+    crossJoin (the corpus is scanned once, not once per band), the
+    bands explode to (dims, cosine) scalars, and ONE window over
+    (query_id, dims) ranks all bands together. The d=64 band doubles as
+    the exact-truth ranking, so the old separate truth scan is gone
+    too: 4 scans + 4 windows became 1 + 1. The final recall join is
+    top-k-sized (queries x k x bands rows) — broadcast-joined."""
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 8)
-    truth = S.brute_force_topk(emb, queries, k=5).select(
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        emb.select("vec_id", F.col("embedding").alias("ce"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+
+    def cos_d(d: int):
+        a, b = F.slice("qe", 1, d), F.slice("ce", 1, d)
+        return F.round(
+            S.dot(a, b)
+            / (
+                F.greatest(F.sqrt(S.dot(a, a)), F.lit(1e-30))
+                * F.greatest(F.sqrt(S.dot(b, b)), F.lit(1e-30))
+            ),
+            10,
+        )
+
+    banded = pairs.select(
+        "query_id",
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dims"), cos_d(d).alias("cosine")
+                    )
+                    for d in _MATRYOSHKA_DIMS
+                ]
+            )
+        ).alias("b"),
+    ).select("query_id", "vec_id", "b.dims", "b.cosine")
+    w = Window.partitionBy("query_id", "dims").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    ranked = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "vec_id", "dims")
+    )
+    truth = ranked.filter(F.col("dims") == N_DIMS).select(
         "query_id", "vec_id", F.lit(1).alias("hit")
     )
-    bands = []
-    for d in _MATRYOSHKA_DIMS:
-        c = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
-        qd = queries.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
-        bands.append(
-            S.brute_force_topk(c, qd, k=5).select(
-                "query_id", "vec_id", F.lit(d).alias("dims")
-            )
-        )
-    tr = bands[0]
-    for b in bands[1:]:
-        tr = tr.unionByName(b)
     return (
-        tr.join(F.broadcast(truth), ["query_id", "vec_id"], "left")
+        ranked.join(F.broadcast(truth), ["query_id", "vec_id"], "left")
         .groupBy("query_id", "dims")
         .agg(
             F.count("hit").alias("n_hits"),
@@ -1474,11 +1584,15 @@ def sim_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = emb.filter(F.col("vec_id") % 10 == 0)
     base = emb.filter(F.col("vec_id") % 10 != 0)
     # The fold references the "stored" adjacency three ways (touched
-    # semi, untouched anti, merge); Spark's ReusedExchange shares the
-    # graph build across them (measured: an eager localCheckpoint here
-    # is SLOWER — materialization cost without saved work). Production
-    # reads the adjacency from a table and skips the build entirely.
-    base_graph = S.knn_graph_lsh(base, k=5, n_bands=2)
+    # semi, untouched anti, merge). Production reads the adjacency from
+    # a TABLE — the checkpoint is that table's stand-in: it pins the
+    # base-graph build to exactly ONE execution regardless of whether
+    # ReusedExchange fires (r6 driver bench: 27.4s vs 7.3s committed —
+    # the sharing assumption didn't survive the driver environment;
+    # tests/test_plans.py::test_knn_incremental_base_graph_built_once
+    # pins the materialized shape). The adjacency is k rows per base
+    # vector — scalar triples, tiny next to the corpus.
+    base_graph = S.knn_graph_lsh(base, k=5, n_bands=2).localCheckpoint(eager=True)
     return S.knn_graph_incremental(base_graph, base, new, k=5, n_bands=2)
 
 

@@ -215,3 +215,23 @@ def test_token_arrays_never_cross_an_exchange(spark, sf_dir):
                 assert not array_col.search(inputs), (
                     f"{name}: token array crosses {first}: {inputs}"
                 )
+
+
+def test_knn_incremental_base_graph_built_once(spark, sf_dir):
+    """VERDICT r6 ask #3: the incremental k-NN fold consumes the stored
+    adjacency through three operators (semi, anti, union-merge). The
+    base-graph build must execute exactly ONCE — previously this relied
+    on ReusedExchange, which did not survive the driver environment
+    (27.4s vs 7.3s). Now the adjacency is eagerly checkpointed (the
+    stand-in for production's adjacency table), so the final plan must
+    read it as a materialized RDD scan and must NOT contain the build's
+    band/bucket self-join more than the two incremental joins."""
+    plan = _plan(spark, sf_dir, "sim_knn_graph_incremental")
+    assert "ExistingRDD" in plan, "base graph is not checkpoint-materialized"
+    # The only remaining band+bucket joins are new-vs-all and base-vs-new.
+    import re
+
+    bucket_joins = len(re.findall(r"SortMergeJoin .*\bband\b", plan)) + len(
+        re.findall(r"ShuffledHashJoin .*\bband\b", plan)
+    ) + len(re.findall(r"BroadcastHashJoin .*\bband\b", plan))
+    assert bucket_joins <= 2, f"base-graph build leaked into the plan:\n{plan[:2000]}"
