@@ -207,6 +207,7 @@ def bucket_pair_scores(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 10,
+    dedup: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, cosine): every ordered same-(band, bucket) pair with
     id_a != id_b, deduped across bands by max — the candidate scorer
@@ -314,13 +315,14 @@ def bucket_pair_scores(
             )
             .applyInPandas(cross_kernel, schema)
         )
-    return (
-        raw.select(
-            "id_a", "id_b", F.round("cosine", round_digits).alias("cosine")
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.max("cosine").alias("cosine"))
+    rounded = raw.select(
+        "id_a", "id_b", F.round("cosine", round_digits).alias("cosine")
     )
+    if not dedup:
+        # single-band callers: no cross-band duplicates exist, so the
+        # dedup groupBy would shuffle every pre-threshold pair for nothing
+        return rounded
+    return rounded.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def knn_graph_lsh(
@@ -1084,17 +1086,18 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: only vectors in
     the same bucket are compared (near-identical vectors agree on all sign
-    projections with high probability)."""
-    b = with_lsh_bucket(df, n_planes, n_dims, vec_col)
-    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
-    return (
-        a.join(c, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", F.round(cosine("v_a", "v_b"), round_digits).alias("cosine")
-        )
-        .filter(F.col("cosine") >= threshold)
+    projections with high probability). Scoring is the Arrow-batched
+    dim-ordered numpy kernel (bucket_pair_scores — bit-identical to the
+    JVM fold), one band, no dedup shuffle: pairs stream out of the
+    per-bucket task straight into the threshold filter."""
+    b = with_lsh_bucket(df, n_planes, n_dims, vec_col).withColumn(
+        "band", F.lit(0)
+    )
+    pairs = bucket_pair_scores(
+        b, id_col=id_col, vec_col=vec_col, round_digits=round_digits, dedup=False
+    )
+    return pairs.filter(
+        (F.col("id_a") < F.col("id_b")) & (F.col("cosine") >= threshold)
     )
 
 

@@ -45,6 +45,12 @@ _KNOWN_PLAN_TRAITS = frozenset(
         # Broadcasts a bounded model table (centroid set, PQ LUT) whose size
         # is fixed by training config, not data volume.
         "small_model_broadcast",
+        # DISCLOSED quadratic-in-n contrast entry: per-group all-pairs with
+        # a FIXED group count, kept deliberately next to a scaled twin that
+        # is the production shape (e.g. dedup_semantic_cluster's pinned
+        # k=16 vs dedup_semdedup_scaled's k=n/32). SCALING.md carries the
+        # measured sweep; a query may not be quadratic without this trait.
+        "quadratic_contrast",
     }
 )
 

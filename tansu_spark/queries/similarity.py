@@ -221,6 +221,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_semantic_cluster",
+    plan=("quadratic_contrast",),
     oracle=f"""
     WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec
                   FROM embeddings WHERE vec_id < 16),
@@ -251,13 +252,17 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid; ties -> lower id). Output is the per-vector decision list
     (vec_id, cluster, cent_cosine, keep).
 
-    The 100 TB story is the blocking: candidate generation is a
-    self-equi-join on cluster id — ONE corpus shuffle, quadratic cost
-    bounded per cluster (n²/k spread across executors, k chosen so
-    clusters fit a task), never all-pairs; the assignment itself is a
-    map-only scan against literal centroids. Threshold 0.3 for the same
-    reason dedup_embedding_cosine uses 0.35: the synthetic embeddings'
-    cosine ceiling is ~0.6, so a production 0.95 would be vacuous."""
+    DISCLOSED QUADRATIC CONTRAST (registry trait `quadratic_contrast`;
+    SCALING.md "SemDeDup pinned-k vs scaled"): with the harness-pinned
+    k=16 the per-cluster pair join is O(n²/16) — quadratic in the
+    corpus. This entry is kept deliberately as the didactic contrast to
+    `dedup_semdedup_scaled`, the production shape, where k grows with n
+    (k = n/32: per-cell cost bounded by the cell-size invariant, total
+    O(n·√k)). Candidate generation is still a self-equi-join on cluster
+    id — one corpus shuffle, never global all-pairs. Threshold 0.3 for
+    the same reason dedup_embedding_cosine uses 0.35: the synthetic
+    embeddings' cosine ceiling is ~0.6, so a production 0.95 would be
+    vacuous."""
     emb = _emb(spark, sf_dir)
     cents = S._centroid_rows(emb, 16, "vec_id", "embedding")
     with_n = emb.withColumn("_vn", S.norm("embedding"))

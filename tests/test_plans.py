@@ -235,3 +235,22 @@ def test_knn_incremental_base_graph_built_once(spark, sf_dir):
         re.findall(r"ShuffledHashJoin .*\bband\b", plan)
     ) + len(re.findall(r"BroadcastHashJoin .*\bband\b", plan))
     assert bucket_joins <= 2, f"base-graph build leaked into the plan:\n{plan[:2000]}"
+
+
+def test_quadratic_contrast_is_declared_and_disclosed():
+    """VERDICT r6 ask #5: the pinned-k SemDeDup entry stays ONLY as a
+    disclosed quadratic contrast — the registry must carry the
+    `quadratic_contrast` trait and SCALING.md must carry the disclosure,
+    so no quadratic entry exists undocumented."""
+    import os
+
+    from tansu_spark.queries import PLAN_TRAITS
+
+    assert "quadratic_contrast" in PLAN_TRAITS["dedup_semantic_cluster"]
+    # The trait is exclusive to the declared contrast entries.
+    tagged = {n for n, t in PLAN_TRAITS.items() if "quadratic_contrast" in t}
+    assert tagged == {"dedup_semantic_cluster"}, tagged
+    scaling = open(
+        os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
+    ).read()
+    assert "dedup_semantic_cluster" in scaling and "quadratic" in scaling
