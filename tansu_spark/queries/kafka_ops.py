@@ -368,6 +368,143 @@ def kafka_proto_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Avro schema-evolution fixtures (the migrate-001..003 lifecycle): v2 is
+# the ADD-ONLY growth of v1 — one defaulted long, one defaulted nullable
+# union — exactly the resolution shapes the reference's Delta::
+# migrate_schema produces (nisshi-schema/tests/migrate-001..003.proto).
+AVRO_EVO_V1 = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+    ],
+}
+AVRO_EVO_V2 = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "score", "type": "long", "default": 42},
+        {"name": "city", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+@query(
+    "kafka_avro_schema_evolution",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             CASE WHEN event_id % 2 = 0 THEN 42
+                  ELSE user_id % 100 END AS score,
+             CASE WHEN event_id % 2 <> 0 AND user_id % 3 = 0
+                  THEN event_type END AS city
+      FROM events WHERE event_id % 4 = 2)
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(score) AS BIGINT) AS score_sum,
+           CAST(count(city) AS BIGINT) AS city_n,
+           count(DISTINCT user_id) AS users
+    FROM t GROUP BY event_type
+    """,
+)
+def kafka_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro READER-SCHEMA RESOLUTION end-to-end under the hash gate (r6
+    verdict ask #4; the r6 machinery was pytest-only): half the slice is
+    PRODUCED as Avro v1 binary into a registry-backed broker topic, the
+    registry file then migrates add-only to v2 (a defaulted long + a
+    defaulted nullable union — the migrate-001..003 shapes), the other
+    half produces as v2, and `typed_records` reads BOTH generations in
+    one frame: v1 segments resolve under their writer schema via the
+    `tansu.schema.fp` header -> snapshot lookup (registry/avro_wire.py::
+    decode_resolved — new fields fill from defaults), v2 segments decode
+    natively. The oracle replays the default/fill semantics
+    declaratively; a hash match proves resolution is value-exact across
+    the table, not just on goldens.
+
+    Scale shape: encode and decode are Arrow-batched map-only kernels;
+    the only shuffles are produce partitioning and the final groupBy of
+    the 4-column typed projection."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from tansu_spark.broker.broker import Broker
+    from tansu_spark.registry import SchemaRegistry
+    from tansu_spark.registry import avro_wire as W
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") % 4 == 2)
+        .select("event_id", "user_id", "event_type")
+    )
+
+    def encoded(pred, schema: dict, v2: bool) -> DataFrame:
+        def kern(batches):
+            for pdf in batches:
+                vals = []
+                for uid, et in zip(pdf["user_id"], pdf["event_type"]):
+                    rec = {"user_id": int(uid), "event_type": str(et)}
+                    if v2:
+                        rec["score"] = int(uid) % 100
+                        rec["city"] = str(et) if int(uid) % 3 == 0 else None
+                    vals.append(W.encode(schema, rec))
+                yield pd.DataFrame(
+                    {
+                        "key": pdf["user_id"].astype(str).str.encode("utf-8"),
+                        "value": vals,
+                        "partition": (pdf["event_id"] % 2).astype("int32"),
+                    }
+                )
+
+        return ev.where(pred).mapInPandas(
+            kern, "key binary, value binary, partition int"
+        )
+
+    def envelope(part: dict) -> str:
+        return _json.dumps(
+            {
+                "type": "record",
+                "name": "Envelope",
+                "fields": [{"name": "value", "type": part}],
+            }
+        )
+
+    scratch = tempfile.mkdtemp(prefix="kafka_avro_evo_")
+    try:
+        sdir = os.path.join(scratch, "schemas")
+        os.makedirs(sdir)
+        avsc = os.path.join(sdir, "cust.avsc")
+        with open(avsc, "w") as fh:
+            fh.write(envelope(AVRO_EVO_V1))
+        reg = SchemaRegistry(sdir, ttl_seconds=0.0)
+        broker = Broker(spark, f"{scratch}/store", registry=reg)
+        broker.create_topic(
+            "cust", partitions=2, config={"tansu.schema.wire": "avro"}
+        )
+        broker.produce("cust", encoded(F.col("event_id") % 2 == 0, AVRO_EVO_V1, False))
+        # The migration: registry file replaced add-only (v2 = v1 + defaults).
+        with open(avsc, "w") as fh:
+            fh.write(envelope(AVRO_EVO_V2))
+        broker.produce("cust", encoded(F.col("event_id") % 2 != 0, AVRO_EVO_V2, True))
+        typed = broker.typed_records("cust").select("value.*")
+        out = typed.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score").cast("bigint").alias("score_sum"),
+            F.count("city").alias("city_n"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 @query(
     "kafka_offset_for_max_timestamp",
     oracle=TOPIC_CTE

@@ -105,6 +105,8 @@ FLOORS = {
     "multimodal_scene_cuts": 200,  # 5 deltas x video assets (415 at sf0.01)
     "orders_in_fulfillment_sweepline": 1200,  # calendar days (2499)
     "sim_lsh_multiprobe_topk": 40,  # exactly 8 queries x top-5
+    # round-7 additions
+    "kafka_avro_schema_evolution": 3,  # one row per event type (5 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
