@@ -33,12 +33,21 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_FORCE_REVERIFY: set[str] = {
     # r6 two-level rewrite landed after its last green row (r5).
     "dedup_semdedup_scaled",
-    # r6 packed-scorer change + r7 collect-free training rework.
+    # r6 packed-scorer change + r7 collect-free/in-plan model rework.
     "sim_ivf_ann_topk",
     "sim_kmeans_trained_topk",
     "sim_ivfpq_topk_seeded",
     "sim_pq_encode_seeded",
+    "sim_pq_trained_encode",
     "sim_matryoshka_recall",
+    # r7 numpy pair-kernel rewrite of the k-NN graph family.
+    "sim_knn_graph_lsh",
+    "sim_knn_graph_incremental",
+    "graph_knn_mutual_components",
+    "dedup_embedding_cosine",
+    # r7 NULL-committed/lag semantics + restore atomicity changes.
+    "kafka_group_lag_report",
+    "lake_restore_version",
 }
 
 

@@ -4744,7 +4744,12 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tansu_spark.functions.dedup import with_shingles
 
     docs = load(spark, sf_dir, "documents")
-    sh = with_shingles(docs)  # (doc_id, shingles)
+    # The shingle table feeds THREE consumers (df-counts/prefixes, the
+    # verification joins on both pair sides); tokenize+shingle is the
+    # expensive scan, so materialize it once — exchange reuse across the
+    # differently-keyed consumers did not survive the driver environment
+    # (r6 bench: 9.8s, ~3 shingle scans' worth).
+    sh = with_shingles(docs).localCheckpoint(eager=True)  # (doc_id, shingles)
     e = sh.select("doc_id", F.explode("shingles").alias("s"))
     dfreq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
@@ -4758,6 +4763,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n") - F.ceil(0.5 * F.col("n")).cast("long") + 1
         )
         .select("doc_id", "s")
+        # self-joined below: one materialization instead of two
+        # df-count + window pipelines
+        .localCheckpoint(eager=True)
     )
     cand = (
         pref.alias("a")
