@@ -220,20 +220,22 @@ def books_model_row(books_df: DataFrame) -> DataFrame:
     )
 
 
-def model_row_codes(vec_col: str, n_sub: int, d: int):
+def model_row_codes(vec_col, n_sub: int, d: int):
     """array<long> of per-subspace nearest-code ids against the attached
     `_books` model-row column: per sub, argmax over codes of
     (dot(subvec, cvec) - bias) with ties to the LOWEST code id — the
     same score and tie order as `_assign_codes` / the DuckDB oracle
     (f64 left-fold dot, precomputed bias), evaluated map-side with no
-    explode, no join, no shuffle."""
+    explode, no join, no shuffle. `vec_col` may be a column name or a
+    Column expression (e.g. a residual zip_with for IVFADC)."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
         lambda s: -F.array_max(
             F.transform(
                 F.get("_books", s),
                 lambda cb: F.struct(
-                    (dot(F.slice(F.col(vec_col), s * d + 1, d), cb["cvec"]) - cb["bias"]).alias(
+                    (dot(F.slice(col, s * d + 1, d), cb["cvec"]) - cb["bias"]).alias(
                         "sc"
                     ),
                     (-cb["code"]).alias("nc"),

@@ -673,6 +673,10 @@ def model_row_scores(vec_col, vnorm) -> Column:
                 / (F.greatest(vnorm, F.lit(1e-30)) * F.get("_mcns", i))
             ).alias("c"),
             (-F.get("_mids", i)).alias("nid"),
+            # position into the model arrays — lets callers fetch the
+            # argmax centroid VECTOR (IVFADC residuals); never reached
+            # by comparisons (c, nid) since ids are unique
+            i.alias("idx"),
         ),
     )
 

@@ -1101,6 +1101,202 @@ def sim_ivfpq_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivfpq_residual_topk",
+    plan=("single_row_broadcast",),
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec
+                  FROM embeddings WHERE vec_id < 16),
+    cscored AS (SELECT e.vec_id, e.embedding, c.cent_id, c.c_vec,
+                       {_cos_raw_sql("e.embedding", "c.c_vec")} AS cs
+                FROM embeddings e CROSS JOIN cent c),
+    assign AS (SELECT vec_id, embedding, cent_id AS cluster, c_vec
+               FROM (SELECT *, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+                     FROM cscored)
+               WHERE rn = 1),
+    res AS (SELECT vec_id, cluster,
+                   list_transform(range(1, {N_DIMS + 1}),
+                     i -> CAST(embedding[i] AS DOUBLE)
+                          - CAST(c_vec[i] AS DOUBLE)) AS r,
+                   sqrt({_dot_sql("embedding", "embedding")}) AS vnorm
+            FROM assign),
+    rseeds AS (SELECT vec_id AS code, r AS cv FROM res
+               WHERE vec_id >= 16 AND vec_id < 32),
+    subs AS (SELECT unnest(range(8)) AS sub),
+    escored AS (
+      SELECT t.vec_id, s.sub, sd.code,
+             list_reduce(list_transform(range(1, 9),
+               i -> t.r[s.sub * 8 + i] * sd.cv[s.sub * 8 + i]), (x, y) -> x + y)
+             - 0.5 * list_reduce(list_transform(range(1, 9),
+               i -> sd.cv[s.sub * 8 + i] * sd.cv[s.sub * 8 + i]), (x, y) -> x + y)
+               AS sc
+      FROM res t CROSS JOIN subs s CROSS JOIN rseeds sd),
+    best AS (SELECT vec_id, sub, code FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                            ORDER BY sc DESC, code) AS rn
+               FROM escored) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, embedding AS qe, cent_id AS cluster,
+                      list_reduce(list_transform(range(1, {N_DIMS + 1}),
+                        i -> CAST(embedding[i] AS DOUBLE)
+                             * CAST(c_vec[i] AS DOUBLE)), (x, y) -> x + y) AS qc,
+                      sqrt({_dot_sql("embedding", "embedding")}) AS qn
+               FROM (SELECT *, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+                     FROM cscored WHERE vec_id < 8)
+               WHERE rn <= 2),
+    cand AS (SELECT p.query_id, p.qe, p.qc, p.qn, t.vec_id, t.vnorm
+             FROM probes p JOIN res t USING (cluster)
+             WHERE t.vec_id != p.query_id),
+    persub AS (
+      SELECT c.query_id, c.vec_id, b.sub,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(c.qe[b.sub * 8 + i] AS DOUBLE)
+                    * sd.cv[b.sub * 8 + i]), (x, y) -> x + y) AS sc
+      FROM cand c
+      JOIN best b ON b.vec_id = c.vec_id
+      JOIN rseeds sd ON sd.code = b.code),
+    adc AS (SELECT p.query_id, p.vec_id,
+                   list_reduce(list_prepend(any_value(c.qc),
+                                            list(p.sc ORDER BY p.sub)),
+                               (x, y) -> x + y) AS num,
+                   any_value(c.qn) AS qn,
+                   any_value(c.vnorm) AS vnorm
+            FROM persub p
+            JOIN cand c ON c.query_id = p.query_id AND c.vec_id = p.vec_id
+            GROUP BY p.query_id, p.vec_id),
+    final AS (SELECT query_id, vec_id, num / (qn * vnorm) AS raw FROM adc)
+    SELECT query_id, vec_id, round(raw, 10) AS approx_cosine
+    FROM final
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY raw DESC, vec_id) <= 5
+    """,
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC with RESIDUAL encoding — the exact FAISS IVFPQ recipe
+    (Jégou et al. 2011 §IV-A: quantize r = x - c(x), not x itself;
+    residuals have ~half the variance, so the same 8-byte budget buys
+    far lower distortion): each corpus vector stores (cluster, 8 codes
+    of its RESIDUAL against per-subspace codebooks seeded from the
+    residuals of vectors 16..31, stored norm). Serving reconstructs
+    dot(q, x̂) = dot(q, c) + Σ_s LUT[s, code_s] — the per-probe
+    dot(q, c) rides the probe row, the residual LUT is a distributed
+    broadcast table — and normalizes by the TRUE stored norm.
+
+    Every model artifact is a dataflow (zero collects): centroid model
+    row -> map-only cluster+residual projection, residual codebooks ->
+    broadcast model row -> map-only codes, LUT and probes are broadcast
+    joins. The oracle replays assignment, residuals, codebook seeding,
+    per-sub argmax, and the prepend-qc ADC fold bit-for-bit.
+
+    vs sim_ivfpq_topk_seeded (plain-vector PQ): same serving plan, only
+    the encode target changes — together they pin both halves of the
+    IVFPQ design space under the hash gate."""
+    from tansu_spark.functions import pq as P
+
+    emb = _emb(spark, sf_dir)
+    seeds16 = emb.filter(F.col("vec_id") < 16)
+    cent_df = seeds16.select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    cents_model = S.centroid_model_row(cent_df)
+
+    with_res = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents_model))
+        .withColumn("_vn", S.norm("embedding"))
+        .withColumn(
+            "_best", F.array_max(S.model_row_scores("embedding", F.col("_vn")))
+        )
+        .select(
+            "vec_id",
+            (-F.col("_best.nid")).alias("cluster"),
+            F.zip_with(
+                "embedding",
+                F.get("_mcvs", F.col("_best.idx")),
+                lambda x, c: x.cast("double") - c,
+            ).alias("r"),
+            F.col("_vn").alias("vnorm"),
+        )
+    )
+    books_df = P.seeded_books_df(
+        with_res.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 32)),
+        n_sub=8,
+        d=8,
+        vec_col="r",
+    )
+    enc = (
+        with_res.crossJoin(F.broadcast(P.books_model_row(books_df)))
+        .select(
+            "vec_id",
+            "cluster",
+            P.model_row_codes(F.col("r"), 8, 8).alias("codes"),
+            "vnorm",
+        )
+    )
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    probes = (
+        queries.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents_model))
+        .withColumn("_vn", S.norm("embedding"))
+        .select(
+            "vec_id",
+            "embedding",
+            "_vn",
+            "_mcvs",
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        S.model_row_scores("embedding", F.col("_vn")), asc=False
+                    ),
+                    1,
+                    2,
+                )
+            ).alias("_p"),
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (-F.col("_p.nid")).alias("cluster"),
+            S.dot("embedding", F.get("_mcvs", F.col("_p.idx"))).alias("qc"),
+            F.col("_vn").alias("qn"),
+        )
+    )
+    lut = P.lut_table_df(queries, books_df, d=8).drop("qn")
+
+    cand = enc.join(F.broadcast(probes), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    exploded = cand.select(
+        "query_id", "vec_id", "vnorm", "qc", "qn",
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    joined = exploded.join(F.broadcast(lut), ["query_id", "sub", "code"])
+    scored = (
+        joined.groupBy("query_id", "vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub", "dot"))).alias("_l"),
+            F.first("qc").alias("qc"),
+            F.first("qn").alias("qn"),
+            F.first("vnorm").alias("vnorm"),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.aggregate("_l", F.col("qc"), lambda a, x: a + x.getField("dot"))
+                / (F.col("qn") * F.col("vnorm"))
+            ).alias("raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "vec_id", F.round("raw", 10).alias("approx_cosine"))
+    )
+
+
+@query(
     "sim_hard_negatives",
     plan=("broadcast_query_set",),
     oracle=f"""
@@ -1672,6 +1868,107 @@ def graph_knn_mutual_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc.select(F.col("node").alias("vec_id"), "component_id")
         .withColumn("component_size", F.count(F.lit(1)).over(w))
         .withColumn("is_canonical", F.col("vec_id") == F.col("component_id"))
+    )
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, 0 AS band, {_bucket_sql("embedding")} AS bucket
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id, embedding, 1 AS band,
+             {_bucket_sql("embedding", plane_offset=4)} AS bucket
+      FROM embeddings
+    ),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+             FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+             WHERE a.vec_id != c.vec_id),
+    sc AS (SELECT id_a, id_b, {_cos_sql("e1.embedding", "e2.embedding")} AS cosine
+           FROM cand
+           JOIN embeddings e1 ON e1.vec_id = id_a
+           JOIN embeddings e2 ON e2.vec_id = id_b),
+    knn AS (SELECT id_a, id_b FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn
+              FROM sc)
+            WHERE rn <= 5),
+    l0 AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 200),
+    n1 AS (SELECT k.id_a AS vec_id, l.label, count(*) AS cnt
+           FROM knn k JOIN l0 l ON l.vec_id = k.id_b
+           WHERE k.id_a NOT IN (SELECT vec_id FROM l0)
+           GROUP BY 1, 2),
+    a1 AS (SELECT vec_id, label FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cnt DESC, label) AS rn
+             FROM n1) WHERE rn = 1),
+    l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM a1),
+    n2 AS (SELECT k.id_a AS vec_id, l.label, count(*) AS cnt
+           FROM knn k JOIN l1 l ON l.vec_id = k.id_b
+           WHERE k.id_a NOT IN (SELECT vec_id FROM l1)
+           GROUP BY 1, 2),
+    a2 AS (SELECT vec_id, label FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cnt DESC, label) AS rn
+             FROM n2) WHERE rn = 1),
+    l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM a2)
+    SELECT vec_id, label, (vec_id < 200) AS is_seed FROM l2
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION over the approximate k-NN graph
+    (Zhu & Ghahramani 2002, the hard-label variant) — the
+    weak-supervision pass a curation pipeline uses to spread a small
+    labeled seed set (here: vec_id < 200 keep their true label) across
+    the unlabeled corpus: two SYNCHRONIZED rounds, each unlabeled node
+    adopting the MODE of its out-neighbors' labels from the previous
+    round (ties -> smallest label; stays unlabeled with no labeled
+    neighbor). Labels once assigned are frozen — the monotone frontier
+    that makes sync rounds deterministic and oracle-replayable.
+
+    Scale: the adjacency (k rows/node) is built once and checkpointed
+    (the production shape reads it from a table); each round is one
+    equi-join of the O(nk) edge list against the current label table +
+    a count aggregate + a per-node argmax window — all shuffles carry
+    scalar triples. Round count is a dial; frontier growth means later
+    rounds touch only still-unlabeled nodes."""
+    emb = _emb(spark, sf_dir)
+    knn = (
+        S.knn_graph_lsh(emb, k=5, n_bands=2)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # two rounds read it; build once
+    )
+    seeds = emb.where(F.col("vec_id") < 200).select("vec_id", "label")
+
+    def propagate(labeled: DataFrame) -> DataFrame:
+        votes = (
+            knn.join(
+                labeled.select(
+                    F.col("vec_id").alias("id_b"), F.col("label")
+                ),
+                "id_b",
+            )
+            .join(
+                labeled.select(F.col("vec_id").alias("id_a")),
+                "id_a",
+                "left_anti",
+            )
+            .groupBy("id_a", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("id_a").orderBy(F.desc("cnt"), F.asc("label"))
+        fresh = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("id_a").alias("vec_id"), "label")
+        )
+        return labeled.unionByName(fresh)
+
+    l1 = propagate(seeds).localCheckpoint(eager=True)  # consumed 2x in round 2
+    l2 = propagate(l1)
+    return l2.select(
+        "vec_id", "label", (F.col("vec_id") < 200).alias("is_seed")
     )
 
 

@@ -107,6 +107,8 @@ FLOORS = {
     "sim_lsh_multiprobe_topk": 40,  # exactly 8 queries x top-5
     # round-7 additions
     "kafka_avro_schema_evolution": 3,  # one row per event type (5 at sf0.01)
+    "sim_ivfpq_residual_topk": 40,  # exactly 8 queries x top-5
+    "graph_label_propagation": 300,  # labels reach ~full corpus (500 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
