@@ -156,6 +156,119 @@ def kmv_merge_pairs(
     )
 
 
+# ----------------------------------------------------------------- HLL
+# HyperLogLog (Flajolet et al. 2007) — register-explicit and md5-hashed,
+# so unlike engine-native HLLs (the reason this module previously shipped
+# only KMV) every intermediate IS oracle-checkable: the register table is
+# a groupBy, and the harmonic sum is EXACT in f64 (each term is a single
+# power of two in [2^-40, 2^0]; 256 such terms span < 53 mantissa bits,
+# so the sum is exactly representable and order-independent).
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+_HLL_SUFFIX_BITS = 32  # 40-bit hash = 8 register bits + 32 rank bits
+_HLL_SUFFIX_SPACE = 1 << _HLL_SUFFIX_BITS
+# alpha_m for m = 256 — the SAME Python double literal is inlined on both
+# engines, so the constant can't diverge.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _rank_case_sql(suffix: str) -> str:
+    """Leading-zero rank of a 32-bit suffix as a pure CASE ladder —
+    integer comparisons only (no log2 rounding hazards), identical text
+    on both engines. rank = leading_zeros + 1; all-zero suffix -> 33."""
+    branches = [
+        f"WHEN {suffix} >= {1 << (_HLL_SUFFIX_BITS - r)} THEN {r}"
+        for r in range(1, _HLL_SUFFIX_BITS + 1)
+    ]
+    return "CASE " + " ".join(branches) + f" ELSE {_HLL_SUFFIX_BITS + 1} END"
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL register table: group_cols + (reg INT, mx INT) —
+    max leading-zero rank seen in each of the m=256 registers. This IS
+    the sketch (mergeable by max over reg), and the shuffle carries at
+    most m rows per group per map partition after partial aggregation."""
+    v = hash_value(value_col)
+    reg = (v / F.lit(_HLL_SUFFIX_SPACE)).cast("long")  # top 8 of 40 bits
+    suffix = v % F.lit(_HLL_SUFFIX_SPACE)
+    rank = F.expr(_rank_case_sql("_sfx"))
+    return (
+        df.select(*group_cols, reg.alias("reg"), suffix.alias("_sfx"))
+        .withColumn("mx", rank)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group HLL cardinality estimate. Output: group_cols +
+    (regs_hit BIGINT, raw_estimate DOUBLE, est_distinct DOUBLE) — raw is
+    alpha·m²/S with S the exact harmonic sum (untouched registers
+    contribute 2^0 = 1); est applies the standard small-range linear-
+    counting correction (m·ln(m/zeros) when raw <= 2.5m and zeros > 0)."""
+    m = HLL_M
+    regs = hll_registers(df, value_col, group_cols)
+    per = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("regs_hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("_s_hit"),
+    )
+    s = (F.lit(float(m)) - F.col("regs_hit")) + F.col("_s_hit")
+    raw = F.lit(HLL_ALPHA) * F.lit(float(m * m)) / s
+    zeros = F.lit(m) - F.col("regs_hit")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return per.select(
+        *group_cols,
+        "regs_hit",
+        F.round(raw, round_digits).alias("raw_estimate"),
+        F.round(est, round_digits).alias("est_distinct"),
+    )
+
+
+def hll_oracle_sql(
+    value_col: str, group_col: str, table: str, where: str = "TRUE"
+) -> str:
+    """DuckDB replay of hll_distinct for one group column: the same md5
+    Horner hash, register split, CASE-ladder rank, exact harmonic sum,
+    and correction branch."""
+    m = HLL_M
+    # CAST literals to DOUBLE: bare decimal literals parse as DECIMAL in
+    # DuckDB and the alpha*m^2 product overflows DECIMAL(18).
+    a = f"CAST({HLL_ALPHA!r} AS DOUBLE)"
+    mm = f"CAST({float(m * m)!r} AS DOUBLE)"
+    mf = f"CAST({float(m)!r} AS DOUBLE)"
+    return f"""
+    WITH hv AS (SELECT {group_col} AS g,
+                       {kmv_oracle_value_sql(value_col)} AS v
+                FROM {table} WHERE {where}),
+    parts AS (SELECT g, v // {_HLL_SUFFIX_SPACE} AS reg,
+                     v % {_HLL_SUFFIX_SPACE} AS sfx
+              FROM hv),
+    regs AS (SELECT g, reg, max({_rank_case_sql("sfx")}) AS mx
+             FROM parts GROUP BY g, reg),
+    per AS (SELECT g, CAST(count(*) AS BIGINT) AS regs_hit,
+                   ({m} - count(*)) + sum(power(2.0, -mx)) AS s
+            FROM regs GROUP BY g)
+    SELECT g AS {group_col}, regs_hit,
+           round({a} * {mm} / s, 6) AS raw_estimate,
+           round(CASE WHEN {a} * {mm} / s <= {2.5 * m}
+                       AND {m} - regs_hit > 0
+                      THEN {mf} * ln({mf} / ({m} - regs_hit))
+                      ELSE {a} * {mm} / s END, 6) AS est_distinct
+    FROM per
+    """
+
+
 def cms_cells(
     df: DataFrame,
     key_col: str,

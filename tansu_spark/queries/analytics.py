@@ -934,6 +934,40 @@ _OR["sketch_kmv_distinct_users"] = _kmv_oracle()
 
 
 @query(
+    "sketch_hll_distinct_users",
+    oracle=None,  # set below — built from hll_oracle_sql
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (functions/sketch.py::
+    hll_distinct) — register-explicit and md5-hashed so, unlike
+    engine-native HLLs, every intermediate replays in the oracle: the
+    m=256 register table is a groupBy(group, reg).max(rank) (rank via a
+    pure integer CASE ladder — no log2 rounding hazards), and the
+    harmonic sum is EXACT in f64 (256 single-bit powers of two spanning
+    < 53 mantissa bits), so the raw estimate is bit-identical on any
+    engine or partitioning. Small-range linear counting applied as in
+    the paper. Completes the sketch family next to KMV (order
+    statistics), CMS (frequency), bottom-k (quantiles).
+
+    Scale: the classic HLL win — the shuffle carries at most m register
+    rows per group per map partition after partial aggregation, and
+    sketches merge by max over registers."""
+    from tansu_spark.functions.sketch import hll_distinct
+
+    ev = load(spark, sf_dir, "events")
+    return hll_distinct(ev, "user_id", ["event_type"])
+
+
+def _hll_oracle() -> str:
+    from tansu_spark.functions.sketch import hll_oracle_sql
+
+    return hll_oracle_sql("user_id", "event_type", "events")
+
+
+_OR["sketch_hll_distinct_users"] = _hll_oracle()
+
+
+@query(
     "streaming_tumbling_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
