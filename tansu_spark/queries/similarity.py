@@ -823,6 +823,153 @@ def sim_pq_encode_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pc_round_dec(expr: str) -> str:
+    """round-to-12 then exact DECIMAL(28,12) accumulation — the
+    cross-engine-exact summation recipe for f64 terms (the 12-decimal
+    grid point is unambiguous and both engines' casts land on it)."""
+    return f"CAST(round({expr}, 12) AS DECIMAL(28,12))"
+
+
+@query(
+    "embeddings_power_iteration_pc",
+    plan=("single_row_broadcast",),
+    oracle=f"""
+    WITH dims AS (SELECT unnest(range({N_DIMS})) AS d),
+    mu AS (SELECT dims.d,
+                  CAST(sum(CAST(CAST(e.embedding[dims.d + 1] AS DOUBLE)
+                                AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+           FROM embeddings e CROSS JOIN dims GROUP BY dims.d),
+    cov AS (SELECT i.d AS i, j.d AS j,
+                   CAST(sum({_pc_round_dec(
+                       "(CAST(e.embedding[i.d + 1] AS DOUBLE) - mi.m)"
+                       " * (CAST(e.embedding[j.d + 1] AS DOUBLE) - mj.m)")})
+                        AS DOUBLE) / count(*) AS c
+            FROM embeddings e CROSS JOIN dims i CROSS JOIN dims j
+            JOIN mu mi ON mi.d = i.d
+            JOIN mu mj ON mj.d = j.d
+            GROUP BY i.d, j.d),
+    v0 AS (SELECT d AS j, CAST(0.125 AS DOUBLE) AS v FROM dims),
+    w1 AS (SELECT c.i, CAST(sum({_pc_round_dec("c.c * v.v")}) AS DOUBLE) AS w
+           FROM cov c JOIN v0 v ON v.j = c.j GROUP BY c.i),
+    s1 AS (SELECT sqrt(CAST(sum({_pc_round_dec("w * w")}) AS DOUBLE)) AS s FROM w1),
+    v1 AS (SELECT i AS j, w / (SELECT s FROM s1) AS v FROM w1),
+    w2 AS (SELECT c.i, CAST(sum({_pc_round_dec("c.c * v.v")}) AS DOUBLE) AS w
+           FROM cov c JOIN v1 v ON v.j = c.j GROUP BY c.i),
+    s2 AS (SELECT sqrt(CAST(sum({_pc_round_dec("w * w")}) AS DOUBLE)) AS s FROM w2),
+    v2 AS (SELECT i AS j, w / (SELECT s FROM s2) AS v FROM w2),
+    w3 AS (SELECT c.i, CAST(sum({_pc_round_dec("c.c * v.v")}) AS DOUBLE) AS w
+           FROM cov c JOIN v2 v ON v.j = c.j GROUP BY c.i),
+    s3 AS (SELECT sqrt(CAST(sum({_pc_round_dec("w * w")}) AS DOUBLE)) AS s FROM w3)
+    SELECT i AS dim,
+           round(w / (SELECT s FROM s3), 10) AS loading,
+           round((SELECT s FROM s3), 10) AS eigenvalue
+    FROM w3
+    """,
+)
+def embeddings_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding corpus by POWER
+    ITERATION, under the exact-value gate — iterative distributed linear
+    algebra with bit-reproducible arithmetic (the class round 2 deemed
+    'model state, not hash-reproducible'). The trick generalizes the
+    k-means recipe: every dot-product/summation rounds its f64 terms to
+    the 12-decimal grid (unambiguous in both engines — no double is
+    exactly halfway between grid points) and accumulates in exact
+    DECIMAL, so the mean vector, the 64x64 covariance, and each of the 3
+    matrix-vector iterations are identical doubles everywhere,
+    independent of partitioning, task order, or engine.
+
+    Why a pipeline wants it: the corpus's dominant direction is what
+    embedding WHITENING removes (all-but-the-top-PC retrieval, e.g. Mu &
+    Viswanath 2018's all-but-the-top) and what drift monitors track
+    across shards.
+
+    Scale: mean is one partial-agg shuffle; covariance is map-only
+    per-row outer products (64x64 per row, exploded to scalars) into one
+    (i, j) partial-agg shuffle — at 100 TB that is THE pattern for
+    Gram/covariance matrices (d² tiny, n huge); each iteration is a
+    broadcast join against the 4096-row matrix + a 64-row aggregate.
+    Zero collects — v0 is a literal range, everything else dataflow."""
+    emb = _emb(spark, sf_dir)
+
+    def dec_sum(col):
+        return F.sum(F.round(col, 12).cast("decimal(28,12)")).cast("double")
+
+    mu_row = (
+        emb.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(28,12)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda s: s["m"],
+            ).alias("_mu")
+        )
+    )
+    seq = F.sequence(F.lit(0), F.lit(N_DIMS - 1))
+    centered = lambda d: F.get("embedding", d).cast("double") - F.get("_mu", d)  # noqa: E731
+    prods = (
+        emb.select("embedding")
+        .crossJoin(F.broadcast(mu_row))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        seq,
+                        lambda i: F.transform(
+                            seq,
+                            lambda j: F.struct(
+                                i.alias("i"),
+                                j.alias("j"),
+                                F.round(centered(i) * centered(j), 12).alias("p"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("t")
+        )
+        .select("t.i", "t.j", "t.p")
+    )
+    cov = prods.groupBy("i", "j").agg(
+        (
+            F.sum(F.col("p").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+
+    v = spark.range(N_DIMS).select(
+        F.col("id").cast("int").alias("j"), F.lit(0.125).alias("v")
+    )
+    w = None
+    s_row = None
+    for _ in range(3):
+        w = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(dec_sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        s_row = w.groupBy().agg(
+            F.sqrt(dec_sum(F.col("w") * F.col("w"))).alias("s")
+        )
+        v = w.crossJoin(F.broadcast(s_row)).select(
+            F.col("i").alias("j"), (F.col("w") / F.col("s")).alias("v")
+        )
+    return (
+        w.crossJoin(F.broadcast(s_row))
+        .select(
+            F.col("i").alias("dim"),
+            F.round(F.col("w") / F.col("s"), 10).alias("loading"),
+            F.round("s", 10).alias("eigenvalue"),
+        )
+    )
+
+
 @query(
     "sim_random_projection",
     oracle="""

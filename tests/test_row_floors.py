@@ -110,6 +110,7 @@ FLOORS = {
     "sim_ivfpq_residual_topk": 40,  # exactly 8 queries x top-5
     "graph_label_propagation": 300,  # labels reach ~full corpus (500 at sf0.01)
     "sketch_hll_distinct_users": 3,  # one row per event type (5 at sf0.01)
+    "embeddings_power_iteration_pc": 64,  # exactly one row per dimension
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
