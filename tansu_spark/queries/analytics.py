@@ -968,6 +968,72 @@ _OR["sketch_hll_distinct_users"] = _hll_oracle()
 
 
 @query(
+    "streaming_hll_state",
+    oracle=None,  # set below — the BATCH sketch is the streaming oracle
+)
+def streaming_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HyperLogLog maintenance under the hash gate — a real
+    applyInPandasWithState run (streaming/source.py::hll_by_key): the
+    events stream folds each micro-batch's user hashes into per-
+    event-type register arrays (256 ints of state per key) and re-emits
+    the live estimate in update mode. Register-max is COMMUTATIVE and
+    IDEMPOTENT, so unlike the EWMA fold the stream needs no ordering
+    guarantee: the final state equals functions/sketch.py::hll_distinct
+    on the same data under any batch split — which is why the oracle is
+    literally the batch sketch replay (same md5 Horner hash, CASE-ladder
+    rank, exact harmonic sum, linear-counting branch).
+
+    Scale: state is m ints per key regardless of cardinality; per-batch
+    work is the batch's rows. The max_by(n_seen) collapse is only the
+    memory-sink dedup for multi-batch availableNow splits."""
+    import os
+
+    from tansu_spark.streaming.source import hll_by_key
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("event_type").alias("key"),
+            F.col("user_id").cast("string").alias("v"),
+        )
+    )
+    out = hll_by_key(stream)
+    name = "stream_hll_oracle"
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("key")
+        .agg(
+            F.max_by(
+                F.struct("regs_hit", "raw_estimate", "est_distinct"), "n_seen"
+            ).alias("_f")
+        )
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("_f.regs_hit").alias("regs_hit"),
+            F.col("_f.raw_estimate").alias("raw_estimate"),
+            F.col("_f.est_distinct").alias("est_distinct"),
+        )
+    )
+
+
+_OR["streaming_hll_state"] = _hll_oracle()
+
+
+@query(
     "streaming_tumbling_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

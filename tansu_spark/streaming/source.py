@@ -466,3 +466,90 @@ def ewma_by_key(records: DataFrame, alpha: float = 0.25) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HLL_SCHEMA = (
+    "key string, n_seen long, regs_hit long, raw_estimate double, "
+    "est_distinct double"
+)
+
+
+def hll_by_key(records: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog maintenance per key — the stateful-sketch
+    operator (functions/sketch.py::hll_distinct's streaming twin): state
+    is the m=256 register array; each micro-batch folds its values'
+    md5-Horner hashes in by register-max. Because max-merge is fully
+    COMMUTATIVE and idempotent, the stream needs no ordering guarantee
+    at all (unlike the EWMA fold) — the final state equals the batch
+    sketch under any partitioning, batch split, or arrival order, which
+    is exactly why production pipelines keep sketches, not raw sets, as
+    streaming state.
+
+    Input: (key string, v string) — v is the value whose distinct count
+    is tracked. Update-mode emission: each batch re-emits the keys it
+    touched with the CURRENT estimate and a strictly-increasing n_seen
+    (the memory-sink dedup key). State: 256 ints per key.
+
+    Scale: per-batch work is the batch's rows (one md5 each); state is
+    m ints per key regardless of cardinality — the whole point of HLL."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from tansu_spark.functions.sketch import HLL_ALPHA, HLL_M
+
+    def update(key, pdfs, state: GroupState):
+        (k,) = key
+        if state.exists:
+            (regs_packed, n_seen) = state.get
+            regs = list(regs_packed)
+        else:
+            regs, n_seen = [0] * HLL_M, 0
+        for pdf in pdfs:
+            for v in pdf["v"]:
+                if v is None:
+                    continue
+                h = int(hashlib.md5(str(v).encode()).hexdigest()[:10], 16)
+                reg, sfx = h >> 32, h & 0xFFFFFFFF
+                rank = 33 if sfx == 0 else (32 - sfx.bit_length() + 1)
+                if rank > regs[reg]:
+                    regs[reg] = rank
+                n_seen += 1
+        if n_seen == 0:
+            return
+        state.update((regs, n_seen))
+        hits = sum(1 for r in regs if r > 0)
+        # identical IEEE sequence to the batch/oracle formulas: the
+        # harmonic sum is exact (single-bit powers of two), alpha*m*m is
+        # one multiply, ln only in the small-range branch (round 6)
+        s = float(HLL_M - hits) + sum(2.0 ** -r for r in regs if r > 0)
+        raw = HLL_ALPHA * float(HLL_M * HLL_M) / s
+        zeros = HLL_M - hits
+        if raw <= 2.5 * HLL_M and zeros > 0:
+            import math
+
+            est = float(HLL_M) * math.log(float(HLL_M) / zeros)
+        else:
+            est = raw
+        yield pd.DataFrame(
+            {
+                "key": [k],
+                "n_seen": [n_seen],
+                "regs_hit": [hits],
+                "raw_estimate": [round(raw, 6)],
+                "est_distinct": [round(est, 6)],
+            }
+        )
+
+    projected = records.select(
+        F.col("key").cast("string").alias("key"), F.col("v").cast("string").alias("v")
+    )
+    return projected.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_HLL_SCHEMA,
+        stateStructType="regs array<int>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -111,6 +111,7 @@ FLOORS = {
     "graph_label_propagation": 300,  # labels reach ~full corpus (500 at sf0.01)
     "sketch_hll_distinct_users": 3,  # one row per event type (5 at sf0.01)
     "embeddings_power_iteration_pc": 64,  # exactly one row per dimension
+    "streaming_hll_state": 3,  # one row per event type (5 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
