@@ -4790,6 +4790,111 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_winnowing_fingerprints",
+    oracle="""
+    WITH karr AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text) - 6, 1)),
+               p -> ('0x' || substring(md5(substring(text, p, 8)), 1, 8))::BIGINT
+                    * 1048576 + (1048576 - p)) AS ka,
+             greatest(length(text) - 14, 0) AS nw
+      FROM documents),
+    raw_fps AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, nw + 1),
+               q -> list_aggregate(ka[q:q+7], 'min')))) AS k
+      FROM karr WHERE nw > 0),
+    fps AS (SELECT DISTINCT doc_id, k // 1048576 AS h FROM raw_fps),
+    kept AS (SELECT f.doc_id, f.h FROM fps f
+             JOIN (SELECT h FROM fps GROUP BY h HAVING count(*) <= 50) c
+               USING (h)),
+    nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           round(CAST(p.n_shared AS DOUBLE) / least(na.n, nb.n), 6) AS overlap
+    FROM pairs p
+    JOIN nf na ON na.doc_id = p.doc_a
+    JOIN nf nb ON nb.doc_id = p.doc_b
+    WHERE round(CAST(p.n_shared AS DOUBLE) / least(na.n, nb.n), 6) >= 0.35
+    """,
+)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local fingerprinting algorithm): per document, hash
+    every k-gram (k=8, 32-bit md5 prefix), slide a w=8 window over the
+    hash sequence, and select each window's MINIMUM hash — ties to the
+    RIGHTMOST position, encoded arithmetically as
+    min(h * 2^20 + (2^20 - pos)) so one integer array_min implements
+    both rules identically in both engines. The guarantee the window
+    gives (and substring-grain MinHash doesn't): any shared substring of
+    length >= w + k - 1 = 15 chars is CAUGHT by a shared fingerprint —
+    detection has a proven floor, while storing only ~2/(w+1) of the
+    hashes. Fingerprints appearing in > 50 documents are dropped (the
+    MOSS 'ignore very common' rule — boilerplate can't flood the join),
+    then near-dup pairs are fingerprint-sharing counts with the overlap
+    coefficient.
+
+    Scale: fingerprinting is MAP-ONLY array arithmetic per document
+    (no explode of raw k-grams into a shuffle — only the winnowed ~2/w
+    survivors leave the row); the pair join runs on the pruned
+    fingerprint table with hub hashes already removed, the same
+    bounded-join discipline as the prefix filter. The fingerprint table
+    is checkpointed once for its three consumers."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fp_expr = """
+    CASE WHEN length(text) >= 15 THEN
+      array_distinct(transform(
+        sequence(1, length(text) - 14),
+        q -> array_min(slice(
+          transform(sequence(1, length(text) - 7),
+            p -> cast(conv(substring(md5(substring(text, p, 8)), 1, 8), 16, 10)
+                      as bigint) * 1048576 + (1048576 - p)),
+          q, 8))))
+    ELSE array() END
+    """
+    fps = (
+        docs.select("doc_id", F.explode(F.expr(fp_expr)).alias("k"))
+        .select("doc_id", F.expr("k div 1048576").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)  # three consumers below
+    )
+    kept = fps.join(
+        fps.groupBy("h").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= 50),
+        "h",
+    ).select("doc_id", "h")
+    nf = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # Templated corpora share many short phrases, so the decision
+    # threshold is the OVERLAP COEFFICIENT (shared / smaller fingerprint
+    # set), not a raw shared count — 0.35 keeps true near-dups (planted
+    # dups score up to 1.0) and drops the phrase-sharing long tail.
+    return (
+        pairs.join(nf.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("_na")), "doc_a")
+        .join(nf.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("_nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("_na", "_nb"), 6
+            ).alias("overlap"),
+        )
+        .where(F.col("overlap") >= 0.35)
+    )
+
+
+@query(
     "corpus_quantile_calibration",
     oracle="""
     WITH N AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

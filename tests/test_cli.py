@@ -64,8 +64,13 @@ def test_produce_consume_offsets_lag(store, tmp_path):
     fr = run(store, "offsets", "ev")[0]
     assert sum(fr["latest"].values()) == 6 and all(v == 0 for v in fr["earliest"].values())
 
+    # group never committed: describe shows null committed/lag ("-"),
+    # not lag = high_watermark (r7 advice fix)
     lag = run(store, "lag", "g1", "ev")[0]
-    assert sum(v["lag"] for v in lag["partitions"].values()) == 6
+    assert all(
+        v["lag"] is None and v["committed"] is None
+        for v in lag["partitions"].values()
+    )
 
     report = run(store, "maintain")[0]
     assert "ev" in report["maintained"]

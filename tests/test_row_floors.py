@@ -112,6 +112,7 @@ FLOORS = {
     "sketch_hll_distinct_users": 3,  # one row per event type (5 at sf0.01)
     "embeddings_power_iteration_pc": 64,  # exactly one row per dimension
     "streaming_hll_state": 3,  # one row per event type (5 at sf0.01)
+    "dedup_winnowing_fingerprints": 30,  # overlap>=0.35 pairs (68 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
