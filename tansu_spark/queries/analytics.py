@@ -1034,6 +1034,139 @@ _OR["streaming_hll_state"] = _hll_oracle()
 
 
 @query(
+    "sketch_hll_union_pairs",
+    oracle=None,  # set below — built from the hll register CTE pieces
+)
+def sketch_hll_union_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA from merged sketches (the KMV merge-pairs twin):
+    per event-type pair, |A∪B| comes from the register-wise MAX of the
+    two sketches — the lossless HLL merge rule — and |A∩B| by
+    inclusion-exclusion, with Jaccard on top. The raw estimates stay
+    bit-exact (exact harmonic sums); audience-overlap math on sketch
+    state instead of raw ID sets is the production reason sketches are
+    the stored representation.
+
+    Scale: pairwise work touches only register tables (m rows per
+    group), never the raw sets — G² x m rows for G groups."""
+    from tansu_spark.functions.sketch import HLL_ALPHA, HLL_M, hll_registers
+
+    ev = load(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"])
+
+    def estimate(grouped: DataFrame, keys: list[str], prefix: str) -> DataFrame:
+        per = grouped.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("_hits"),
+            F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("_sh"),
+        )
+        s = (F.lit(float(HLL_M)) - F.col("_hits")) + F.col("_sh")
+        raw = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / s
+        zeros = F.lit(HLL_M) - F.col("_hits")
+        est = F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+        ).otherwise(raw)
+        return per.select(*keys, F.round(est, 6).alias(prefix))
+
+    singles = estimate(regs, ["event_type"], "est")
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("g_a"))
+        .crossJoin(F.broadcast(types.select(F.col("event_type").alias("g_b"))))
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    side_a = pairs.join(
+        regs.select(F.col("event_type").alias("g_a"), "reg", "mx"), "g_a"
+    )
+    side_b = pairs.join(
+        regs.select(F.col("event_type").alias("g_b"), "reg", "mx"), "g_b"
+    )
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("g_a", "g_b", "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+    u = estimate(merged, ["g_a", "g_b"], "est_union")
+    ea = singles.select(F.col("event_type").alias("g_a"), F.col("est").alias("est_a"))
+    eb = singles.select(F.col("event_type").alias("g_b"), F.col("est").alias("est_b"))
+    inter = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6),
+        F.lit(0.0),
+    )
+    return (
+        u.join(ea, "g_a")
+        .join(eb, "g_b")
+        .select(
+            "g_a",
+            "g_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("est_intersection"),
+            F.round(inter / F.col("est_union"), 6).alias("jaccard"),
+        )
+    )
+
+
+def _hll_union_oracle() -> str:
+    from tansu_spark.functions.sketch import (
+        _HLL_SUFFIX_SPACE,
+        HLL_ALPHA,
+        HLL_M,
+        _rank_case_sql,
+        kmv_oracle_value_sql,
+    )
+
+    m = HLL_M
+    a = f"CAST({HLL_ALPHA!r} AS DOUBLE)"
+    mm = f"CAST({float(m * m)!r} AS DOUBLE)"
+    mf = f"CAST({float(m)!r} AS DOUBLE)"
+
+    def est(src: str, keys: str, out: str) -> str:
+        return f"""
+    {out}_per AS (SELECT {keys}, CAST(count(*) AS BIGINT) AS hits,
+                         ({m} - count(*)) + sum(power(2.0, -mx)) AS s
+                  FROM {src} GROUP BY {keys}),
+    {out} AS (SELECT {keys},
+                     round(CASE WHEN {a} * {mm} / s <= {2.5 * m}
+                                 AND {m} - hits > 0
+                                THEN {mf} * ln({mf} / ({m} - hits))
+                                ELSE {a} * {mm} / s END, 6) AS {out}_v
+              FROM {out}_per)"""
+
+    return f"""
+    WITH hv AS (SELECT event_type AS g,
+                       {kmv_oracle_value_sql("user_id")} AS v
+                FROM events),
+    parts AS (SELECT g, v // {_HLL_SUFFIX_SPACE} AS reg,
+                     v % {_HLL_SUFFIX_SPACE} AS sfx
+              FROM hv),
+    regs AS (SELECT g, reg, max({_rank_case_sql("sfx")}) AS mx
+             FROM parts GROUP BY g, reg),
+    {est("regs", "g", "single")},
+    tys AS (SELECT DISTINCT g FROM regs),
+    prs AS (SELECT x.g AS g_a, y.g AS g_b FROM tys x JOIN tys y ON x.g < y.g),
+    mrg AS (SELECT p.g_a, p.g_b, r.reg, max(r.mx) AS mx
+            FROM prs p JOIN regs r ON r.g = p.g_a OR r.g = p.g_b
+            GROUP BY p.g_a, p.g_b, r.reg),
+    {est("mrg", "g_a, g_b", "uni")}
+    SELECT u.g_a, u.g_b,
+           sa.single_v AS est_a,
+           sb.single_v AS est_b,
+           u.uni_v AS est_union,
+           greatest(round(sa.single_v + sb.single_v - u.uni_v, 6), 0.0)
+             AS est_intersection,
+           round(greatest(round(sa.single_v + sb.single_v - u.uni_v, 6), 0.0)
+                 / u.uni_v, 6) AS jaccard
+    FROM uni u
+    JOIN single sa ON sa.g = u.g_a
+    JOIN single sb ON sb.g = u.g_b
+    """
+
+
+_OR["sketch_hll_union_pairs"] = _hll_union_oracle()
+
+
+@query(
     "streaming_tumbling_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

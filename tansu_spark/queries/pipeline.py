@@ -653,6 +653,74 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+      FROM documents),
+    cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+            FROM ch WHERE c != '' GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   list(struct_pack(c := c, n := n) ORDER BY c) AS dist
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id, total AS n_chars, n_distinct,
+           round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(dist,
+                     s -> (CAST(s.n AS DOUBLE) / total)
+                          * log2(CAST(s.n AS DOUBLE) / total))),
+                 (x, y) -> x + y), 6) AS entropy_bits,
+           (-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(dist,
+                     s -> (CAST(s.n AS DOUBLE) / total)
+                          * log2(CAST(s.n AS DOUBLE) / total))),
+                 (x, y) -> x + y) < 3.5) AS low_quality
+    FROM tot
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution SHANNON ENTROPY per document — the quality
+    signal that catches what length/punct ratios miss: keyboard mash,
+    single-char floods, and base64/hex blobs all sit far from natural
+    text's ~4.0-4.5 bits/char band (the Gopher-rules companion filter;
+    low_quality flags < 3.5 bits). The fold is ORDER-PINNED: per-char
+    probabilities fold char-sorted left-to-right seeded with 0.0, so the
+    f64 sum is the identical IEEE sequence in both engines (a bare SUM
+    over p*log2 p would be partitioning-dependent).
+
+    Scale: one explode to (doc, char) scalars, one partial-agg count
+    shuffle, one per-doc fold over <= |alphabet| terms — alphabet-
+    bounded state per doc, never text-length-bounded."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .where(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.array_sort(F.collect_list(F.struct("c", "n"))).alias("dist"),
+    )
+    term = lambda s, total: (s.getField("n").cast("double") / total) * F.log2(  # noqa: E731
+        s.getField("n").cast("double") / total
+    )
+    ent = -F.aggregate(
+        "dist",
+        F.lit(0.0),
+        lambda a, s: a + term(s, F.col("n_chars")),
+    )
+    return tot.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct",
+        F.round(ent, 6).alias("entropy_bits"),
+        (ent < 3.5).alias("low_quality"),
+    )
+
+
 # Ordered (non-distinct) trigram list, branch-free in both engines: the
 # three staggered slices are clamped to max(n-2, 0) elements, so short
 # documents yield an empty list instead of a null-padded zip.

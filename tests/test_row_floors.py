@@ -113,6 +113,8 @@ FLOORS = {
     "embeddings_power_iteration_pc": 64,  # exactly one row per dimension
     "streaming_hll_state": 3,  # one row per event type (5 at sf0.01)
     "dedup_winnowing_fingerprints": 30,  # overlap>=0.35 pairs (68 at sf0.01)
+    "text_char_entropy": 400,  # one row per document (500 at sf0.01)
+    "sketch_hll_union_pairs": 6,  # C(5,2) = 10 event-type pairs at sf0.01
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
