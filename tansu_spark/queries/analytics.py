@@ -1167,6 +1167,86 @@ _OR["sketch_hll_union_pairs"] = _hll_union_oracle()
 
 
 @query(
+    "events_user_trend_ols",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 - 1704067200 AS x,
+             value AS y
+      FROM events),
+    s AS (SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(round(x * y, 4) AS DECIMAL(28,4))) AS DOUBLE)
+                   AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM pts GROUP BY user_id),
+    fit AS (SELECT user_id, n, sx, sy, sxy, sxx,
+                   CASE WHEN n >= 2
+                         AND CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0.0
+                        THEN (CAST(n AS DOUBLE) * sxy
+                              - CAST(sx AS DOUBLE) * sy)
+                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   END AS slope
+            FROM s)
+    SELECT user_id, n,
+           round(slope, 10) AS slope,
+           round((sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 10)
+             AS intercept
+    FROM fit
+    """,
+)
+def events_user_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ORDINARY LEAST SQUARES trend of event value over time —
+    the grouped-regression primitive behind engagement-drift and spend-
+    trajectory features — under the exact-value gate: the four sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) accumulate EXACTLY (integer sums
+    for the centered-epoch x; decimal sums on the round-grid for the f64
+    terms — the power-iteration recipe), and the closed-form slope/
+    intercept is then one fixed f64 expression over exact inputs, so the
+    fit is bit-identical on any engine or partitioning. Degenerate keys
+    (single event, zero time variance) yield NULL, not a crash.
+
+    Scale: ONE partial-agg shuffle carrying five scalars per user —
+    sufficient statistics are THE distributed-regression pattern (no
+    per-key iteration, no matrix libs)."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        (F.expr("ts div 1000000000") - F.lit(1704067200)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,12)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 4).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    denom = nd * F.col("sxx").cast("double") - sxd * sxd
+    slope = F.when(
+        (F.col("n") >= 2) & (denom != 0.0),
+        (nd * F.col("sxy") - sxd * F.col("sy")) / denom,
+    )
+    fit = s.withColumn("slope", slope)
+    return fit.select(
+        "user_id",
+        "n",
+        F.round("slope", 10).alias("slope"),
+        F.round(
+            (F.col("sy") - F.col("slope") * sxd) / nd, 10
+        ).alias("intercept"),
+    )
+
+
+@query(
     "streaming_tumbling_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

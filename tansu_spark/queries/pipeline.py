@@ -654,6 +654,67 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_levenshtein_blocked",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars // 32 AS band,
+                      substring(text, 1, 48) AS pfx
+               FROM documents),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS prefix_dist,
+                     greatest(length(a.pfx), length(b.pfx)) AS l
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.band = b.band
+               AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, prefix_dist,
+           round(CAST(prefix_dist AS DOUBLE) / greatest(l, 1), 6) AS norm_dist
+    FROM pairs WHERE prefix_dist <= 12
+    """,
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE near-duplicate pairs with blocking — the classic
+    entity-resolution shape (fuzzy match under typos/small edits that
+    token- and shingle-grain methods over- or under-shoot): documents
+    block on (lang, length-band of 32 chars) so only plausibly-matching
+    rows ever pair, then each candidate pair pays ONE bounded
+    Levenshtein on a 48-char prefix (cost capped at 48², independent of
+    document length). The metric is integer dynamic programming —
+    bit-identical across engines by construction, no float discipline
+    needed. Standard blocking caveat applies and is the design point:
+    near-dups straddling a band boundary are missed; production stacks
+    widen recall with multiple block keys, exactly like LSH bands.
+
+    Scale: the join key is the block id (bounded groups by the length
+    band), pair cost is bounded-prefix DP, and the threshold filter
+    (dist <= 12) runs in the join stage — nothing unbounded leaves it."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 32).cast("long").alias("band"),
+        F.substring("text", 1, 48).alias("pfx"),
+    )
+    pairs = (
+        d.alias("a")
+        .join(d.alias("b"), ["lang", "band"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein("a.pfx", "b.pfx").cast("long").alias("prefix_dist"),
+            F.greatest(F.length("a.pfx"), F.length("b.pfx")).alias("_l"),
+        )
+        .where(F.col("prefix_dist") <= 12)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "prefix_dist",
+        F.round(
+            F.col("prefix_dist").cast("double") / F.greatest("_l", F.lit(1)), 6
+        ).alias("norm_dist"),
+    )
+
+
+@query(
     "text_char_entropy",
     oracle="""
     WITH ch AS (
@@ -4857,10 +4918,48 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_winnowing_fingerprints",
-    oracle="""
-    WITH karr AS (
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, h) winnowed fingerprints — shared by the
+    near-dup pair query and the eval-contamination query (same k=8/w=8
+    parameters, same min-with-rightmost-tie integer encoding)."""
+    import functools
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # k-gram hash array computed ONCE per row, then the w-window minimum
+    # as an elementwise least-fold over 8 SHIFTED SLICES of that column
+    # (the trigram-slices pattern): a naive nested
+    # transform(windows, q -> array_min(slice(transform(positions, ...))))
+    # re-evaluates every position hash PER WINDOW — O(len^2) md5 calls,
+    # measured 102 s for 500 docs — because Catalyst does not hoist the
+    # inner lambda. Multi-referenced non-cheap aliases are NOT inlined by
+    # CollapseProject, so `ka` stays a single evaluation.
+    ka_expr = """
+    CASE WHEN length(text) >= 8 THEN
+      transform(sequence(1, length(text) - 7),
+        p -> cast(conv(substring(md5(substring(text, p, 8)), 1, 8), 16, 10)
+                  as bigint) * 1048576 + (1048576 - p))
+    ELSE array() END
+    """
+    d1 = (
+        docs.withColumn("ka", F.expr(ka_expr))
+        .withColumn("nw", F.greatest(F.size("ka") - F.lit(7), F.lit(0)))
+        .where(F.col("nw") > 0)
+    )
+    merged = functools.reduce(
+        lambda a, b: F.zip_with(a, b, lambda x, y: F.least(x, y)),
+        [F.expr(f"slice(ka, {i}, nw)") for i in range(1, 9)],
+    )
+    return (
+        d1.select("doc_id", F.explode(F.array_distinct(merged)).alias("k"))
+        .select("doc_id", F.expr("k div 1048576").alias("h"))
+        .distinct()
+    )
+
+
+# DuckDB twin of _winnow_fps (CTEs `karr`/`raw_fps`/`fps`, ending in
+# SELECT DISTINCT doc_id, h).
+_WINNOW_FPS_CTE = """
+    karr AS (
       SELECT doc_id,
              list_transform(range(1, greatest(length(text) - 6, 1)),
                p -> ('0x' || substring(md5(substring(text, p, 8)), 1, 8))::BIGINT
@@ -4872,7 +4971,14 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_distinct(list_transform(range(1, nw + 1),
                q -> list_aggregate(ka[q:q+7], 'min')))) AS k
       FROM karr WHERE nw > 0),
-    fps AS (SELECT DISTINCT doc_id, k // 1048576 AS h FROM raw_fps),
+    fps AS (SELECT DISTINCT doc_id, k // 1048576 AS h FROM raw_fps)
+"""
+
+
+@query(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTE},
     kept AS (SELECT f.doc_id, f.h FROM fps f
              JOIN (SELECT h FROM fps GROUP BY h HAVING count(*) <= 50) c
                USING (h)),
@@ -4911,24 +5017,7 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint table with hub hashes already removed, the same
     bounded-join discipline as the prefix filter. The fingerprint table
     is checkpointed once for its three consumers."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    fp_expr = """
-    CASE WHEN length(text) >= 15 THEN
-      array_distinct(transform(
-        sequence(1, length(text) - 14),
-        q -> array_min(slice(
-          transform(sequence(1, length(text) - 7),
-            p -> cast(conv(substring(md5(substring(text, p, 8)), 1, 8), 16, 10)
-                      as bigint) * 1048576 + (1048576 - p)),
-          q, 8))))
-    ELSE array() END
-    """
-    fps = (
-        docs.select("doc_id", F.explode(F.expr(fp_expr)).alias("k"))
-        .select("doc_id", F.expr("k div 1048576").alias("h"))
-        .distinct()
-        .localCheckpoint(eager=True)  # three consumers below
-    )
+    fps = _winnow_fps(spark, sf_dir).localCheckpoint(eager=True)
     kept = fps.join(
         fps.groupBy("h").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= 50),
         "h",
@@ -4959,6 +5048,58 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
         .where(F.col("overlap") >= 0.35)
+    )
+
+
+@query(
+    "corpus_eval_contamination",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTE},
+    kept AS (SELECT f.doc_id, f.h FROM fps f
+             JOIN (SELECT h FROM fps GROUP BY h HAVING count(*) <= 50) c
+               USING (h)),
+    ev AS (SELECT doc_id AS eval_id, h FROM kept WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, h FROM kept WHERE doc_id % 50 != 0)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shared_fps,
+           CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+    FROM tr t JOIN ev e USING (h)
+    GROUP BY t.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def corpus_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-GRAIN eval-set contamination detection — the winnowing
+    complement to the exact Bloom decontamination pass: a training
+    document is flagged when it shares >= 2 winnowed fingerprints with
+    any held-out eval document (doc_id % 50 = 0 plays the benchmark
+    set), i.e. shares 15+-char substrings — catching paraphrased-with-
+    copied-spans leakage that whole-document hashing misses and that
+    n-gram-overlap thresholds only catch at much higher contamination
+    density. Fingerprints in > 50 docs are dropped first, so boilerplate
+    can't mass-flag the corpus.
+
+    Scale: eval-set fingerprints are benchmark-sized (broadcastable);
+    the detection is one equi-join of the training fingerprint table
+    against them — per-doc cost is its winnowed fingerprint count
+    (~2/(w+1) of its length), never a pairwise scan."""
+    fps = _winnow_fps(spark, sf_dir).localCheckpoint(eager=True)
+    kept = fps.join(
+        fps.groupBy("h").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= 50),
+        "h",
+    ).select("doc_id", "h")
+    ev = kept.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "h"
+    )
+    tr = kept.where(F.col("doc_id") % 50 != 0)
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fps"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .where(F.col("n_shared_fps") >= 2)
     )
 
 

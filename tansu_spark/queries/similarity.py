@@ -914,6 +914,10 @@ def embeddings_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     seq = F.sequence(F.lit(0), F.lit(N_DIMS - 1))
     centered = lambda d: F.get("embedding", d).cast("double") - F.get("_mu", d)  # noqa: E731
+    # Upper triangle only (i <= j): IEEE multiplication is commutative,
+    # so p_ij == p_ji bit-exactly and the lower triangle is a free
+    # mirror after aggregation — halves the exploded volume and the
+    # (i, j) shuffle.
     prods = (
         emb.select("embedding")
         .crossJoin(F.broadcast(mu_row))
@@ -923,7 +927,7 @@ def embeddings_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame
                     F.transform(
                         seq,
                         lambda i: F.transform(
-                            seq,
+                            F.sequence(i, F.lit(N_DIMS - 1)),
                             lambda j: F.struct(
                                 i.alias("i"),
                                 j.alias("j"),
@@ -936,11 +940,19 @@ def embeddings_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("t.i", "t.j", "t.p")
     )
-    cov = prods.groupBy("i", "j").agg(
+    cov_u = prods.groupBy("i", "j").agg(
         (
             F.sum(F.col("p").cast("decimal(28,12)")).cast("double")
             / F.count(F.lit(1))
         ).alias("c")
+    )
+    # consumed by all three iterations — ReusedExchange shares the one
+    # aggregate (an eager checkpoint here was measured SLOWER: +2.6s
+    # materialization for work the reuse already saved)
+    cov = cov_u.unionByName(
+        cov_u.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
     )
 
     v = spark.range(N_DIMS).select(

@@ -115,6 +115,9 @@ FLOORS = {
     "dedup_winnowing_fingerprints": 30,  # overlap>=0.35 pairs (68 at sf0.01)
     "text_char_entropy": 400,  # one row per document (500 at sf0.01)
     "sketch_hll_union_pairs": 6,  # C(5,2) = 10 event-type pairs at sf0.01
+    "events_user_trend_ols": 100,  # one row per user (150 at sf0.01)
+    "dedup_levenshtein_blocked": 2,  # blocked fuzzy pairs (5 at sf0.01)
+    "corpus_eval_contamination": 200,  # flagged train docs (477 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
