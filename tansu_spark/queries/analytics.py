@@ -1035,6 +1035,9 @@ _OR["streaming_hll_state"] = _hll_oracle()
 
 @query(
     "sketch_hll_union_pairs",
+    # the group-id pair frame is a crossJoin of two bounded group lists
+    # (G rows each) — BNLJ by design, like the other broadcast models
+    plan=("small_model_broadcast",),
     oracle=None,  # set below — built from the hll register CTE pieces
 )
 def sketch_hll_union_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,6 +59,10 @@ NAMES = [
     "sim_knn_graph_lsh",            # multi-band bucket self-join (r6)
     "text_kneser_ney_lm",           # self-trained LM model join (r6)
     "streaming_ewma_state",         # applyInPandasWithState real run (r6)
+    "dedup_winnowing_fingerprints", # winnowed fp pair join (r7; pair risk)
+    "embeddings_power_iteration_pc",  # n x d^2 Gram explode + iterations (r7)
+    "graph_label_propagation",      # kNN build + 2 label-join rounds (r7)
+    "sim_ivfpq_residual_topk",      # zero-collect IVFADC dataflow (r7)
 ]
 
 
