@@ -1170,6 +1170,100 @@ _OR["sketch_hll_union_pairs"] = _hll_union_oracle()
 
 
 @query(
+    "streaming_cms_state",
+    oracle=None,  # set below — the BATCH CMS oracle is the streaming oracle
+)
+def streaming_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Count-Min sketch maintenance under the hash gate — the
+    additive twin of streaming_hll_state (streaming/source.py::
+    cms_by_depth): the events stream pre-hashes each record into its 4
+    depth buckets JVM-side, the stateful op folds per-depth 256-long
+    cell arrays by COUNT ADDITION (commutative — the final cells equal
+    the batch functions/sketch.py::cms_cells under any micro-batch
+    split), and the post-stream probe/min/truth report is the exact
+    shape of sketch_cms_user_frequency, whose oracle this query reuses
+    verbatim. Together the pair pins the two streaming-sketch merge
+    laws: max (HLL) and + (CMS).
+
+    Scale: state is depth x width longs total; per-batch work is the
+    batch's rows. The max_by(n_seen) collapse is the memory-sink dedup."""
+    import os
+
+    from tansu_spark.functions.sketch import cms_estimate
+    from tansu_spark.streaming.source import cms_by_depth
+
+    depth, width = 4, 256
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(str(r)),
+                                    F.lit(":"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(F.explode(buckets).alias("b"))
+        .select(F.col("b.r").alias("r"), F.col("b.col").alias("col"))
+    )
+    out = cms_by_depth(stream, width=width)
+    name = "stream_cms_oracle"
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    cells = (
+        spark.table(name)
+        .groupBy("r")
+        .agg(F.max_by("cells", "n_seen").alias("cells"))
+        .select(
+            F.col("r").alias("row"), F.posexplode("cells").alias("col", "cell")
+        )
+        .where(F.col("cell") > 0)
+    )
+    ev = load(spark, sf_dir, "events")
+    probes = ev.where(F.col("user_id") < 16)
+    est = cms_estimate(cells, probes, "user_id", depth=depth, width=width)
+    truth = probes.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    return est.join(truth, "key").select(
+        "key",
+        "estimate",
+        "true_count",
+        (F.col("estimate") - F.col("true_count")).cast("long").alias("overcount"),
+    )
+
+
+@query(
     "events_user_trend_ols",
     oracle="""
     WITH pts AS (
@@ -3711,3 +3805,8 @@ def events_ewma_anomaly_one_stage(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("acc.m"), 6).alias("max_deviation"),
         (F.col("acc.m") > 300.0).cast("int").alias("flagged"),
     )
+
+
+# streaming_cms_state reuses the batch CMS oracle verbatim (the additive
+# merge makes the final streamed cells equal the batch sketch).
+_OR["streaming_cms_state"] = _OR["sketch_cms_user_frequency"]

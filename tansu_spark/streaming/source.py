@@ -553,3 +553,50 @@ def hll_by_key(records: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_by_depth(records: DataFrame, width: int = 256) -> DataFrame:
+    """Streaming Count-Min sketch maintenance — the CMS twin of
+    `hll_by_key`: the input is the pre-hashed (r, col) bucket stream
+    (one row per depth per record, computed JVM-side before the
+    stateful op), grouped by DEPTH ROW r; each group's state is its
+    width-long cell array, and micro-batches fold in by per-col count
+    ADDITION — commutative, so the final cells equal the batch
+    `functions/sketch.py::cms_cells` under any batch split or arrival
+    order. Update-mode emission with strictly-increasing n_seen as the
+    sink dedup key.
+
+    Scale: depth tasks hold width longs of state each; per-batch work is
+    the batch's rows. (Partitioning by depth row caps parallelism at
+    `depth` for the state op itself — the hash projection upstream is
+    map-parallel; production CMS state at higher parallelism shards the
+    col space per task and unions, the same additive merge.)"""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (r,) = key
+        if state.exists:
+            (cells_t, n_seen) = state.get
+            cells = list(cells_t)
+        else:
+            cells, n_seen = [0] * width, 0
+        for pdf in pdfs:
+            for col in pdf["col"]:
+                cells[int(col)] += 1
+                n_seen += 1
+        if n_seen == 0:
+            return
+        state.update((cells, n_seen))
+        yield pd.DataFrame(
+            {"r": [int(r)], "n_seen": [n_seen], "cells": [cells]}
+        )
+
+    return records.groupBy("r").applyInPandasWithState(
+        update,
+        outputStructType="r int, n_seen long, cells array<long>",
+        stateStructType="cells array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

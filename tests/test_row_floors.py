@@ -118,6 +118,7 @@ FLOORS = {
     "events_user_trend_ols": 100,  # one row per user (150 at sf0.01)
     "dedup_levenshtein_blocked": 2,  # blocked fuzzy pairs (5 at sf0.01)
     "corpus_eval_contamination": 200,  # flagged train docs (477 at sf0.01)
+    "streaming_cms_state": 10,  # exactly one row per probe user (16)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
