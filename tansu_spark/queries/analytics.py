@@ -1264,6 +1264,81 @@ def streaming_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(hour(ts) AS INTEGER) AS hod
+      FROM events),
+    base AS (
+      SELECT hod,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(round(value * value, 4) AS DECIMAL(28,4)))
+                  AS DOUBLE) AS svv
+      FROM pts GROUP BY hod),
+    stats AS (
+      SELECT hod, n,
+             sv / CAST(n AS DOUBLE) AS mu,
+             sqrt(greatest(svv / CAST(n AS DOUBLE)
+                           - (sv / CAST(n AS DOUBLE))
+                             * (sv / CAST(n AS DOUBLE)), 0.0)) AS sigma
+      FROM base)
+    SELECT p.event_id, p.user_id, p.event_type, p.hod,
+           round((p.value - s.mu) / s.sigma, 6) AS z
+    FROM pts p JOIN stats s USING (hod)
+    WHERE s.sigma > 0.0
+      AND abs((p.value - s.mu) / s.sigma) >= 2.5
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-BASELINE anomaly detection — events judged against their
+    HOUR-OF-DAY population (the diurnal-pattern twin of the global
+    z-score pass: a midnight spike is normal at noon and vice versa;
+    monitoring stacks bucket baselines by season before thresholding).
+    The per-hour mean and sigma come from exact sufficient statistics
+    (decimal sums, round-grid for the squared term — the OLS recipe),
+    so mu/sigma are bit-identical on any partitioning and the z-scores
+    replay exactly; |z| >= 2.5 flags.
+
+    Scale: ONE partial-agg shuffle builds the 24-row baseline table,
+    which broadcast-joins back to the scan — the second pass is
+    map-only. Population variance (not sample) — the baseline IS the
+    population here."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("int(hour(timestamp_micros(ts div 1000)))").alias("hod"),
+    )
+    base = pts.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,12)")).cast("double").alias("sv"),
+        F.sum(F.round(F.col("value") * F.col("value"), 4).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("sv") / nd
+    sigma = F.sqrt(F.greatest(F.col("svv") / nd - mu * mu, F.lit(0.0)))
+    stats = base.select("hod", mu.alias("mu"), sigma.alias("sigma"))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        pts.join(F.broadcast(stats), "hod")
+        .where((F.col("sigma") > 0.0) & (F.abs(z) >= 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "hod",
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+@query(
     "events_user_trend_ols",
     oracle="""
     WITH pts AS (

@@ -119,6 +119,7 @@ FLOORS = {
     "dedup_levenshtein_blocked": 2,  # blocked fuzzy pairs (5 at sf0.01)
     "corpus_eval_contamination": 200,  # flagged train docs (477 at sf0.01)
     "streaming_cms_state": 10,  # exactly one row per probe user (16)
+    "events_seasonal_anomaly": 150,  # |z|>=2.5 vs hour baseline (317)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
