@@ -23,40 +23,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Queries whose IMPLEMENTATION changed after their last driver-green row,
-# where the change lives in a helper module the per-function fingerprint
-# can't see (or predates the fingerprint sidecar, first written at the
-# round-7 close). They rotate into the verification window ahead of
-# unchanged already-verified entries. Maintained by hand for deep-helper
-# rewrites; the fingerprint band below handles query-function edits
-# automatically from round 8 on.
-GATE_FORCE_REVERIFY: set[str] = {
-    # r6 two-level rewrite landed after its last green row (r5).
-    "dedup_semdedup_scaled",
-    # r6 packed-scorer change + r7 collect-free/in-plan model rework.
-    "sim_ivf_ann_topk",
-    "sim_kmeans_trained_topk",
-    "sim_ivfpq_topk_seeded",
-    "sim_pq_encode_seeded",
-    "sim_pq_trained_encode",
-    "sim_matryoshka_recall",
-    # r7 numpy pair-kernel rewrite of the k-NN graph family.
-    "sim_knn_graph_lsh",
-    "sim_knn_graph_incremental",
-    "graph_knn_mutual_components",
-    "dedup_embedding_cosine",
-    # r7 NULL-committed/lag semantics + restore atomicity changes.
-    "kafka_group_lag_report",
-    "lake_restore_version",
-}
-
-
 def _latest_green_round() -> dict[str, int]:
     """name -> latest round whose driver gate fully passed it (rows +
     schema + hash). The driver's correctness gate checks only a bounded
     window of ``queries()`` (~50 entries), so we rotate on this: queries
     WITHOUT a passing row from any previous round go first. Reading the
-    accumulated CORRECTNESS_r*.json files makes the rotation automatic."""
+    accumulated CORRECTNESS_r*.json files makes the rotation automatic.
+
+    ``CORRECTNESS_r*_preview.json`` files (builder-run gate previews) are
+    INTENTIONALLY excluded: only the driver's own run is green evidence —
+    counting a preview would let a query skip the real gate."""
     import glob
     import json
     import re
@@ -85,33 +61,65 @@ def _changed_since_green(latest_green: dict[str, int]) -> set[str]:
     their last green round (``gate_fingerprints.json``, written by
     ``tools/write_gate_fingerprints.py`` at every round close). A green
     row proves the code AS OF THAT ROUND — a later rewrite must re-enter
-    the window (round-6 verdict, "What's wrong #2")."""
+    the window (round-6 verdict, "What's wrong #2").
+
+    Two compatibility rules:
+    * Sidecar round keys are normalized through ``int()`` on read, so a
+      zero-padded key written as '07' still matches green round 7.
+    * A green round with no sidecar entry falls back to the EARLIEST
+      recorded round >= the green round (a mismatch there proves the code
+      changed after that later snapshot, hence after the green row too —
+      a sound under-approximation). Fingerprints are two-part
+      ``<fn16>.<helpers16>`` from round 8 on; legacy single-part entries
+      compare against the fn part alone."""
     import json
 
     from tansu_spark.queries import fingerprint
 
     here = os.path.dirname(os.path.abspath(__file__))
     try:
-        recorded = json.load(open(os.path.join(here, "gate_fingerprints.json")))
+        raw = json.load(open(os.path.join(here, "gate_fingerprints.json")))
     except (OSError, ValueError):
-        recorded = {}
+        raw = {}
+    recorded: dict[int, dict[str, str]] = {
+        int(k): v for k, v in raw.items() if str(k).lstrip("-").isdigit()
+    }
+    rounds = sorted(recorded)
     changed: set[str] = set()
     for name, rnd in latest_green.items():
-        fps = recorded.get(str(rnd))
-        if fps is None:
-            continue  # pre-sidecar round: GATE_FORCE_REVERIFY covers these
-        if name in fps and fps[name] != fingerprint(name):
+        fps = recorded.get(rnd)
+        if fps is None or name not in fps:
+            # Earliest snapshot at/after the green round still proves
+            # change (under-approximation: equal != unchanged-since-green).
+            fps = next(
+                (
+                    recorded[r]
+                    for r in rounds
+                    if r >= rnd and name in recorded[r]
+                ),
+                None,
+            )
+        if fps is None or name not in fps:
+            continue  # no snapshot covers this green row
+        current = fingerprint(name)
+        rec = fps[name]
+        if "." not in rec:  # legacy pre-r8 format: fn part only
+            current = current.split(".", 1)[0]
+        if rec != current:
             changed.add(name)
     return changed
 
 
 def _ordered_names() -> list[str]:
-    """Deterministic rotation, four bands (registry order within each):
+    """Deterministic rotation, four bands:
     (1) never driver-green, (2) green but SOURCE CHANGED since that green
-    row (fingerprint mismatch or GATE_FORCE_REVERIFY), (3) green and
-    unchanged — re-checked whenever the window allows, (4) rows-only
-    unverified. Set TANSU_GATE_ROTATION=0 for plain registry order (no
-    CORRECTNESS_r*.json dependence)."""
+    row (helper-aware fingerprint mismatch), (3) green and unchanged —
+    ordered OLDEST green round first so the whole registry recycles
+    through the driver's ~50-slot window every few rounds instead of the
+    registry-front entries hogging every re-check (round-7 verdict,
+    "What's wrong #4"), (4) rows-only unverified. Bands 1/2/4 keep
+    registry order. Set TANSU_GATE_ROTATION=0 for plain registry order
+    (no CORRECTNESS_r*.json dependence)."""
     from tansu_spark.queries import ORACLE, QUERIES
 
     if os.environ.get("TANSU_GATE_ROTATION", "1") == "0":
@@ -119,13 +127,17 @@ def _ordered_names() -> list[str]:
 
     latest_green = _latest_green_round()
     passed = set(latest_green)
-    stale = (_changed_since_green(latest_green) | GATE_FORCE_REVERIFY) & passed
+    stale = _changed_since_green(latest_green) & passed
     unverified = [n for n in QUERIES if n not in passed]
 
     head = [n for n in unverified if n in ORACLE]
     tail_rows_only = [n for n in unverified if n not in ORACLE]
     changed = [n for n in QUERIES if n in stale]
-    fresh = [n for n in QUERIES if n in passed and n not in stale]
+    registry_idx = {n: i for i, n in enumerate(QUERIES)}
+    fresh = sorted(
+        (n for n in QUERIES if n in passed and n not in stale),
+        key=lambda n: (latest_green[n], registry_idx[n]),
+    )
     return head + changed + fresh + tail_rows_only
 
 

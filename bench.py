@@ -117,6 +117,10 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Clear the group BEFORE the next iteration's release_cached():
+        # jobs triggered during cache release (or after the loop) must not
+        # be attributed to this query's job count.
+        sc._jsc.clearJobGroup()
         jobs[name] = len(tracker.getJobIdsForGroup(f"q:{name}"))
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -28,7 +28,9 @@ sys.path.insert(0, HERE)
 def main() -> None:
     if len(sys.argv) != 2 or not sys.argv[1].isdigit():
         sys.exit(f"usage: {sys.argv[0]} <round-number>")
-    rnd = sys.argv[1]
+    # Normalize (e.g. '07' -> '7') so the key always matches the round
+    # parsed from CORRECTNESS_r<N>.json in _changed_since_green.
+    rnd = str(int(sys.argv[1]))
 
     from tansu_spark.queries import QUERIES, fingerprint
 
