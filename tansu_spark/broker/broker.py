@@ -501,7 +501,18 @@ class Broker:
                 # race can scrub exactly the files this produce landed
                 # (we hold the topic lock — no concurrent writer).
                 pre_files = self._segment_files(topic)
-            observed.write.mode("append").option(
+            # One write task per Kafka partition: without this, AQE
+            # coalesces the offset-window's 8 small shuffle partitions
+            # into ONE post-shuffle task (batch bytes < the 64 MB
+            # advisory size), serializing parquet encoding — measured
+            # 25k rec/s single-task vs ~2x with per-partition tasks at
+            # batch 50k. The explicit repartition pins parallelism to
+            # the topic's partition count AND yields exactly one segment
+            # file per (produce, partition) — fewer files for fetch and
+            # the segment-stats manifest.
+            observed.repartition(cfg.partitions, F.col("partition")).write.mode(
+                "append"
+            ).option(
                 "compression", codec
             ).partitionBy("partition").parquet(self._data_dir(topic))
             got = obs.get
@@ -584,8 +595,15 @@ class Broker:
 
     def produce_rows(self, topic: str, rows: list[dict[str, Any]], **kw) -> dict[int, int]:
         """Convenience: produce a small batch of {key, value, ...} dicts
-        (the `cat produce` path, nisshi-cat/src/produce.rs)."""
+        (the `cat produce` path, nisshi-cat/src/produce.rs).
+
+        The batch ships to the JVM as ONE Arrow-encoded pandas frame —
+        a plain list-of-tuples createDataFrame pickles row-at-a-time and
+        measured ~14x slower at batch 50k (r7 verdict ask #6); the Arrow
+        path moves three contiguous column buffers instead."""
         import datetime
+
+        import pandas as pd
 
         def enc(v):
             return v.encode() if isinstance(v, str) else v
@@ -598,10 +616,35 @@ class Broker:
             ]
         )
         now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
-        data = [
-            (enc(r.get("key")), enc(r.get("value")), r.get("timestamp", now)) for r in rows
-        ]
-        return self.produce(topic, self.spark.createDataFrame(data, schema), **kw)
+        pdf = pd.DataFrame(
+            {
+                "key": pd.Series([enc(r.get("key")) for r in rows], dtype=object),
+                "value": pd.Series([enc(r.get("value")) for r in rows], dtype=object),
+                # datetime64, not object: an object-dtype timestamp column
+                # kicks createDataFrame off the Arrow fast path (measured
+                # 2.35s vs 0.17s at 50k rows).
+                "timestamp": pd.to_datetime(
+                    [r.get("timestamp", now) for r in rows]
+                ),
+            }
+        )
+        # Big CLI batches straddle the 48 MB arrow localRelationThreshold,
+        # flipping between an embedded LocalRelation (worst case ~3.4s at
+        # 50k x 1 KiB — the whole batch rides the logical plan) and the
+        # parallelized-RDD path (~2.1s worst, ~0.1s warm). Pin the RDD
+        # path for THIS conversion only; small query-side literal frames
+        # elsewhere keep the default (LocalRelation enables folding).
+        key = "spark.sql.execution.arrow.localRelationThreshold"
+        old = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, "0")
+        try:
+            df = self.spark.createDataFrame(pdf, schema)
+        finally:
+            if old is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, old)
+        return self.produce(topic, df, **kw)
 
     # ---------------------------------------------------------------- fetching
     def _parse_topic_key(self, topic: str) -> tuple[str, bytes | None]:

@@ -47,9 +47,12 @@ _KNOWN_PLAN_TRAITS = frozenset(
         "small_model_broadcast",
         # DISCLOSED quadratic-in-n contrast entry: per-group all-pairs with
         # a FIXED group count, kept deliberately next to a scaled twin that
-        # is the production shape (e.g. dedup_semantic_cluster's pinned
-        # k=16 vs dedup_semdedup_scaled's k=n/32). SCALING.md carries the
-        # measured sweep; a query may not be quadratic without this trait.
+        # is the production shape. ZERO current users — the one holder
+        # (dedup_semantic_cluster, pinned k=16 vs dedup_semdedup_scaled's
+        # k=n/32) was RETIRED from the registry in round 8 and lives on as
+        # a pytest-pinned contrast (tests/test_similarity.py) plus its
+        # SCALING.md sweep row. The trait stays so any future quadratic
+        # must still declare itself; tests/test_plans.py enforces it.
         "quadratic_contrast",
     }
 )

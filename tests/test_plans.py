@@ -237,19 +237,25 @@ def test_knn_incremental_base_graph_built_once(spark, sf_dir):
     assert bucket_joins <= 2, f"base-graph build leaked into the plan:\n{plan[:2000]}"
 
 
-def test_quadratic_contrast_is_declared_and_disclosed():
-    """VERDICT r6 ask #5: the pinned-k SemDeDup entry stays ONLY as a
-    disclosed quadratic contrast — the registry must carry the
-    `quadratic_contrast` trait and SCALING.md must carry the disclosure,
-    so no quadratic entry exists undocumented."""
+def test_no_quadratic_entries_in_the_registry():
+    """VERDICT r7 ask #5: the pinned-k SemDeDup contrast is RETIRED from
+    the registry — zero `quadratic_contrast` entries remain in
+    `queries()`. The function survives as a pytest-pinned measured
+    contrast (tests/test_similarity.py) and SCALING.md keeps the
+    pinned-k-vs-scaled disclosure so the comparison stays documented."""
     import os
 
-    from tansu_spark.queries import PLAN_TRAITS
+    from tansu_spark.queries import PLAN_TRAITS, QUERIES
 
-    assert "quadratic_contrast" in PLAN_TRAITS["dedup_semantic_cluster"]
-    # The trait is exclusive to the declared contrast entries.
     tagged = {n for n, t in PLAN_TRAITS.items() if "quadratic_contrast" in t}
-    assert tagged == {"dedup_semantic_cluster"}, tagged
+    assert tagged == set(), tagged
+    assert "dedup_semantic_cluster" not in QUERIES
+    # The contrast function itself is retired, not deleted.
+    from tansu_spark.queries.similarity import (  # noqa: F401
+        SEMANTIC_CLUSTER_CONTRAST_ORACLE,
+        dedup_semantic_cluster,
+    )
+
     scaling = open(
         os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
     ).read()

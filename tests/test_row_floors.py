@@ -53,7 +53,8 @@ FLOORS = {
     "dedup_exact_substring": 490,
     "dedup_cdc_chunks": 40,
     # round-3 additions (VERDICT r3 ask #6; observed at sf0.01 2026-08-14)
-    "dedup_semantic_cluster": 250,       # observed 500 (one row per doc)
+    # dedup_semantic_cluster retired from the registry in r8 — its floor
+    # moved to tests/test_similarity.py's contrast harness.
     "sim_kmeans_trained_topk": 20,       # observed 40 (8 queries × k)
     "sim_pq_trained_encode": 250,        # observed 500
     "pipeline_leakage_safe_split": 250,  # observed 500

@@ -279,3 +279,22 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     mp = set(zip(multi["query_id"], multi["vec_id"]))
     assert len(tp & mp) >= len(tp & sp)
     assert len(mp) >= len(sp)
+
+
+def test_semantic_cluster_contrast_matches_oracle_and_floor(spark, sf_dir):
+    """The RETIRED pinned-k SemDeDup contrast (r8; r7 verdict ask #5):
+    no longer a registry entry, but still MEASURED — exact oracle parity
+    (the driver's old hash gate, replayed here) plus its one-row-per-
+    vector floor. The production shape is dedup_semdedup_scaled, which
+    stays in the registry; SCALING.md carries the quadratic-vs-scaled
+    sweep comparison."""
+    from tansu_spark.queries.similarity import (
+        SEMANTIC_CLUSTER_CONTRAST_ORACLE,
+        dedup_semantic_cluster,
+    )
+    from tests.oracle_util import compare
+
+    df = dedup_semantic_cluster(spark, sf_dir)
+    n_vec = load(spark, sf_dir, "embeddings").count()
+    assert df.count() == n_vec  # one decision row per vector
+    compare(df, SEMANTIC_CLUSTER_CONTRAST_ORACLE, sf_dir)

@@ -240,7 +240,7 @@ def main() -> None:
         "",
     ]
     for name, why in SNAPSHOTS.items():
-        df = QUERIES[name](spark, SF_DIR)
+        df = (QUERIES[name] if name in QUERIES else __import__('tansu_spark.queries.similarity', fromlist=[name]).__dict__[name])(spark, SF_DIR)
         plan = spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )

@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""Generate a 10x replica of /root/testdata/sf0.1 at testdata_big/sf1/
+(gitignored) for the second decade of the scaling sweep (r7 verdict ask
+#1). The driver's own generator is not available, so sf1 is built from
+sf0.1 by key-strided replication — statistically representative, not a
+new sample:
+
+* Dimension tables (region, nation) are copied once, TPC-H style.
+* Key tables get 10 copies with consistent strides on every PK/FK
+  (custkey +15000i, suppkey +1000i, partkey +20000i, orderkey +150000i,
+  event_id +100000i, user_id +1500i, doc_id +5000i, vec_id +2000i), so
+  every join relationship of the original holds per copy and fact/dim
+  ratios are preserved.
+* documents.text in copy i>0 goes through a per-copy letter-shift cipher
+  (translate a..z by i): WITHIN a copy all planted near-dup/substring
+  structure survives bit-for-bit (a cipher is a bijection applied
+  uniformly), while ACROSS copies shared substrings vanish — so the
+  corpus behaves like 10 independent shards: near-dup pair density per
+  doc stays constant and candidate volume grows linearly, which is what
+  a real 10x corpus does. Coarse blocking keys (lang, length) are NOT
+  varied, deliberately: blocks genuinely grow 10x in a 10x corpus, and
+  any per-block quadratic must show up in the sweep, not be masked.
+* embeddings in copy i>0 get a per-copy random permutation of the 64
+  dims (seeded, numpy): norms and within-copy cosines are exactly
+  preserved, cross-copy cosines are scrambled — 10 independent shards
+  of the same vector distribution.
+
+Run: python tools/gen_scale_data.py   (~30 s, ~170 MB output)
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DST = os.path.join(HERE, "testdata_big", "sf1")
+
+COPIES = 10
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+STRIDES = {
+    "customer": ("c_custkey", 15_000),
+    "supplier": ("s_suppkey", 1_000),
+    "part": ("p_partkey", 20_000),
+    "orders": ("o_orderkey", 150_000),
+}
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+
+    def write(name: str, sql: str) -> None:
+        out = os.path.join(DST, f"{name}.parquet")
+        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+        print(f"{name}: {n} rows")
+
+    def copies(template: str) -> str:
+        return " UNION ALL ".join(template.format(i=i) for i in range(COPIES))
+
+    # Dimensions: copy once.
+    for t in ("region", "nation"):
+        write(t, f"SELECT * FROM '{SRC}/{t}.parquet'")
+
+    write(
+        "customer",
+        copies(
+            f"SELECT c_custkey + {{i}} * 15000 AS c_custkey, c_name,"
+            f" c_nationkey, c_acctbal, c_mktsegment FROM '{SRC}/customer.parquet'"
+        ),
+    )
+    write(
+        "supplier",
+        copies(
+            f"SELECT s_suppkey + {{i}} * 1000 AS s_suppkey, s_name,"
+            f" s_nationkey, s_acctbal FROM '{SRC}/supplier.parquet'"
+        ),
+    )
+    write(
+        "part",
+        copies(
+            f"SELECT p_partkey + {{i}} * 20000 AS p_partkey, p_name, p_brand,"
+            f" p_type, p_size, p_retailprice FROM '{SRC}/part.parquet'"
+        ),
+    )
+    write(
+        "orders",
+        copies(
+            f"SELECT o_orderkey + {{i}} * 150000 AS o_orderkey,"
+            f" o_custkey + {{i}} * 15000 AS o_custkey, o_orderstatus,"
+            f" o_totalprice, o_orderdate, o_orderpriority"
+            f" FROM '{SRC}/orders.parquet'"
+        ),
+    )
+    write(
+        "lineitem",
+        copies(
+            f"SELECT l_orderkey + {{i}} * 150000 AS l_orderkey,"
+            f" l_partkey + {{i}} * 20000 AS l_partkey,"
+            f" l_suppkey + {{i}} * 1000 AS l_suppkey,"
+            f" l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+            f" l_returnflag, l_linestatus, l_shipdate"
+            f" FROM '{SRC}/lineitem.parquet'"
+        ),
+    )
+    write(
+        "events",
+        copies(
+            f"SELECT event_id + {{i}} * 100000 AS event_id, ts,"
+            f" user_id + {{i}} * 1500 AS user_id, event_type, value, props"
+            f" FROM '{SRC}/events.parquet'"
+        ),
+    )
+
+    def shifted(i: int) -> str:
+        return ALPHA[i:] + ALPHA[:i]
+
+    write(
+        "documents",
+        " UNION ALL ".join(
+            f"SELECT doc_id + {i} * 5000 AS doc_id,"
+            f" translate(text, '{ALPHA}', '{shifted(i)}') AS text,"
+            f" lang, source, n_chars FROM '{SRC}/documents.parquet'"
+            for i in range(COPIES)
+        ),
+    )
+
+    # Embeddings: per-copy dim permutation (numpy), preserving float32.
+    src = pq.read_table(f"{SRC}/embeddings.parquet")
+    vec = np.array(src.column("embedding").to_pylist(), dtype=np.float32)
+    vid = src.column("vec_id").to_numpy()
+    lab = src.column("label").to_numpy()
+    d = vec.shape[1]
+    ids, labs, vecs = [], [], []
+    for i in range(COPIES):
+        perm = np.random.RandomState(1000 + i).permutation(d) if i else np.arange(d)
+        ids.append(vid + i * 2000)
+        labs.append(lab)
+        vecs.append(vec[:, perm])
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(ids), type=pa.int64()),
+            "embedding": pa.array(
+                list(np.concatenate(vecs)), type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(np.concatenate(labs), type=pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(DST, "embeddings.parquet"))
+    print(f"embeddings: {table.num_rows} rows")
+
+    print(f"wrote {DST}")
+
+
+if __name__ == "__main__":
+    main()
