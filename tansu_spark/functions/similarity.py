@@ -141,6 +141,34 @@ def hyperplanes(
     ]
 
 
+# Disjoint plane sets per band, independent of the adaptive plane count:
+# band b draws planes [b*16, b*16 + P). Fixed so a graph built at one
+# corpus size and grown incrementally keeps co-bucketing semantics.
+BAND_STRIDE = 16
+
+
+def adaptive_planes(
+    n_rows: int, base: int = 4, cap: int = BAND_STRIDE, target: int = 64
+) -> int:
+    """Sign-projection plane count for a corpus of ``n_rows`` vectors:
+    the smallest P with expected bucket occupancy n/2^P <= ``target``,
+    floored at ``base`` (the pre-r8 static value — tiny corpora keep
+    their shape) and capped at ``cap`` (= BAND_STRIDE, so bands stay
+    disjoint).
+
+    Why adaptive: with a FIXED plane count, bucket occupancy grows
+    linearly with the corpus and the candidate stage (sum of bucket
+    sizes squared) grows QUADRATICALLY — the r8 two-decade sweep
+    measured 34x per 10x on the knn graph at fixed P=4. With
+    P = ceil(log2(n/target)), candidates ~= target * n: linear by
+    construction, the ANN cost/recall dial the query docstrings
+    promise. Integer-exact bit-length arithmetic (no float log2) so the
+    DuckDB oracle twin `length(bin((count+63)//64 - 1))` computes the
+    identical P on every input."""
+    q = (n_rows + target - 1) // target
+    return min(cap, max(base, (q - 1).bit_length() if q > 0 else 0))
+
+
 def with_lsh_bucket(
     df: DataFrame,
     n_planes: int = 4,
@@ -329,7 +357,7 @@ def knn_graph_lsh(
     df: DataFrame,
     k: int = 5,
     n_bands: int = 2,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -350,10 +378,17 @@ def knn_graph_lsh(
     the build's wall-time floor); the dedup groupBy shuffles only
     (id_a, id_b, cosine) scalars, and the arrays cross exactly ONE
     exchange (the group shuffle). Final top-k is one window per source
-    node. Output: (id_a, id_b, cosine, rank)."""
+    node. Output: (id_a, id_b, cosine, rank).
+
+    ``n_planes=None`` (default) sizes the bucket grid to the corpus via
+    ``adaptive_planes`` — candidate volume stays ~64n at any scale; a
+    fixed plane count is quadratic (r8 sweep: 34x/decade at P=4). Bands
+    draw disjoint plane sets at stride BAND_STRIDE regardless of P."""
+    if n_planes is None:
+        n_planes = adaptive_planes(df.count())
     bands = [
         with_lsh_bucket(
-            df, n_planes, n_dims, vec_col, plane_offset=b * n_planes
+            df, n_planes, n_dims, vec_col, plane_offset=b * BAND_STRIDE
         ).select(
             F.col(id_col),
             F.col(vec_col),
@@ -430,7 +465,7 @@ def knn_graph_incremental(
     new: DataFrame,
     k: int = 5,
     n_bands: int = 2,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -453,13 +488,20 @@ def knn_graph_incremental(
     only ever displaced by a new edge that IS present in the merge — so
     the incremental result equals the full rebuild bit-for-bit. The
     three unioned edge sets are pairwise disjoint (stored: base→base;
-    to_new: base→new; from_new: new→all), so no cross-set dedup is
-    needed before the window."""
+    to_new: base→new; from_new: new×all), so no cross-set dedup is
+    needed before the window.
+
+    ``n_planes=None`` adapts to the FULL corpus size (base + new) —
+    callers growing a graph incrementally must pass the SAME n_planes
+    the stored base_graph was built with (rebuild-equality needs one
+    bucket function across stored and fresh candidate edges)."""
+    if n_planes is None:
+        n_planes = adaptive_planes(base.count() + new.count())
 
     def tag(df: DataFrame) -> DataFrame:
         parts = [
             with_lsh_bucket(
-                df, n_planes, n_dims, vec_col, plane_offset=b * n_planes
+                df, n_planes, n_dims, vec_col, plane_offset=b * BAND_STRIDE
             ).select(
                 F.col(id_col),
                 F.col(vec_col),
@@ -1082,7 +1124,7 @@ def ivf_ann_topk(
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1093,7 +1135,11 @@ def cosine_near_dup_pairs(
     projections with high probability). Scoring is the Arrow-batched
     dim-ordered numpy kernel (bucket_pair_scores — bit-identical to the
     JVM fold), one band, no dedup shuffle: pairs stream out of the
-    per-bucket task straight into the threshold filter."""
+    per-bucket task straight into the threshold filter. ``n_planes=None``
+    sizes the grid to the corpus (adaptive_planes) so the self-join
+    stays ~64n, never quadratic."""
+    if n_planes is None:
+        n_planes = adaptive_planes(df.count())
     b = with_lsh_bucket(df, n_planes, n_dims, vec_col).withColumn(
         "band", F.lit(0)
     )

@@ -659,12 +659,24 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, lang, n_chars // 32 AS band,
                       substring(text, 1, 48) AS pfx
                FROM documents),
-    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS prefix_dist,
-                     greatest(length(a.pfx), length(b.pfx)) AS l
-              FROM d a JOIN d b
-                ON a.lang = b.lang AND a.band = b.band
-               AND a.doc_id < b.doc_id)
+    k AS (SELECT doc_id, lang, band, substring(pfx, 1, 8) AS kb FROM d
+          UNION
+          SELECT doc_id, lang, band, substring(pfx, 41, 8) AS kb FROM d),
+    kept AS (SELECT k.doc_id, k.lang, k.band, k.kb
+             FROM k JOIN (SELECT lang, band, kb FROM k
+                          GROUP BY lang, band, kb
+                          HAVING count(*) <= 1000) h
+               USING (lang, band, kb)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM kept a JOIN kept b
+               ON a.lang = b.lang AND a.band = b.band AND a.kb = b.kb
+              AND a.doc_id < b.doc_id),
+    pairs AS (SELECT doc_a, doc_b,
+                     CAST(levenshtein(da.pfx, db.pfx) AS BIGINT) AS prefix_dist,
+                     greatest(length(da.pfx), length(db.pfx)) AS l
+              FROM cand
+              JOIN d da ON da.doc_id = doc_a
+              JOIN d db ON db.doc_id = doc_b)
     SELECT doc_a, doc_b, prefix_dist,
            round(CAST(prefix_dist AS DOUBLE) / greatest(l, 1), 6) AS norm_dist
     FROM pairs WHERE prefix_dist <= 12
@@ -673,34 +685,79 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EDIT-DISTANCE near-duplicate pairs with blocking — the classic
     entity-resolution shape (fuzzy match under typos/small edits that
-    token- and shingle-grain methods over- or under-shoot): documents
-    block on (lang, length-band of 32 chars) so only plausibly-matching
-    rows ever pair, then each candidate pair pays ONE bounded
-    Levenshtein on a 48-char prefix (cost capped at 48², independent of
-    document length). The metric is integer dynamic programming —
-    bit-identical across engines by construction, no float discipline
-    needed. Standard blocking caveat applies and is the design point:
-    near-dups straddling a band boundary are missed; production stacks
-    widen recall with multiple block keys, exactly like LSH bands.
+    token- and shingle-grain methods over- or under-shoot). Each
+    candidate pair pays ONE bounded Levenshtein on a 48-char prefix
+    (cost capped at 48², independent of document length); the metric is
+    integer dynamic programming — bit-identical across engines by
+    construction, no float discipline needed.
 
-    Scale: the join key is the block id (bounded groups by the length
-    band), pair cost is bounded-prefix DP, and the threshold filter
-    (dist <= 12) runs in the join stage — nothing unbounded leaves it."""
+    Blocking (reworked r8): the original blocks were (lang, 32-char
+    length band) alone — coarse ATTRIBUTE keys whose occupancy grows
+    linearly with the corpus, so candidate pairs grew quadratically:
+    the two-decade sweep measured 94.9x per 10x decade. Standard
+    record-linkage fix: add CONTENT to the key. Two passes — (lang,
+    band, first 8 chars) and (lang, band, chars 41..48) — union their
+    candidates, so an edit burst in the head is still caught by the
+    tail key and vice versa (multi-key blocking widens recall exactly
+    like LSH bands; a pair edited in BOTH 8-char key regions is missed,
+    the disclosed recall trade). Block keys with > 1000 members are
+    dropped as non-discriminating (the same hub rule as winnowing's
+    df<=50), giving a HARD bound: candidate pairs <= 999/2 x key-table
+    rows — linear in the corpus with a declared constant, and the
+    8-char key entropy makes real occupancies far smaller.
+
+    Scale: two bounded equi-joins on (lang, band, key8), pair dedup on
+    scalar ids, bounded-prefix DP in the join stage — nothing unbounded
+    leaves it."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 32).cast("long").alias("band"),
         F.substring("text", 1, 48).alias("pfx"),
     )
-    pairs = (
-        d.alias("a")
-        .join(d.alias("b"), ["lang", "band"])
+    k = (
+        d.select(
+            "doc_id",
+            "lang",
+            "band",
+            F.explode(
+                F.array(
+                    F.substring("pfx", 1, 8), F.substring("pfx", 41, 8)
+                )
+            ).alias("kb"),
+        )
+        .distinct()
+    )
+    kept = k.join(
+        k.groupBy("lang", "band", "kb")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .where(F.col("_m") <= 1000)
+        .drop("_m"),
+        ["lang", "band", "kb"],
+    )
+    cand = (
+        kept.alias("a")
+        .join(kept.alias("b"), ["lang", "band", "kb"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein("a.pfx", "b.pfx").cast("long").alias("prefix_dist"),
-            F.greatest(F.length("a.pfx"), F.length("b.pfx")).alias("_l"),
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("_pa")),
+            "doc_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("_pb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_pa", "_pb").cast("long").alias("prefix_dist"),
+            F.greatest(F.length("_pa"), F.length("_pb")).alias("_l"),
         )
         .where(F.col("prefix_dist") <= 12)
     )

@@ -120,6 +120,38 @@ def _bucket_sql(vec: str, plane_offset: int = 0) -> str:
     return "CAST(" + " + ".join(terms) + " AS INTEGER)"
 
 
+# DuckDB twin of functions/similarity.py::adaptive_planes — pure integer
+# bit-length arithmetic (length of the binary string of ceil(n/64)-1),
+# so both engines derive the identical plane count from the data with no
+# float log2 anywhere.
+_P_SQL = (
+    "least(16, greatest(4, length(bin("
+    "((SELECT count(*) FROM embeddings) + 63) // 64 - 1))))"
+)
+
+
+def _bucket_sql_adaptive(vec: str, band: int = 0) -> str:
+    """Adaptive-width LSH bucket: the full BAND_STRIDE=16 plane bits are
+    computed statically (planes band*16 .. band*16+15, little-endian
+    weights), then `% (1 << P)` keeps the low P = adaptive_planes(n)
+    bits — identical to the Spark side computing only P planes. Used by
+    the SELF-JOIN candidate generators (knn graph family, embedding
+    near-dup), where a fixed P made sum-of-bucket-squares quadratic;
+    the broadcast-query-side oracles keep the static 4-plane form
+    (their cost is queries x bucket size — already linear in n)."""
+    planes = S.hyperplanes(S.BAND_STRIDE, N_DIMS, band * S.BAND_STRIDE)
+    terms = []
+    for p, plane in enumerate(planes):
+        lits = "[" + ",".join(f"{float(c):.1f}" for c in plane) + "]"
+        proj = (
+            f"list_reduce(list_transform(range(1, {N_DIMS + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lits})[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    full = " + ".join(terms)
+    return f"CAST((({full}) % (1 << {_P_SQL})) AS INTEGER)"
+
+
 @query(
     "sim_lsh_ann_topk",
     oracle=f"""
@@ -202,7 +234,8 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH b AS (SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+    WITH b AS (SELECT vec_id, embedding,
+                      {_bucket_sql_adaptive("embedding", band=0)} AS bucket
                FROM embeddings)
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
            {_cos_sql("a.embedding", "c.embedding")} AS cosine
@@ -1864,11 +1897,11 @@ def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_knn_graph_lsh",
     oracle=f"""
     WITH b AS (
-      SELECT vec_id, embedding, 0 AS band, {_bucket_sql("embedding")} AS bucket
+      SELECT vec_id, embedding, 0 AS band, {_bucket_sql_adaptive("embedding", band=0)} AS bucket
       FROM embeddings
       UNION ALL
       SELECT vec_id, embedding, 1 AS band,
-             {_bucket_sql("embedding", plane_offset=4)} AS bucket
+             {_bucket_sql_adaptive("embedding", band=1)} AS bucket
       FROM embeddings
     ),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
@@ -1889,29 +1922,33 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide approximate k-NN graph (functions/similarity.py::
     knn_graph_lsh): every vector keeps its 5 nearest LSH candidates —
     the adjacency structure graph-based curation consumes (near-dup CC,
-    diversity sampling, label propagation). Two independent 4-plane
+    diversity sampling, label propagation). Two independent
     sign-projection bands: a pair is scored iff it co-buckets in ANY
     band (recall compounds per band; candidate generation stays
     sum-of-bucket-squares per band, never all-pairs).
 
     Scale: the arrays cross exactly one exchange per band (the bucket
-    self-join); pair dedup and top-k shuffle only scalar triples. At a
-    billion vectors the dial is n_planes (bucket granularity ~ n/2^p)
-    and n_bands (recall) — cost is explicit and tunable, unlike the
-    all-pairs graph it approximates. The oracle replays both bands'
-    plane folds, the candidate union, and the window bit-for-bit."""
-    return S.knn_graph_lsh(_emb(spark, sf_dir), k=5, n_bands=2, n_planes=4)
+    self-join); pair dedup and top-k shuffle only scalar triples. The
+    plane count ADAPTS to the corpus (adaptive_planes: P =
+    ceil(log2(n/64)), integer bit-length arithmetic both engines
+    compute identically) so expected bucket occupancy stays ~64 and
+    candidate volume stays ~64n — the r8 two-decade sweep measured the
+    fixed-P form at 34x per 10x decade; adaptive P restores the linear
+    cost the all-pairs graph can't have. The oracle replays both bands'
+    plane folds, the % (1<<P) bucket cut, the candidate union, and the
+    window bit-for-bit."""
+    return S.knn_graph_lsh(_emb(spark, sf_dir), k=5, n_bands=2)
 
 
 @query(
     "sim_knn_graph_incremental",
     oracle=f"""
     WITH b AS (
-      SELECT vec_id, embedding, 0 AS band, {_bucket_sql("embedding")} AS bucket
+      SELECT vec_id, embedding, 0 AS band, {_bucket_sql_adaptive("embedding", band=0)} AS bucket
       FROM embeddings
       UNION ALL
       SELECT vec_id, embedding, 1 AS band,
-             {_bucket_sql("embedding", plane_offset=4)} AS bucket
+             {_bucket_sql_adaptive("embedding", band=1)} AS bucket
       FROM embeddings
     ),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
@@ -1954,19 +1991,28 @@ def sim_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_plans.py::test_knn_incremental_base_graph_built_once
     # pins the materialized shape). The adjacency is k rows per base
     # vector — scalar triples, tiny next to the corpus.
-    base_graph = S.knn_graph_lsh(base, k=5, n_bands=2).localCheckpoint(eager=True)
-    return S.knn_graph_incremental(base_graph, base, new, k=5, n_bands=2)
+    # One plane count for the WHOLE lifecycle, derived from the full
+    # corpus — the stored base graph and the incremental fold must share
+    # a bucket function for rebuild-equality (and the full-rebuild
+    # oracle's _P_SQL counts the full embeddings table).
+    n_planes = S.adaptive_planes(emb.count())
+    base_graph = S.knn_graph_lsh(
+        base, k=5, n_bands=2, n_planes=n_planes
+    ).localCheckpoint(eager=True)
+    return S.knn_graph_incremental(
+        base_graph, base, new, k=5, n_bands=2, n_planes=n_planes
+    )
 
 
 @query(
     "graph_knn_mutual_components",
     oracle=f"""
     WITH RECURSIVE b AS (
-      SELECT vec_id, embedding, 0 AS band, {_bucket_sql("embedding")} AS bucket
+      SELECT vec_id, embedding, 0 AS band, {_bucket_sql_adaptive("embedding", band=0)} AS bucket
       FROM embeddings
       UNION ALL
       SELECT vec_id, embedding, 1 AS band,
-             {_bucket_sql("embedding", plane_offset=4)} AS bucket
+             {_bucket_sql_adaptive("embedding", band=1)} AS bucket
       FROM embeddings
     ),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
@@ -2036,11 +2082,11 @@ def graph_knn_mutual_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_label_propagation",
     oracle=f"""
     WITH b AS (
-      SELECT vec_id, embedding, 0 AS band, {_bucket_sql("embedding")} AS bucket
+      SELECT vec_id, embedding, 0 AS band, {_bucket_sql_adaptive("embedding", band=0)} AS bucket
       FROM embeddings
       UNION ALL
       SELECT vec_id, embedding, 1 AS band,
-             {_bucket_sql("embedding", plane_offset=4)} AS bucket
+             {_bucket_sql_adaptive("embedding", band=1)} AS bucket
       FROM embeddings
     ),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
