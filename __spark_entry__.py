@@ -74,7 +74,7 @@ def _changed_since_green(latest_green: dict[str, int]) -> set[str]:
       compare against the fn part alone."""
     import json
 
-    from tansu_spark.queries import fingerprint
+    from tansu_spark.queries import QUERIES, fingerprint
 
     here = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -87,6 +87,8 @@ def _changed_since_green(latest_green: dict[str, int]) -> set[str]:
     rounds = sorted(recorded)
     changed: set[str] = set()
     for name, rnd in latest_green.items():
+        if name not in QUERIES:
+            continue  # retired entry: green history but no registry row
         fps = recorded.get(rnd)
         if fps is None or name not in fps:
             # Earliest snapshot at/after the green round still proves

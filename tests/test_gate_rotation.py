@@ -151,3 +151,22 @@ def test_changed_since_green_reads_fingerprint_sidecar(entry_mod, monkeypatch):
     monkeypatch.setattr(json, "load", fake_load)
     changed = entry_mod._changed_since_green({a: 6, b: 6, c: 5, d: 6, e: 5})
     assert changed == {a, c}
+
+
+def test_retired_entry_in_green_history_does_not_break_the_gate(entry_mod):
+    """A query retired from the registry (round-8: dedup_semantic_cluster)
+    still has green rows in CORRECTNESS_r*.json history. The gate must
+    skip it, not KeyError out of queries()/oracle_sql() — that failure
+    mode broke the driver smoke check at round-8 open."""
+    from tansu_spark.queries import QUERIES
+
+    lg = entry_mod._latest_green_round()
+    lg["__retired_query_never_in_registry__"] = 3
+    changed = entry_mod._changed_since_green(lg)
+    assert "__retired_query_never_in_registry__" not in changed
+    # Historical real retirement: green history exists, registry row gone.
+    assert "dedup_semantic_cluster" not in QUERIES
+    assert entry_mod._latest_green_round().get("dedup_semantic_cluster")
+    names = entry_mod._ordered_names()
+    assert "dedup_semantic_cluster" not in names
+    assert len(names) == len(QUERIES)
