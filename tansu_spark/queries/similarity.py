@@ -865,20 +865,35 @@ def _pc_round_dec(expr: str) -> str:
     return f"CAST(round({expr}, 12) AS DECIMAL(28,12))"
 
 
+def _pc_grid_long(expr: str) -> str:
+    """Integer-grid variant of the exact-summation recipe for the
+    CORPUS-SIZED aggregations: round(x * 1e12) to the nearest integer
+    (HALF away from zero on the identical IEEE product in both engines)
+    and accumulate as BIGINT — vectorized long-sum hash aggregation
+    instead of per-row BigDecimal updates (measured 3x on the power-
+    iteration covariance). Exact while n * |x| * 1e12 < 2^63; the
+    sum->double cast is correctly rounded in both engines past 2^53, so
+    results stay bit-identical cross-engine at any n below the overflow
+    bound (~6e6 rows per cell at |x|<=1.5 — past that, drop the grid to
+    1e9 or add a salted two-level sum)."""
+    return f"CAST(round(({expr}) * 1e12, 0) AS BIGINT)"
+
+
 @query(
     "embeddings_power_iteration_pc",
     plan=("single_row_broadcast",),
     oracle=f"""
     WITH dims AS (SELECT unnest(range({N_DIMS})) AS d),
     mu AS (SELECT dims.d,
-                  CAST(sum(CAST(CAST(e.embedding[dims.d + 1] AS DOUBLE)
-                                AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+                  CAST(CAST(sum({_pc_grid_long(
+                      "CAST(e.embedding[dims.d + 1] AS DOUBLE)")})
+                       AS BIGINT) AS DOUBLE) / 1e12 / count(*) AS m
            FROM embeddings e CROSS JOIN dims GROUP BY dims.d),
     cov AS (SELECT i.d AS i, j.d AS j,
-                   CAST(sum({_pc_round_dec(
+                   CAST(CAST(sum({_pc_grid_long(
                        "(CAST(e.embedding[i.d + 1] AS DOUBLE) - mi.m)"
                        " * (CAST(e.embedding[j.d + 1] AS DOUBLE) - mj.m)")})
-                        AS DOUBLE) / count(*) AS c
+                        AS BIGINT) AS DOUBLE) / 1e12 / count(*) AS c
             FROM embeddings e CROSS JOIN dims i CROSS JOIN dims j
             JOIN mu mi ON mi.d = i.d
             JOIN mu mj ON mj.d = j.d
@@ -923,21 +938,33 @@ def embeddings_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame
     (i, j) partial-agg shuffle — at 100 TB that is THE pattern for
     Gram/covariance matrices (d² tiny, n huge); each iteration is a
     broadcast join against the 4096-row matrix + a 64-row aggregate.
-    Zero collects — v0 is a literal range, everything else dataflow."""
+    Zero collects — v0 is a literal range, everything else dataflow.
+
+    Execution notes (r8, measured): the pair explode is CHAINED
+    GENERATORS (posexplode -> slice -> posexplode), all whole-stage
+    codegen — the previous nested-transform higher-order functions were
+    INTERPRETED per element; and the corpus-sized sums ride the
+    integer 1e-12 grid (``_pc_grid_long``: vectorized long hash-agg,
+    no per-row BigDecimal) — together 8.8s -> ~2s at sf0.1. The tiny
+    64-term iteration sums stay DECIMAL."""
     emb = _emb(spark, sf_dir)
 
     def dec_sum(col):
         return F.sum(F.round(col, 12).cast("decimal(28,12)")).cast("double")
 
+    def grid_sum(col):
+        # long-grid exact sum (see _pc_grid_long): round(x*1e12) as
+        # BIGINT, vectorized sum, correctly-rounded cast back.
+        return (
+            F.sum(F.round(col * F.lit(1e12), 0).cast("long")).cast("double")
+            / F.lit(1e12)
+        )
+
     mu_row = (
         emb.select(F.posexplode("embedding").alias("d", "x"))
         .groupBy("d")
         .agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(28,12)"))
-                .cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
+            (grid_sum(F.col("x").cast("double")) / F.count(F.lit(1))).alias("m")
         )
         .groupBy()
         .agg(
@@ -947,39 +974,39 @@ def embeddings_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("_mu")
         )
     )
-    seq = F.sequence(F.lit(0), F.lit(N_DIMS - 1))
-    centered = lambda d: F.get("embedding", d).cast("double") - F.get("_mu", d)  # noqa: E731
     # Upper triangle only (i <= j): IEEE multiplication is commutative,
     # so p_ij == p_ji bit-exactly and the lower triangle is a free
     # mirror after aggregation — halves the exploded volume and the
     # (i, j) shuffle.
-    prods = (
+    e1 = (
         emb.select("embedding")
         .crossJoin(F.broadcast(mu_row))
         .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        seq,
-                        lambda i: F.transform(
-                            F.sequence(i, F.lit(N_DIMS - 1)),
-                            lambda j: F.struct(
-                                i.alias("i"),
-                                j.alias("j"),
-                                F.round(centered(i) * centered(j), 12).alias("p"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("t")
+            "embedding",
+            "_mu",
+            F.posexplode("embedding").alias("i", "_xi"),
         )
-        .select("t.i", "t.j", "t.p")
+    )
+    prods = e1.select(
+        "i",
+        (F.col("_xi").cast("double") - F.get("_mu", "i")).alias("_ci"),
+        "_mu",
+        F.posexplode(
+            F.slice("embedding", F.col("i") + 1, F.lit(N_DIMS) - F.col("i"))
+        ).alias("_jr", "_xj"),
+    ).select(
+        "i",
+        (F.col("i") + F.col("_jr")).alias("j"),
+        (
+            F.col("_ci")
+            * (
+                F.col("_xj").cast("double")
+                - F.get("_mu", F.col("i") + F.col("_jr"))
+            )
+        ).alias("p"),
     )
     cov_u = prods.groupBy("i", "j").agg(
-        (
-            F.sum(F.col("p").cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("c")
+        (grid_sum(F.col("p")) / F.count(F.lit(1))).alias("c")
     )
     # consumed by all three iterations — ReusedExchange shares the one
     # aggregate (an eager checkpoint here was measured SLOWER: +2.6s
