@@ -4985,33 +4985,60 @@ def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     match POSITIONS. This pipeline keeps only the DISTINCT h set per
     document, and among equal-h tie candidates the selected h is the
     same h by definition — so the tie-break provably cannot change the
-    output, and the window minimum folds over PLAIN 32-bit hashes. The
-    previous h·2^20 + (2^20 − pos) encoding silently corrupted h for
-    documents past 2^20 chars (the position term went negative and
-    borrowed from the hash field, identically in both engines); with no
-    position field there is no document-length cap at all."""
+    output, and the window minimum folds over PLAIN hashes; with no
+    position field there is no document-length cap at all.
+
+    Hash note (r8, measured): the k-gram hash is a base-31 POLYNOMIAL
+    over char codes finished by two independent Lehmer-LCG rounds mod
+    the primes 2^31-1 and 2^31-19, concatenated to a 62-bit value —
+    pure BIGINT arithmetic, bit-identical in both engines by
+    construction, no overflow anywhere (poly <= 3.2e16 even at code
+    point 0x10FFFF; every LCG product < 2^62). The previous
+    md5-substring-per-position form spent the whole query hashing
+    (~2.7M interpreted md5+hex+conv calls at sf0.1 = 9.1s of the 9.2s
+    total); the polynomial form is ~4x cheaper end to end. 62 bits
+    keeps gram collisions negligible at corpus scale (birthday bound
+    ~10^9 distinct grams for a 1-in-20 collision)."""
     import functools
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    # k-gram hash array computed ONCE per row, then the w-window minimum
-    # as an elementwise least-fold over 8 SHIFTED SLICES of that column
-    # (the trigram-slices pattern): a naive nested
-    # transform(windows, q -> array_min(slice(transform(positions, ...))))
-    # re-evaluates every position hash PER WINDOW — O(len^2) md5 calls,
-    # measured 102 s for 500 docs — because Catalyst does not hoist the
-    # inner lambda. Multi-referenced non-cheap aliases are NOT inlined by
-    # CollapseProject, so `ka` stays a single evaluation.
-    ka_expr = """
+    # Char-code array ONCE per row, k-gram polynomial per position over
+    # element_at taps (single evaluation: multi-referenced non-cheap
+    # aliases are NOT inlined by CollapseProject), LCG finish as a
+    # second elementwise pass, then the w-window minimum as an
+    # elementwise least-fold over 8 SHIFTED SLICES (the trigram-slices
+    # pattern — a naive nested transform re-evaluates every position
+    # hash PER WINDOW, O(len^2), measured 102s for 500 docs).
+    poly_expr = """
     CASE WHEN length(text) >= 8 THEN
       transform(sequence(1, length(text) - 7),
-        p -> cast(conv(substring(md5(substring(text, p, 8)), 1, 8), 16, 10)
-                  as bigint))
+        p -> ((((((element_at(cs, p) * 31 + element_at(cs, p + 1)) * 31
+              + element_at(cs, p + 2)) * 31 + element_at(cs, p + 3)) * 31
+              + element_at(cs, p + 4)) * 31 + element_at(cs, p + 5)) * 31
+              + element_at(cs, p + 6)) * 31 + element_at(cs, p + 7))
     ELSE array() END
     """
+    mix_expr = """
+    transform(kp, v ->
+      (((((v % 2147483647) * 1103515245 + 12345) % 2147483647)
+         * 784588716 + 998244353) % 2147483647) * 2147483648
+      + ((((v % 2147483629) * 633742937 + 1500450271) % 2147483629)
+         * 1203947261 + 715225739) % 2147483629)
+    """
+    # Filter on the RAW column, not on nw: a `nw > 0` filter is pushed
+    # below the projections and re-INLINES the whole hash pipeline into
+    # the Filter expression (the r8 plan showed 8 split(text)
+    # re-evaluations per position there — O(len^2) in the filter alone).
+    # length(text) >= 15 is exactly nw > 0 and reaches the parquet scan.
     d1 = (
-        docs.withColumn("ka", F.expr(ka_expr))
-        .withColumn("nw", F.greatest(F.size("ka") - F.lit(7), F.lit(0)))
-        .where(F.col("nw") > 0)
+        docs.where(F.length("text") >= 15)
+        .withColumn(
+            "cs",
+            F.expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))"),
+        )
+        .withColumn("kp", F.expr(poly_expr))
+        .withColumn("ka", F.expr(mix_expr))
+        .withColumn("nw", F.length("text") - F.lit(14))
     )
     merged = functools.reduce(
         lambda a, b: F.zip_with(a, b, lambda x, y: F.least(x, y)),
@@ -5023,15 +5050,32 @@ def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB twin of _winnow_fps (CTEs `karr`/`fps`, ending in
-# SELECT DISTINCT doc_id, h).
+# DuckDB twin of _winnow_fps (CTEs `kchars`/`kpoly`/`karr`/`fps`,
+# ending in SELECT DISTINCT doc_id, h).
 _WINNOW_FPS_CTE = """
-    karr AS (
+    kchars AS (
       SELECT doc_id,
-             list_transform(range(1, greatest(length(text) - 6, 1)),
-               p -> ('0x' || substring(md5(substring(text, p, 8)), 1, 8))::BIGINT) AS ka,
+             list_transform(string_split(text, ''),
+                            c -> CAST(ascii(c) AS BIGINT)) AS cs,
+             length(text) AS lt,
              greatest(length(text) - 14, 0) AS nw
       FROM documents),
+    kpoly AS (
+      SELECT doc_id, nw,
+             list_transform(range(1, greatest(lt - 6, 1)),
+               p -> ((((((cs[p] * 31 + cs[p + 1]) * 31
+                     + cs[p + 2]) * 31 + cs[p + 3]) * 31
+                     + cs[p + 4]) * 31 + cs[p + 5]) * 31
+                     + cs[p + 6]) * 31 + cs[p + 7]) AS kp
+      FROM kchars),
+    karr AS (
+      SELECT doc_id, nw,
+             list_transform(kp, v ->
+               (((((v % 2147483647) * 1103515245 + 12345) % 2147483647)
+                  * 784588716 + 998244353) % 2147483647) * 2147483648
+               + ((((v % 2147483629) * 633742937 + 1500450271) % 2147483629)
+                  * 1203947261 + 715225739) % 2147483629) AS ka
+      FROM kpoly),
     fps AS (
       SELECT DISTINCT doc_id,
              unnest(list_distinct(list_transform(range(1, nw + 1),
