@@ -5447,3 +5447,241 @@ def orders_in_fulfillment_sweepline(spark: SparkSession, sf_dir: str) -> DataFra
         "in_fulfillment",
         F.sum(F.col("opened") - F.col("closed")).over(w).cast("long"),
     )
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=_SH_CTE
+    + """,
+    nrm AS (SELECT doc_id, lang, n_chars // 32 AS band,
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS nt
+            FROM documents),
+    keys AS (SELECT doc_id, lang, band, substring(nt, 1, 24) AS k, 1 AS p
+             FROM nrm
+             UNION ALL
+             SELECT doc_id, lang, band, substring(reverse(nt), 1, 24) AS k, 2 AS p
+             FROM nrm),
+    nb AS (SELECT doc_id,
+                  lead(doc_id, 1) OVER w AS n1,
+                  lead(doc_id, 2) OVER w AS n2,
+                  lead(doc_id, 3) OVER w AS n3
+           FROM keys WINDOW w AS (PARTITION BY p, lang, band ORDER BY k, doc_id)),
+    cand AS (SELECT DISTINCT least(doc_id, n) AS doc_a,
+                             greatest(doc_id, n) AS doc_b
+             FROM (SELECT doc_id, n1 AS n FROM nb WHERE n1 IS NOT NULL
+                   UNION ALL SELECT doc_id, n2 FROM nb WHERE n2 IS NOT NULL
+                   UNION ALL SELECT doc_id, n3 FROM nb WHERE n3 IS NOT NULL))
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(sa.shingles, sb.shingles))
+                 / greatest(len(sa.shingles) + len(sb.shingles)
+                            - len(list_intersect(sa.shingles, sb.shingles)), 1), 6)
+             AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+                / greatest(len(sa.shingles) + len(sb.shingles)
+                           - len(list_intersect(sa.shingles, sb.shingles)), 1), 6)
+            >= 0.5
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD dedup (Hernandez & Stolfo 1995, the SNM the
+    entity-resolution literature pairs against blocking): docs sorted by
+    a cheap discriminating key, each compared only to its w-1=3
+    successors, with TWO passes over complementary keys (normalized
+    prefix, normalized-REVERSED prefix) so near-dups that disagree at
+    one end of the text still co-locate in the other pass. Exact
+    token-3-gram Jaccard >= 0.5 verifies candidates — SNM trades recall
+    for a HARD O(w*n) candidate bound, the deterministic budget-first
+    complement to MinHash (probabilistic recall, density-driven cost)
+    and prefix-filtering (exact, but cost follows df skew).
+
+    Scale: candidate volume is (w-1)*n per pass BY CONSTRUCTION — no
+    posting lists, no bucket occupancy, nothing density-dependent. The
+    sort runs inside (lang, 32-char length band) window partitions
+    here; on a cluster the same semantics come from repartitionByRange +
+    sortWithinPartitions with a w-row partition-boundary overlap, so no
+    single task ever holds a whole sort order. Verification joins the
+    shingle table by id — arrays never travel through the sort.
+
+    Reference basis: the dedup suite extends SURVEY.md §2's pipeline
+    mandate alongside dedup_minhash_lsh / dedup_prefix_filter_jaccard
+    (same verify grain, same >= 0.5 decision threshold)."""
+    docs = load(spark, sf_dir, "documents")
+    nrm = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars DIV 32").alias("band"),
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "").alias("nt"),
+    )
+    keys = nrm.select(
+        "doc_id",
+        "lang",
+        "band",
+        F.substring("nt", 1, 24).alias("k"),
+        F.lit(1).alias("p"),
+    ).unionByName(
+        nrm.select(
+            "doc_id",
+            "lang",
+            "band",
+            F.substring(F.reverse("nt"), 1, 24).alias("k"),
+            F.lit(2).alias("p"),
+        )
+    )
+    w = Window.partitionBy("p", "lang", "band").orderBy("k", "doc_id")
+    nb = keys.select(
+        "doc_id",
+        *[F.lead("doc_id", i).over(w).alias(f"n{i}") for i in (1, 2, 3)],
+    )
+    cand = None
+    for i in (1, 2, 3):
+        c = nb.where(F.col(f"n{i}").isNotNull()).select(
+            F.least("doc_id", f"n{i}").alias("doc_a"),
+            F.greatest("doc_id", f"n{i}").alias("doc_b"),
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    sh = D.with_shingles(docs)
+    inter = F.size(F.array_intersect("sa.shingles", "sb.shingles"))
+    union_ = F.greatest(
+        F.size("sa.shingles") + F.size("sb.shingles") - inter, F.lit(1)
+    )
+    jac = F.round(inter / union_, 6)
+    return (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+# Shared Cramer-solve formula text for the 3x3 ridge normal equations —
+# the SAME strings feed Spark selectExpr and the DuckDB oracle CTEs, so
+# the double arithmetic is the identical expression tree in both engines.
+_PROBE_A = (
+    "n + 0.01 AS a11",
+    "s1 AS a12",
+    "s2 AS a13",
+    "s11 + 0.01 AS a22",
+    "s12 AS a23",
+    "s22 + 0.01 AS a33",
+    "sy AS c1",
+    "s1y AS c2",
+    "s2y AS c3",
+)
+_PROBE_DETS = (
+    "a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)"
+    " + a13*(a12*a23 - a22*a13) AS det",
+    "c1*(a22*a33 - a23*a23) - a12*(c2*a33 - a23*c3)"
+    " + a13*(c2*a23 - a22*c3) AS det0",
+    "a11*(c2*a33 - a23*c3) - c1*(a12*a33 - a23*a13)"
+    " + a13*(a12*c3 - c2*a13) AS det1",
+    "a11*(a22*c3 - a23*c2) - a12*(a12*c3 - c2*a13)"
+    " + c1*(a12*a23 - a22*a13) AS det2",
+)
+_PROBE_B = ("det0 / det AS b0", "det1 / det AS b1", "det2 / det AS b2")
+
+_PROBE_DSUM = "CAST(sum(CAST(round({e}, 12) AS DECIMAL(28,12))) AS DOUBLE)"
+
+
+@query(
+    "pipeline_quality_linear_probe",
+    plan=("single_row_broadcast",),
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, lang, n_chars, {_TOK} AS t
+                 FROM documents),
+    feat AS (SELECT doc_id, source,
+                    {_STOP_EN} AS x1,
+                    CAST(n_chars AS DOUBLE) / 100.0 AS x2,
+                    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+             FROM tok),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     {_PROBE_DSUM.format(e="x1")} AS s1,
+                     {_PROBE_DSUM.format(e="x2")} AS s2,
+                     {_PROBE_DSUM.format(e="x1 * x1")} AS s11,
+                     {_PROBE_DSUM.format(e="x1 * x2")} AS s12,
+                     {_PROBE_DSUM.format(e="x2 * x2")} AS s22,
+                     {_PROBE_DSUM.format(e="y")} AS sy,
+                     {_PROBE_DSUM.format(e="x1 * y")} AS s1y,
+                     {_PROBE_DSUM.format(e="x2 * y")} AS s2y
+              FROM feat),
+    amat AS (SELECT {", ".join(_PROBE_A)} FROM stats),
+    dets AS (SELECT {", ".join(_PROBE_DETS)} FROM amat),
+    coef AS (SELECT {", ".join(_PROBE_B)} FROM dets)
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round({_PROBE_DSUM.format(e="c.b0 + c.b1 * f.x1 + c.b2 * f.x2")}
+                 / count(*), 10) AS avg_pred,
+           round(max(c.b0), 10) AS b0,
+           round(max(c.b1), 10) AS b1,
+           round(max(c.b2), 10) AS b2
+    FROM feat f CROSS JOIN coef c
+    GROUP BY f.source
+    """,
+)
+def pipeline_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY CLASSIFIER trained IN THE DATAFLOW — a ridge LINEAR PROBE
+    (closed-form normal equations, lambda = 0.01) predicting the is-en
+    curation label from two cheap text features (en-stopword ratio,
+    length/100). The 100-TB training recipe: the Gram matrix X'X and
+    moment vector X'y are NINE grid-exact sums in ONE partial-agg pass
+    over the corpus (the same d²-tiny/n-huge Gram pattern as
+    embeddings_power_iteration_pc), the 3x3 solve is Cramer's rule on a
+    single broadcast row — no gradient loop, no collect, no per-row
+    Python. Per-source mean predicted quality is the readout a curation
+    run thresholds on.
+
+    Cross-engine exactness: feature doubles are integer-ratio/scale
+    deterministic; sums ride the round-12 DECIMAL grid; the Cramer
+    arithmetic is the SAME expression text (_PROBE_A/_PROBE_DETS/
+    _PROBE_B) fed to Spark selectExpr and the DuckDB oracle, so both
+    engines evaluate the identical IEEE tree.
+
+    Scale: one corpus scan for the stats row, one for the scoring pass
+    (each a map + one shuffle); coefficient state is one row. Extending
+    to d features is the same plan with d(d+3)/2 sums; past ~10^2
+    features you swap Cramer for a driver-side solve of the d x d
+    broadcast — the scans are unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        T.stopword_ratio("text").alias("x1"),
+        (F.col("n_chars").cast("double") / F.lit(100.0)).alias("x2"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+
+    def dsum(c):
+        return F.sum(F.round(c, 12).cast("decimal(28,12)")).cast("double")
+
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    stats = feat.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x1).alias("s1"),
+        dsum(x2).alias("s2"),
+        dsum(x1 * x1).alias("s11"),
+        dsum(x1 * x2).alias("s12"),
+        dsum(x2 * x2).alias("s22"),
+        dsum(y).alias("sy"),
+        dsum(x1 * y).alias("s1y"),
+        dsum(x2 * y).alias("s2y"),
+    )
+    coef = (
+        stats.selectExpr(*_PROBE_A)
+        .selectExpr(*_PROBE_DETS, "*")
+        .selectExpr(*_PROBE_B)
+    )
+    pred = F.col("b0") + F.col("b1") * x1 + F.col("b2") * x2
+    return (
+        feat.crossJoin(F.broadcast(coef))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(dsum(pred) / F.count(F.lit(1)), 10).alias("avg_pred"),
+            F.round(F.max("b0"), 10).alias("b0"),
+            F.round(F.max("b1"), 10).alias("b1"),
+            F.round(F.max("b2"), 10).alias("b2"),
+        )
+    )
