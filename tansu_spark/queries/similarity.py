@@ -2245,3 +2245,118 @@ def sim_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window bit-for-bit."""
     emb = _emb(spark, sf_dir)
     return S.lsh_multiprobe_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+_PR_KNN_CTE = f"""
+    b AS (
+      SELECT vec_id, embedding, 0 AS band, {_bucket_sql_adaptive("embedding", band=0)} AS bucket
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id, embedding, 1 AS band,
+             {_bucket_sql_adaptive("embedding", band=1)} AS bucket
+      FROM embeddings
+    ),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+             FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+             WHERE a.vec_id != c.vec_id),
+    sc AS (SELECT id_a, id_b, {_cos_sql("e1.embedding", "e2.embedding")} AS cosine
+           FROM cand
+           JOIN embeddings e1 ON e1.vec_id = id_a
+           JOIN embeddings e2 ON e2.vec_id = id_b),
+    knn AS (SELECT id_a, id_b FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn
+              FROM sc)
+            WHERE rn <= 5),
+    deg AS (SELECT id_a, CAST(count(*) AS BIGINT) AS deg FROM knn GROUP BY id_a),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings)
+"""
+
+
+def _pr_round(expr: str) -> str:
+    return f"CAST(sum(CAST(round({expr}, 12) AS DECIMAL(28,12))) AS DOUBLE)"
+
+
+def _pr_iter_sql(prev: str, i: int) -> str:
+    return f"""
+    m{i} AS (SELECT k.id_b AS node, {_pr_round("p.pr / d.deg")} AS m
+             FROM knn k
+             JOIN {prev} p ON p.node = k.id_a
+             JOIN deg d ON d.id_a = k.id_a
+             GROUP BY k.id_b),
+    pr{i} AS (SELECT e.vec_id AS node,
+                     0.15 / (SELECT n FROM nn)
+                     + 0.85 * coalesce(m{i}.m, 0.0) AS pr
+              FROM embeddings e LEFT JOIN m{i} ON m{i}.node = e.vec_id)"""
+
+
+@query(
+    "graph_pagerank_knn",
+    plan=("single_row_broadcast",),
+    oracle=f"""
+    WITH {_PR_KNN_CTE},
+    pr0 AS (SELECT vec_id AS node, 1.0 / (SELECT n FROM nn) AS pr
+            FROM embeddings),
+    {_pr_iter_sql("pr0", 1)},
+    {_pr_iter_sql("pr1", 2)},
+    {_pr_iter_sql("pr2", 3)}
+    SELECT node AS vec_id, round(pr, 10) AS pagerank FROM pr3
+    """,
+)
+def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK CENTRALITY over the approximate k-NN similarity graph —
+    the representativeness score a curation pipeline uses to pick
+    CENTRAL documents per semantic region (and, inverted, to find
+    isolated outliers): 3 synchronized power iterations, damping 0.85,
+    over the same adaptive-LSH k=5 adjacency the label-propagation and
+    mutual-kNN entries consume. Dangling nodes (vectors whose LSH
+    buckets held no candidates) keep the teleport term only — the
+    standard no-redistribution variant, chosen because it keeps every
+    iteration a pure edge-join + aggregate (no global dangling-mass
+    scalar in the loop); with k=5 out-edges per non-isolated node the
+    lost mass is the isolated fraction, which the adaptive bucketer
+    keeps tiny.
+
+    Exactness: contributions ride the round-12 DECIMAL grid per
+    aggregation; 1/n, pr/deg, and the 0.15/n + 0.85*m update are the
+    identical IEEE expression shapes in both engines.
+
+    Scale: the adjacency is built once and checkpointed (production
+    reads it from a table); each iteration shuffles O(nk) scalar
+    contributions hashed on the destination id and one n-row left join
+    against the node set — no iteration touches an embedding. Rounds
+    are fixed (3), so the plan is statically bounded; the count row is
+    the only broadcast scalar. Reference basis: SURVEY.md §2 pipeline
+    extensions, alongside graph_label_propagation (same adjacency,
+    same sync-round discipline)."""
+    emb = _emb(spark, sf_dir)
+    g = S.knn_graph_lsh(emb, k=5, n_bands=2).select("id_a", "id_b").localCheckpoint(
+        eager=True
+    )
+    deg = g.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
+    n_row = emb.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n"))
+    nodes = emb.select(F.col("vec_id").alias("node")).crossJoin(
+        F.broadcast(n_row)
+    )
+
+    def dec_sum(c):
+        return F.sum(F.round(c, 12).cast("decimal(28,12)")).cast("double")
+
+    pr = nodes.select("node", (F.lit(1.0) / F.col("n")).alias("pr"))
+    for _ in range(3):
+        m = (
+            g.join(pr, g["id_a"] == pr["node"])
+            .join(deg, "id_a")
+            .groupBy("id_b")
+            .agg(dec_sum(F.col("pr") / F.col("deg")).alias("m"))
+        )
+        pr = nodes.join(m, nodes["node"] == m["id_b"], "left").select(
+            "node",
+            (
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85) * F.coalesce("m", F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr.select(
+        F.col("node").alias("vec_id"), F.round("pr", 10).alias("pagerank")
+    )
