@@ -2360,3 +2360,123 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("vec_id"), F.round("pr", 10).alias("pagerank")
     )
+
+
+@query(
+    "embeddings_dbscan_cosine",
+    oracle=f"""
+    WITH RECURSIVE b AS (SELECT vec_id, embedding,
+                      {_bucket_sql_adaptive("embedding", band=0)} AS bucket
+               FROM embeddings),
+    p AS MATERIALIZED (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+          WHERE {_cos_sql("a.embedding", "c.embedding")} >= 0.3),
+    sym AS MATERIALIZED (SELECT id_a AS a, id_b AS bb FROM p
+            UNION ALL SELECT id_b, id_a FROM p),
+    deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+    core AS MATERIALIZED (SELECT a AS node FROM deg WHERE d >= 3),
+    ce AS (SELECT s.a, s.bb FROM sym s
+           JOIN core c1 ON c1.node = s.a
+           JOIN core c2 ON c2.node = s.bb),
+    walk AS (SELECT a AS node, a AS lbl FROM ce
+             UNION
+             SELECT e2.bb, w.lbl FROM walk w JOIN ce e2 ON e2.a = w.node),
+    comp AS (SELECT node, min(lbl) AS cid FROM walk GROUP BY node),
+    corelbl AS (SELECT c.node, coalesce(comp.cid, c.node) AS cluster_id
+                FROM core c LEFT JOIN comp ON comp.node = c.node),
+    borderlbl AS (SELECT s.a AS node, min(cl.cluster_id) AS cluster_id
+                  FROM sym s JOIN corelbl cl ON cl.node = s.bb
+                  WHERE s.a NOT IN (SELECT node FROM core)
+                  GROUP BY s.a)
+    SELECT e.vec_id,
+           CAST(coalesce(co.cluster_id, bo.cluster_id, -1) AS BIGINT)
+             AS cluster_id,
+           CASE WHEN co.node IS NOT NULL THEN 'core'
+                WHEN bo.node IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM embeddings e
+    LEFT JOIN corelbl co ON co.node = e.vec_id
+    LEFT JOIN borderlbl bo ON bo.node = e.vec_id
+    """,
+)
+def embeddings_dbscan_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embedding corpus (cosine-similarity form: an
+    eps-neighbor is cosine >= 0.3, minPts = 3) — DENSITY clustering for
+    curation: unlike k-means/SemDeDup it needs no k, finds arbitrary-
+    shape clusters, and — the property pipelines want — explicitly
+    labels NOISE, the isolated vectors diversity sampling should keep
+    and near-dup pruning should never touch. Core points carry >= 3
+    eps-neighbors; clusters are connected components of the CORE-CORE
+    eps-graph (min-id canonical); border points adopt the smallest
+    cluster among their core neighbors; everything else is noise
+    (cluster -1). Neighbor candidates come from the adaptive single-band
+    LSH bucketer (the same approximate-eps-graph every near-dup entry
+    uses), making this the standard leader-follower approximation of
+    exact DBSCAN.
+
+    Scale: the eps-graph is LSH-bucketed (candidate volume ~64n by the
+    adaptive plane dial, never all-pairs); degree, core filter, and
+    border assignment are one aggregate + two equi-joins on node ids;
+    components run hash-min over core-core edges only (near-dup cores
+    form tight clusters — small diameters). Reference basis: SURVEY.md
+    §2 pipeline extensions, the density complement to
+    dedup_semdedup_scaled / graph_knn_mutual_components."""
+    from tansu_spark.operators.graph import connected_components
+
+    emb = _emb(spark, sf_dir)
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.3)
+    sym = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    core = deg.where(F.col("d") >= 3).select(F.col("a").alias("node"))
+    ce = sym.join(
+        core.select(F.col("node").alias("a")), "a"
+    ).join(core.select(F.col("node").alias("b")), "b")
+    cc = connected_components(ce, src="a", dst="b")
+    core_lbl = core.join(cc, "node", "left").select(
+        "node", F.coalesce("component_id", "node").alias("cluster_id")
+    )
+    border = (
+        sym.join(
+            core_lbl.select(
+                F.col("node").alias("b"), F.col("cluster_id").alias("bc")
+            ),
+            "b",
+        )
+        .join(core_lbl.select(F.col("node").alias("a")), "a", "left_anti")
+        .groupBy("a")
+        .agg(F.min("bc").alias("b_cluster"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(
+            core_lbl.select(
+                F.col("node").alias("vec_id"),
+                F.col("cluster_id").alias("c_cluster"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.select(
+                F.col("a").alias("vec_id"), "b_cluster"
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("c_cluster", "b_cluster", F.lit(-1))
+            .cast("long")
+            .alias("cluster_id"),
+            F.when(F.col("c_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )
