@@ -3885,3 +3885,92 @@ def events_ewma_anomaly_one_stage(spark: SparkSession, sf_dir: str) -> DataFrame
 # streaming_cms_state reuses the batch CMS oracle verbatim (the additive
 # merge makes the final streamed cells equal the batch sketch).
 _OR["streaming_cms_state"] = _OR["sketch_cms_user_frequency"]
+
+
+@query(
+    "streaming_kmv_state",
+    oracle=None,  # set below — the batch KMV replay with n capped at k
+)
+def streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING K-MINIMUM-VALUES sketch maintenance under the hash gate
+    — the third streaming merge law, completing the set with
+    streaming_hll_state (register MAX) and streaming_cms_state (count
+    ADD): per-event-type state is the 64 smallest distinct md5-Horner
+    user-id hashes, merged by union -> dedup -> keep-64-smallest
+    (streaming/source.py::kmv_by_key). Min-k over a set is commutative,
+    associative AND idempotent, so the final kept set equals the batch
+    kmv_sketch under any micro-batch split — the oracle is the batch
+    replay with n_hashes capped at k (a bounded sketch cannot know the
+    uncapped distinct count; the ESTIMATE is identical because the
+    branch condition n < k is unchanged by the cap). The estimate is
+    computed post-stream in Spark SQL so its rounding is JVM HALF_UP,
+    not Python half-even.
+
+    Scale: state is <= 64 longs per key; per-batch work is one md5 per
+    row. The max_by(n_seen) collapse is the memory-sink dedup."""
+    import os
+
+    from tansu_spark.functions.sketch import _estimate
+    from tansu_spark.streaming.source import kmv_by_key
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("event_type").alias("key"),
+            F.col("user_id").cast("string").alias("v"),
+        )
+    )
+    out = kmv_by_key(stream, k=64)
+    name = "stream_kmv_oracle"
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = (
+        spark.table(name)
+        .groupBy("key")
+        .agg(F.max_by(F.struct("n_hashes", "uk"), "n_seen").alias("_f"))
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("_f.n_hashes").alias("n_kept"),
+            F.col("_f.uk").alias("_uk"),
+        )
+    )
+    return final.select(
+        "event_type",
+        "n_kept",
+        _estimate(F.col("n_kept"), F.col("_uk"), 64, 6).alias("est_distinct"),
+    )
+
+
+def _kmv_capped_oracle() -> str:
+    from tansu_spark.functions.sketch import H_SPACE, kmv_oracle_value_sql
+
+    v = kmv_oracle_value_sql("user_id")
+    return f"""
+    WITH hv AS (SELECT DISTINCT event_type, {v} AS v FROM events),
+         r AS (SELECT event_type, v,
+                      row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+               FROM hv),
+         a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hashes,
+                      MAX(CASE WHEN rn = 64 THEN v END) AS uk
+               FROM r GROUP BY event_type)
+    SELECT event_type,
+           CAST(least(n_hashes, 64) AS BIGINT) AS n_kept,
+           CASE WHEN n_hashes < 64 THEN CAST(n_hashes AS DOUBLE)
+                ELSE round(63.0 * {float(H_SPACE)} / uk, 6) END AS est_distinct
+    FROM a
+    """
+
+
+_OR["streaming_kmv_state"] = _kmv_capped_oracle()

@@ -555,6 +555,78 @@ def hll_by_key(records: DataFrame) -> DataFrame:
     )
 
 
+def kmv_by_key(records: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming K-MINIMUM-VALUES sketch maintenance per key — the third
+    streaming merge law next to hll_by_key (register MAX) and
+    cms_by_depth (count ADD): per-key state is the k smallest DISTINCT
+    md5-Horner hash values seen so far, merged by union -> dedup ->
+    keep-k-smallest. Min-k over a set is COMMUTATIVE, ASSOCIATIVE and
+    IDEMPOTENT, so the final state equals functions/sketch.py::
+    kmv_sketch on the same data under any micro-batch split or arrival
+    order; a value discarded (larger than the current k-th) can never
+    re-enter the true k-minimum of a growing set, which is exactly the
+    KMV mergeability argument.
+
+    Input: (key string, v string). Update-mode emission: (key, n_seen,
+    n_hashes, uk) — n_hashes the kept-set size (exact distinct when
+    < k), uk the current k-th minimum (valid when n_hashes == k), and
+    n_seen the strictly-increasing memory-sink dedup counter. The
+    ESTIMATE is deliberately computed post-stream in Spark SQL
+    (functions/sketch.py::_estimate) so the (k-1)*H_SPACE/uk rounding is
+    the identical JVM HALF_UP everywhere — Python round() is half-even.
+
+    Scale: state is <= k longs per key; per-batch work is one md5 per
+    row plus an O(k log k) local sort of the touched keys' states."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from tansu_spark.functions.sketch import N_HEX
+
+    def update(key, pdfs, state: GroupState):
+        (kk,) = key
+        if state.exists:
+            (vals_t, n_seen) = state.get
+            vals = set(vals_t)
+        else:
+            vals, n_seen = set(), 0
+        n0 = n_seen
+        for pdf in pdfs:
+            for v in pdf["v"]:
+                if v is None:
+                    continue
+                vals.add(
+                    int(hashlib.md5(str(v).encode()).hexdigest()[:N_HEX], 16)
+                )
+                n_seen += 1
+        if n_seen == n0 and not state.exists:
+            return
+        kept = sorted(vals)[:k]
+        state.update((kept, n_seen))
+        yield pd.DataFrame(
+            {
+                "key": [kk],
+                "n_seen": [n_seen],
+                "n_hashes": [len(kept)],
+                "uk": [kept[-1] if len(kept) == k else None],
+            }
+        )
+
+    projected = records.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("v").cast("string").alias("v"),
+    )
+    return projected.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType="key string, n_seen long, n_hashes long, uk long",
+        stateStructType="vals array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def cms_by_depth(records: DataFrame, width: int = 256) -> DataFrame:
     """Streaming Count-Min sketch maintenance — the CMS twin of
     `hll_by_key`: the input is the pre-hashed (r, col) bucket stream

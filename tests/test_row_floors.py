@@ -121,6 +121,11 @@ FLOORS = {
     "corpus_eval_contamination": 200,  # flagged train docs (477 at sf0.01)
     "streaming_cms_state": 10,  # exactly one row per probe user (16)
     "events_seasonal_anomaly": 150,  # |z|>=2.5 vs hour baseline (317)
+    "dedup_sorted_neighborhood": 2,  # SNM-verified pairs (5 at sf0.01)
+    "pipeline_quality_linear_probe": 10,  # one row per source (20)
+    "graph_pagerank_knn": 400,  # one row per vector (500 at sf0.01)
+    "embeddings_dbscan_cosine": 400,  # one row per vector (500 at sf0.01)
+    "streaming_kmv_state": 3,  # one row per event type (5 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
