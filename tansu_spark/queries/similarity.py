@@ -2480,3 +2480,101 @@ def embeddings_dbscan_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("role"),
         )
     )
+
+
+def _kc_round_sql(prev_md: str, r: int) -> str:
+    """One unrolled k-center round: argmax of the running min-distance
+    table picks center r; the table then folds in distances to it (the
+    one-row center CTE is CROSS JOINed — DuckDB forbids subqueries
+    inside list lambdas)."""
+    return f"""
+    c{r} AS (SELECT vec_id, dm FROM {prev_md}
+             ORDER BY dm DESC, vec_id LIMIT 1),
+    ce{r} AS (SELECT embedding AS cemb FROM embeddings
+              WHERE vec_id = (SELECT vec_id FROM c{r})),
+    md{r} AS (SELECT m.vec_id,
+                     least(m.dm, 1 - {_cos_sql("e.embedding", "ce.cemb")}) AS dm
+              FROM {prev_md} m
+              JOIN embeddings e ON e.vec_id = m.vec_id
+              CROSS JOIN ce{r} ce)"""
+
+
+@query(
+    "embeddings_kcenter_coreset",
+    plan=("small_model_broadcast",),
+    oracle=f"""
+    WITH c0 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1),
+    ce0 AS (SELECT embedding AS cemb FROM embeddings
+            WHERE vec_id = (SELECT vec_id FROM c0)),
+    md0 AS (SELECT e.vec_id, 1 - {_cos_sql("e.embedding", "ce.cemb")} AS dm
+            FROM embeddings e CROSS JOIN ce0 ce),
+    {",".join(_kc_round_sql(f"md{r - 1}", r) for r in range(1, 8))}
+    SELECT 0 AS sel_round, (SELECT vec_id FROM c0) AS vec_id,
+           CAST(NULL AS DOUBLE) AS sel_dist
+    {"".join(f" UNION ALL SELECT {r}, (SELECT vec_id FROM c{r}), round((SELECT dm FROM c{r}), 10)" for r in range(1, 8))}
+    """,
+)
+def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY K-CENTER CORESET selection (Gonzalez 1985 farthest-first
+    traversal, k=8) over the embedding corpus — the COVERAGE-first
+    diversity sampler: each round picks the vector FARTHEST (cosine
+    distance, min over chosen centers) from the current center set, the
+    2-approximation to the optimal k-center cover that data-selection
+    pipelines use to seed diverse finetuning subsets and to pick probe
+    points for drift monitoring. sel_dist is the selection radius — the
+    k-th value IS the corpus' covering-radius certificate (every vector
+    is within that distance of some center).
+
+    Exactness: each round's argmax is a deterministic (dm DESC, vec_id)
+    order; distances are 1 - round(cosine, 10) folded with least() —
+    identical IEEE shapes in both engines; the oracle unrolls the 8
+    rounds as CTEs.
+
+    Scale: the running min-distance table is ONE column over the corpus,
+    updated per round by a broadcast of the single new center (k rounds
+    x one map + one TakeOrdered top-1 — no shuffle of the corpus); the
+    chosen set is bounded by config k, never data volume. Each round
+    localCheckpoints the (id, dm) scalars so plan depth stays constant.
+    Sequentiality is inherent to greedy k-center (each pick conditions
+    on the last), so rounds, not data, are the serial axis — k is small
+    by construction."""
+    emb = _emb(spark, sf_dir)
+    c0 = emb.orderBy("vec_id").limit(1)
+    md = emb.crossJoin(
+        F.broadcast(c0.select(F.col("embedding").alias("cemb")))
+    ).select(
+        "vec_id",
+        "embedding",
+        (F.lit(1) - F.round(S.cosine("embedding", "cemb"), 10)).alias("dm"),
+    )
+    picks = [
+        c0.select(
+            F.lit(0).alias("sel_round"),
+            "vec_id",
+            F.lit(None).cast("double").alias("sel_dist"),
+        )
+    ]
+    for r in range(1, 8):
+        md = md.localCheckpoint(eager=True)
+        nxt = md.orderBy(F.desc("dm"), F.asc("vec_id")).limit(1)
+        picks.append(
+            nxt.select(
+                F.lit(r).alias("sel_round"),
+                "vec_id",
+                F.round("dm", 10).alias("sel_dist"),
+            )
+        )
+        md = md.crossJoin(
+            F.broadcast(nxt.select(F.col("embedding").alias("cemb")))
+        ).select(
+            "vec_id",
+            "embedding",
+            F.least(
+                "dm",
+                F.lit(1) - F.round(S.cosine("embedding", "cemb"), 10),
+            ).alias("dm"),
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
