@@ -5685,3 +5685,138 @@ def pipeline_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.max("b2"), 10).alias("b2"),
         )
     )
+
+
+@query(
+    "text_rouge_candidates",
+    oracle=_LSH_CTES
+    + """,
+    uni AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(t) AS g FROM tok)
+            GROUP BY doc_id, g),
+    big AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t)),
+                                               i -> t[i] || ' ' || t[i + 1])) AS g
+                  FROM tok)
+            GROUP BY doc_id, g),
+    l AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS l1,
+                 CAST(greatest(len(t) - 1, 0) AS BIGINT) AS l2
+          FROM tok),
+    o1 AS (SELECT p.doc_a, p.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+           FROM pairs p
+           JOIN uni a ON a.doc_id = p.doc_a
+           JOIN uni b ON b.doc_id = p.doc_b AND b.g = a.g
+           GROUP BY p.doc_a, p.doc_b),
+    o2 AS (SELECT p.doc_a, p.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+           FROM pairs p
+           JOIN big a ON a.doc_id = p.doc_a
+           JOIN big b ON b.doc_id = p.doc_b AND b.g = a.g
+           GROUP BY p.doc_a, p.doc_b)
+    SELECT p.doc_a, p.doc_b,
+           round((2.0 * coalesce(o1.ov, 0)) / greatest(la.l1 + lb.l1, 1), 6)
+             AS rouge1_f,
+           round((2.0 * coalesce(o2.ov, 0)) / greatest(la.l2 + lb.l2, 1), 6)
+             AS rouge2_f
+    FROM pairs p
+    LEFT JOIN o1 ON o1.doc_a = p.doc_a AND o1.doc_b = p.doc_b
+    LEFT JOIN o2 ON o2.doc_a = p.doc_a AND o2.doc_b = p.doc_b
+    JOIN l la ON la.doc_id = p.doc_a
+    JOIN l lb ON lb.doc_id = p.doc_b
+    """,
+)
+def text_rouge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 F1 between candidate document pairs — the
+    summarization-eval overlap metric repurposed as a dedup/contamination
+    VERIFIER: clipped n-gram counts (sum of min multiplicities — ROUGE's
+    clip rule) catch verbatim REUSE WITH REPETITION that set-Jaccard
+    flattens (a doc quoting a phrase 10 times scores like one mention
+    under distinct shingles). Symmetric F1 = 2·overlap/(len_a + len_b)
+    — exactly the harmonic mean of clip-precision and clip-recall, and
+    integer-ratio deterministic.
+
+    Scale: gram-count tables are one explode + one partial-agg each
+    (multiplicity grain, uniform keys); pairs come from the shared LSH
+    candidate chain (never all-pairs); the per-pair overlap is an
+    equi-join on (doc, gram) driven by the bounded candidate list.
+    Reference basis: SURVEY.md §2 pipeline extensions, the multiset
+    complement to dedup_ngram_jaccard (same candidates, same grain)."""
+    ch = _dedup_chain(spark, sf_dir)
+    pairs = ch["pairs"].select("doc_a", "doc_b")
+    tok = ch["docs"].select("doc_id", T.tokens("text").alias("t"))
+    uni = (
+        tok.select("doc_id", F.explode("t").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        tok.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN"
+                    " zip_with(slice(t, 1, size(t) - 1),"
+                    " slice(t, 2, size(t) - 1), (x, y) -> concat(x, ' ', y))"
+                    " ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lens = tok.select(
+        "doc_id",
+        F.size("t").cast("long").alias("l1"),
+        F.greatest(F.size("t") - F.lit(1), F.lit(0)).cast("long").alias("l2"),
+    )
+
+    def overlap(cnt: DataFrame, name: str) -> DataFrame:
+        return (
+            pairs.join(
+                cnt.select(
+                    F.col("doc_id").alias("doc_a"), "g", F.col("c").alias("ca")
+                ),
+                "doc_a",
+            )
+            .join(
+                cnt.select(
+                    F.col("doc_id").alias("doc_b"), "g", F.col("c").alias("cb")
+                ),
+                ["doc_b", "g"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ca", "cb")).alias(name))
+        )
+
+    o1 = overlap(uni, "ov1")
+    o2 = overlap(big, "ov2")
+    la = lens.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("l1").alias("la1"),
+        F.col("l2").alias("la2"),
+    )
+    lb = lens.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("l1").alias("lb1"),
+        F.col("l2").alias("lb2"),
+    )
+    return (
+        pairs.join(o1, ["doc_a", "doc_b"], "left")
+        .join(o2, ["doc_a", "doc_b"], "left")
+        .join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                (F.lit(2.0) * F.coalesce("ov1", F.lit(0)))
+                / F.greatest(F.col("la1") + F.col("lb1"), F.lit(1)),
+                6,
+            ).alias("rouge1_f"),
+            F.round(
+                (F.lit(2.0) * F.coalesce("ov2", F.lit(0)))
+                / F.greatest(F.col("la2") + F.col("lb2"), F.lit(1)),
+                6,
+            ).alias("rouge2_f"),
+        )
+    )

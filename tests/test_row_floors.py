@@ -127,6 +127,7 @@ FLOORS = {
     "embeddings_dbscan_cosine": 400,  # one row per vector (500 at sf0.01)
     "streaming_kmv_state": 3,  # one row per event type (5 at sf0.01)
     "embeddings_kcenter_coreset": 8,  # exactly k=8 selection rows
+    "text_rouge_candidates": 14,  # LSH candidate pairs (28 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
