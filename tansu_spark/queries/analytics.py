@@ -3974,3 +3974,112 @@ def _kmv_capped_oracle() -> str:
 
 
 _OR["streaming_kmv_state"] = _kmv_capped_oracle()
+
+
+@query(
+    "events_cusum_changepoint",
+    plan=("single_row_broadcast",),
+    oracle="""
+    WITH g AS (SELECT CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+                      CAST(SUM(CAST(value AS DECIMAL(12,2))
+                               * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+                      count(*) AS n FROM events),
+    p AS (SELECT s1 / n AS mu, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd FROM g),
+    c AS (SELECT e.user_id, e.event_id, e.ts, p.sd,
+                 SUM(CAST(round(e.value - (p.mu + 0.5 * p.sd), 12)
+                          AS DECIMAL(28,12)))
+                   OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM events e CROSS JOIN p),
+    cu AS (SELECT user_id, event_id, ts, sd,
+                  CAST(cum - least(min(cum)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW), 0) AS DOUBLE) AS s
+           FROM c),
+    fl AS (SELECT user_id, event_id, ts, s,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM cu WHERE s > 5 * sd)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_alarms,
+           CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT)
+             AS first_alarm_event,
+           round(max(s), 6) AS max_cusum
+    FROM fl GROUP BY user_id
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT detection per user (Page 1954) — the sustained-
+    shift detector that complements the pointwise z-score filter: a user
+    whose event values run persistently above the global reference
+    (mu + 0.5*sd slack) accumulates positive drift until the statistic
+    crosses h = 5*sd, flagging level shifts no single outlier triggers.
+
+    The recurrence S_t = max(0, S_{t-1} + d_t) is NOT folded iteratively
+    — it is the closed form cum_t − min(0, min_{j<=t} cum_j), i.e. a
+    running sum minus its running minimum: two window functions over
+    the same (ts, event_id)-pinned order. The running sum aggregates in
+    exact DECIMAL — deliberately, because DuckDB evaluates windowed
+    SUM with a segment tree whose double-addition ORDER differs from
+    Spark's sequential pass; decimal addition is order-independent, so
+    the parity hazard vanishes by construction.
+
+    Scale: one global-moments row (broadcast), then two windows inside
+    user partitions and one per-user aggregate — the stream shuffles
+    once on user_id; no iteration, no state beyond the window frames."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    g = ev.groupBy().agg(
+        F.sum(_dec("value")).cast("double").alias("s1"),
+        F.sum(_dec("value") * _dec("value")).cast("double").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    p = g.select(
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.col("s2") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+        ).alias("sd"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = ev.crossJoin(F.broadcast(p)).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "sd",
+        F.sum(
+            F.round(
+                F.col("value") - (F.col("mu") + F.lit(0.5) * F.col("sd")), 12
+            ).cast("decimal(28,12)")
+        )
+        .over(w_cum)
+        .alias("cum"),
+    )
+    cu = c.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "sd",
+        (
+            F.col("cum")
+            - F.least(F.min("cum").over(w_cum), F.lit(0).cast("decimal(28,12)"))
+        )
+        .cast("double")
+        .alias("s"),
+    )
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fl = cu.where(F.col("s") > F.lit(5) * F.col("sd")).withColumn(
+        "rn", F.row_number().over(w_rn)
+    )
+    return fl.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_alarms"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_id")))
+        .cast("long")
+        .alias("first_alarm_event"),
+        F.round(F.max("s"), 6).alias("max_cusum"),
+    )
