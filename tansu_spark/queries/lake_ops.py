@@ -692,3 +692,89 @@ def lake_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "lake_snapshot_expiry",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_total,
+           CAST(1 AS BIGINT) AS versions_remaining,
+           CAST(5 AS BIGINT) AS n_files_expired,
+           TRUE AS v0_unreadable
+    FROM events GROUP BY event_type
+    """,
+)
+def lake_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT EXPIRY + history reclamation end to end (lake/
+    snapshots.py::expire_snapshots — Iceberg's `expireSnapshots` /
+    Delta's log-retention + VACUUM pair, which the reference inherits
+    through its table-format runtimes, nisshi-schema/src/lake/berg.rs
+    maintenance path): write events in two version-committed batches
+    (3 + 2 files, pinned by explicit repartition so the expiry count is
+    deterministic), COMPACT (v2 — relocates all five v0/v1 files into
+    _history/), then expire keeping ONLY the latest version. The five
+    history files are physically deleted (the returned count is part of
+    the gated output), the manifest drops to one version, time travel
+    to v0 now RAISES (asserted in-query and emitted as a gated flag),
+    and a plain parquet scan still reads the full, compacted data —
+    proving expiry touched only history, never live files.
+
+    Scale: expiry is O(dropped files) unlinks + one manifest rewrite —
+    no data copied, no Spark job; the safety property (live files never
+    touched) is structural because the kept versions' file sets are
+    excluded from the delete list before any unlink happens."""
+    import shutil
+    import tempfile
+
+    from tansu_spark.lake.maintain import compact_table
+    from tansu_spark.lake.snapshots import (
+        commit_snapshot,
+        expire_snapshots,
+        load_manifest,
+        read_snapshot,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    scratch = tempfile.mkdtemp(prefix="lake_expire_")
+    try:
+        d = f"{scratch}/t"
+        ev.where(F.col("event_id") % 3 == 0).repartition(3).write.mode(
+            "append"
+        ).parquet(d)
+        commit_snapshot(d, "append")  # v0: 3 files
+        ev.where(F.col("event_id") % 3 != 0).repartition(2).write.mode(
+            "append"
+        ).parquet(d)
+        commit_snapshot(d, "append")  # v1: +2 files
+        compact_table(spark, d, target_bytes=1 << 40)  # v2: relocates all 5
+        n_expired = expire_snapshots(d, keep_last=1)
+        doc = load_manifest(d)
+        try:
+            read_snapshot(spark, d, 0)
+            v0_unreadable = False
+        except KeyError:
+            v0_unreadable = True
+        out = (
+            spark.read.parquet(d)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("value_total"),
+            )
+            .select(
+                "event_type",
+                "n_rows",
+                "value_total",
+                F.lit(len(doc["versions"])).cast("long").alias("versions_remaining"),
+                F.lit(n_expired).cast("long").alias("n_files_expired"),
+                F.lit(v0_unreadable).alias("v0_unreadable"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

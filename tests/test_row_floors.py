@@ -129,6 +129,7 @@ FLOORS = {
     "embeddings_kcenter_coreset": 8,  # exactly k=8 selection rows
     "text_rouge_candidates": 14,  # LSH candidate pairs (28 at sf0.01)
     "events_cusum_changepoint": 20,  # alarmed users (47 of 150 at sf0.01)
+    "lake_snapshot_expiry": 3,  # one row per event type (5 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
