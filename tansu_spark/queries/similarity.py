@@ -2501,7 +2501,6 @@ def _kc_round_sql(prev_md: str, r: int) -> str:
 
 @query(
     "embeddings_kcenter_coreset",
-    plan=("small_model_broadcast",),
     oracle=f"""
     WITH c0 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1),
     ce0 AS (SELECT embedding AS cemb FROM embeddings
