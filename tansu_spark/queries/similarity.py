@@ -2577,3 +2577,149 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "graph_triangle_clustering",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, 0 AS band, {_bucket_sql_adaptive("embedding", band=0)} AS bucket
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id, embedding, 1 AS band,
+             {_bucket_sql_adaptive("embedding", band=1)} AS bucket
+      FROM embeddings
+    ),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+             FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+             WHERE a.vec_id != c.vec_id),
+    sc AS (SELECT id_a, id_b, {_cos_sql("e1.embedding", "e2.embedding")} AS cosine
+           FROM cand
+           JOIN embeddings e1 ON e1.vec_id = id_a
+           JOIN embeddings e2 ON e2.vec_id = id_b),
+    knn AS (SELECT id_a, id_b FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn
+              FROM sc)
+            WHERE rn <= 5),
+    ue AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS a,
+                               greatest(id_a, id_b) AS b
+          FROM knn),
+    deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+             SELECT a AS node FROM ue UNION ALL SELECT b FROM ue)
+           GROUP BY node),
+    eo AS MATERIALIZED (
+      SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS src,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS dst,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+                  THEN db.d ELSE da.d END AS dd
+      FROM ue u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+    tri AS MATERIALIZED (
+      SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+      FROM eo w1
+      JOIN eo w2 ON w2.src = w1.src
+               AND ((w1.dd < w2.dd) OR (w1.dd = w2.dd AND w1.dst < w2.dst))
+      JOIN eo e3 ON e3.src = w1.dst AND e3.dst = w2.dst),
+    nt AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+             SELECT x AS node FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+           GROUP BY node)
+    SELECT d.node AS vec_id, d.d AS degree,
+           CAST(coalesce(nt.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.d >= 2
+                THEN round((2.0 * coalesce(nt.t, 0)) / (d.d * (d.d - 1)), 6)
+                ELSE NULL END AS clustering_coef
+    FROM deg d LEFT JOIN nt ON nt.node = d.node
+    """,
+)
+def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTS + local CLUSTERING COEFFICIENT over the
+    symmetrized approximate kNN graph — the graph-shape diagnostic a
+    curation pass reads next to the degree histogram: high clustering =
+    tight semantic communities (safe to sample one representative per
+    cluster); a high-degree node with NEAR-ZERO clustering is a hub
+    gluing unrelated regions (a boilerplate vector near everything —
+    exactly what mutual-kNN filtering exists to cut, and this query
+    quantifies it).
+
+    Algorithm: DEGREE-ORDERED edge orientation (each undirected edge
+    points from its lower-(degree, id) endpoint), then wedge join +
+    closing-edge join — the compact-forward scheme whose enumeration
+    work is bounded by sum of out-degree² with out-degree <=
+    O(sqrt(m)) by arboricity, so a hub's triangles cost its NEIGHBORS'
+    small out-degrees, never hub-degree². Every triangle is produced
+    exactly once (at its lowest-rank apex).
+
+    Scale: adjacency built once (checkpointed); orientation is two
+    degree joins; the wedge join fans out by out-degree (k-bounded here,
+    sqrt(m)-bounded in general), and the closing join is an equi-join on
+    the (dst, dst) pair key. All shuffles carry node-id scalars."""
+    emb = _emb(spark, sf_dir)
+    g = S.knn_graph_lsh(emb, k=5, n_bands=2).select("id_a", "id_b")
+    ue = (
+        g.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        ue.select(F.col("a").alias("node"))
+        .unionByName(ue.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    j = (
+        ue.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    eo = j.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    ).localCheckpoint(eager=True)
+    w1 = eo.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("dd").alias("dy")
+    )
+    w2 = eo.select(
+        F.col("src"), F.col("dst").alias("z"), F.col("dd").alias("dz")
+    )
+    wedges = w1.join(w2, "src").where(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    tri = wedges.join(
+        eo.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+        ["y", "z"],
+    ).select(F.col("src").alias("x"), "y", "z")
+    nt = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(nt, "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    (F.lit(2.0) * F.coalesce("t", F.lit(0)))
+                    / (F.col("d") * (F.col("d") - F.lit(1))),
+                    6,
+                ),
+            ).alias("clustering_coef"),
+        )
+    )

@@ -130,6 +130,7 @@ FLOORS = {
     "text_rouge_candidates": 14,  # LSH candidate pairs (28 at sf0.01)
     "events_cusum_changepoint": 20,  # alarmed users (47 of 150 at sf0.01)
     "lake_snapshot_expiry": 3,  # one row per event type (5 at sf0.01)
+    "graph_triangle_clustering": 400,  # one row per vector (500 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null
