@@ -5820,3 +5820,122 @@ def text_rouge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rouge2_f"),
         )
     )
+
+
+@query(
+    "text_rake_phrases",
+    oracle=f"""
+    WITH nt AS (SELECT doc_id,
+                       list_filter(string_split_regex(trim(
+                         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                         ' +'), x -> x != '') AS t
+                FROM documents),
+    ph0 AS (SELECT doc_id,
+                   list_filter(string_split_regex(array_to_string(
+                     list_transform(t, x -> CASE WHEN list_contains({_EN}, x)
+                                                 THEN '|' ELSE x END), ' '),
+                     ' *\\| *'), p -> p != '') AS phrases
+            FROM nt),
+    ph AS (SELECT doc_id, pid, phrase,
+                  string_split(phrase, ' ') AS pw
+           FROM (SELECT doc_id, unnest(phrases) AS phrase,
+                        generate_subscripts(phrases, 1) AS pid
+                 FROM ph0)),
+    pw AS (SELECT doc_id, pid, phrase, len(pw) AS plen, unnest(pw) AS w
+           FROM ph),
+    ws AS (SELECT doc_id, w,
+                  CAST(sum(plen - 1) AS DOUBLE) / count(*) AS score
+           FROM pw GROUP BY doc_id, w),
+    ps AS (SELECT p.doc_id, p.phrase,
+                  CAST(sum(CAST(round(ws.score, 12) AS DECIMAL(28,12)))
+                       AS DOUBLE) AS pscore
+           FROM pw p JOIN ws ON ws.doc_id = p.doc_id AND ws.w = p.w
+           GROUP BY p.doc_id, p.pid, p.phrase),
+    agg AS (SELECT doc_id, phrase, max(pscore) AS pscore,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM ps GROUP BY doc_id, phrase)
+    SELECT doc_id, phrase, round(pscore, 6) AS score, n_occurrences,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY pscore DESC, phrase) AS rnk
+          FROM agg)
+    WHERE rnk <= 3
+    """,
+)
+def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword-PHRASE extraction (Rose et al. 2010) — the
+    multi-word complement to the tf-idf term keywords: candidate phrases
+    are maximal stopword-free token runs (stopwords and punctuation are
+    the delimiters), each word scores degree/frequency within its
+    document (degree = co-occurring words summed over its phrases —
+    words living in LONG phrases outrank isolated frequent words), and a
+    phrase scores the sum of its member word scores. Top-3 phrases per
+    document, ties to the lexically smaller phrase.
+
+    Exactness: word scores are integer-ratio doubles; the per-phrase sum
+    rides the round-12 DECIMAL grid (a bare double sum over group rows
+    would be partitioning-order-dependent); the stopword-split is pure
+    string algebra (tokens mapped to '|' markers, split, empties
+    dropped) with the identical regex in both engines.
+
+    Scale: two explodes (phrase grain, word grain) + three partial-agg
+    shuffles keyed by (doc, word) / (doc, phrase) — uniform keys, no
+    joins beyond the word-score equi-join driven by the same exploded
+    frame; per-doc state is its own vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    stop_arr = "array({})".format(
+        ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is", "that"])
+    )
+    nt = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ')),"
+            " ' +'), x -> x != '')"
+        ).alias("t"),
+    )
+    ph0 = nt.select(
+        "doc_id",
+        F.expr(
+            f"filter(split(array_join(transform(t, x -> CASE WHEN"
+            f" array_contains({stop_arr}, x) THEN '|' ELSE x END), ' '),"
+            f" ' *\\\\| *'), p -> p != '')"
+        ).alias("phrases"),
+    )
+    ph = ph0.select(
+        "doc_id", F.posexplode("phrases").alias("pid", "phrase")
+    ).select("doc_id", "pid", "phrase", F.split("phrase", " ").alias("pw"))
+    pw = ph.select(
+        "doc_id", "pid", "phrase", F.size("pw").alias("plen"),
+        F.explode("pw").alias("w"),
+    )
+    ws = pw.groupBy("doc_id", "w").agg(
+        (
+            F.sum(F.col("plen") - F.lit(1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("score")
+    )
+    ps = (
+        pw.join(ws, ["doc_id", "w"])
+        .groupBy("doc_id", "pid", "phrase")
+        .agg(
+            F.sum(F.round("score", 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("pscore")
+        )
+    )
+    agg = ps.groupBy("doc_id", "phrase").agg(
+        F.max("pscore").alias("pscore"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("pscore"), F.asc("phrase"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "phrase",
+            F.round("pscore", 6).alias("score"),
+            "n_occurrences",
+            "rank",
+        )
+    )
