@@ -65,6 +65,15 @@ def commit_snapshot(table_dir: str, operation: str = "append", force: bool = Fal
     the restored file set equals the current one."""
     doc = read_json(_manifest_path(table_dir), {"versions": [], "relocations": {}})
     files = _live_files(table_dir)
+    if doc["versions"]:
+        # SHALLOW-CLONE support: external references (paths escaping the
+        # table root, written by clone_shallow) are not found by the
+        # local file walk — they carry forward on every commit until a
+        # rewrite replaces them.
+        external = [
+            f for f in doc["versions"][-1]["files"] if f.startswith("..")
+        ]
+        files = sorted(set(files) | set(external))
     if not force and doc["versions"] and doc["versions"][-1]["files"] == files:
         return doc["versions"][-1]["v"]
     v = doc["versions"][-1]["v"] + 1 if doc["versions"] else 0
@@ -112,10 +121,19 @@ def read_snapshot(
     # directories parse: the table root for live files, the history batch
     # root for relocated ones.
     groups: dict[str, list[str]] = {}
+    src_root = doc.get("clone_of")
     for rel in by_v[version]["files"]:
-        live = os.path.join(table_dir, rel)
+        live = os.path.normpath(os.path.join(table_dir, rel))
         if os.path.exists(live):
-            groups.setdefault(table_dir, []).append(live)
+            # A shallow clone's external refs parse partition dirs
+            # against the SOURCE table root, not the clone's.
+            base = (
+                src_root
+                if src_root
+                and live.startswith(os.path.normpath(src_root) + os.sep)
+                else table_dir
+            )
+            groups.setdefault(base, []).append(live)
             continue
         hist_rel = doc["relocations"].get(rel)
         if hist_rel is None or not os.path.exists(os.path.join(table_dir, hist_rel)):
@@ -229,3 +247,55 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> int:
             if root != hist_root and not os.listdir(root):
                 os.rmdir(root)
     return deleted
+
+
+def clone_shallow(
+    src_dir: str, dst_dir: str, version: int | None = None
+) -> int:
+    """ZERO-COPY SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`,
+    which the reference inherits through delta-rs): the clone's manifest
+    REFERENCES the source version's physical files (relative external
+    paths resolved at clone time — live or already-relocated history
+    locations), copying no data. Histories diverge from here: appends to
+    the clone write local files and carry the external refs forward
+    (commit_snapshot's external-carry rule); the source never sees
+    clone writes; expiring clone snapshots can never delete source files
+    (expire unlinks only paths in the clone's OWN relocation map).
+
+    Like Delta, a shallow clone is LOG-DEFINED: read it through
+    read_snapshot (explicit file list); a plain directory scan of
+    dst_dir sees only files written after the clone."""
+    doc = load_manifest(src_dir)
+    if doc is None or not doc["versions"]:
+        raise FileNotFoundError(f"no snapshots committed in {src_dir}")
+    by_v = {e["v"]: e for e in doc["versions"]}
+    if version is None:
+        version = doc["versions"][-1]["v"]
+    if version not in by_v:
+        raise KeyError(f"version {version} not found in {src_dir}")
+    refs = []
+    for rel in by_v[version]["files"]:
+        live = os.path.join(src_dir, rel)
+        phys = (
+            live
+            if os.path.exists(live)
+            else os.path.join(src_dir, doc["relocations"][rel])
+        )
+        refs.append(os.path.relpath(os.path.abspath(phys), os.path.abspath(dst_dir)))
+    os.makedirs(dst_dir, exist_ok=True)
+    write_json_atomic(
+        _manifest_path(dst_dir),
+        {
+            "versions": [
+                {
+                    "v": 0,
+                    "ts": time.time(),
+                    "operation": f"clone_shallow:{os.path.abspath(src_dir)}@{version}",
+                    "files": sorted(refs),
+                }
+            ],
+            "relocations": {},
+            "clone_of": os.path.abspath(src_dir),
+        },
+    )
+    return 0

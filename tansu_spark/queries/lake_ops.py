@@ -778,3 +778,102 @@ def lake_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "lake_clone_shallow",
+    oracle="""
+    WITH src AS (SELECT o_orderpriority, count(*) AS n,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                          AS total
+                 FROM orders GROUP BY o_orderpriority),
+    extra AS (SELECT o_orderpriority, count(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total
+              FROM orders WHERE o_orderkey % 7 = 0 GROUP BY o_orderpriority)
+    SELECT s.o_orderpriority,
+           CAST(s.n AS BIGINT) AS src_n,
+           s.total AS src_total,
+           CAST(s.n + coalesce(e.n, 0) AS BIGINT) AS clone_n,
+           round(s.total + coalesce(e.total, 0.0), 2) AS clone_total,
+           CAST(0 AS BIGINT) AS n_files_copied
+    FROM src s LEFT JOIN extra e USING (o_orderpriority)
+    """,
+)
+def lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY SHALLOW CLONE end to end (lake/snapshots.py::
+    clone_shallow — Delta's `CREATE TABLE ... SHALLOW CLONE`, which the
+    reference inherits through delta-rs): commit orders into a source
+    table, clone it WITHOUT copying a byte (the gated n_files_copied
+    column counts parquet files physically under the clone root at clone
+    time — zero), append a slice (orderkey % 7 = 0) to the CLONE only,
+    and read both tables back: the source must still aggregate to the
+    untouched original, the clone to original + slice — divergent
+    histories over shared physical files. Expiring clone snapshots can
+    never delete source data (expire unlinks only the clone's own
+    relocation map).
+
+    Scale: a clone is one manifest write referencing the source
+    version's file list — O(files) paths, no data moved; clone appends
+    are ordinary local writes whose commits carry the external refs
+    forward."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from tansu_spark.lake.snapshots import (
+        clone_shallow,
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="lake_clone_")
+    try:
+        src = f"{scratch}/src"
+        dst = f"{scratch}/clone"
+        orders.repartition(3).write.mode("append").parquet(src)
+        commit_snapshot(src, "append")  # src v0
+        clone_shallow(src, dst)
+        n_copied = len(
+            _glob.glob(f"{dst}/**/*.parquet", recursive=True)
+        )
+        orders.where(F.col("o_orderkey") % 7 == 0).write.mode("append").parquet(dst)
+        commit_snapshot(dst, "append")  # clone v1: local files + external refs
+        s = (
+            spark.read.parquet(src)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("src_n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("src_total"),
+            )
+        )
+        c = (
+            read_snapshot(spark, dst)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("clone_n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    2,
+                ).alias("clone_total"),
+            )
+        )
+        out = s.join(c, "o_orderpriority").select(
+            "o_orderpriority",
+            "src_n",
+            "src_total",
+            "clone_n",
+            "clone_total",
+            F.lit(n_copied).cast("long").alias("n_files_copied"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

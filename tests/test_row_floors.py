@@ -132,6 +132,7 @@ FLOORS = {
     "lake_snapshot_expiry": 3,  # one row per event type (5 at sf0.01)
     "graph_triangle_clustering": 400,  # one row per vector (500 at sf0.01)
     "text_rake_phrases": 700,  # top-3 phrases per doc (1307 at sf0.01)
+    "lake_clone_shallow": 3,  # one row per order priority (5 at sf0.01)
 }
 
 # scalar aggregates: exactly one row whose values must all be non-null

@@ -179,3 +179,44 @@ def test_restore_to_current_version_records_operation(spark, tmp_path):
     entry = load_manifest(d)["versions"][-1]
     assert entry["operation"] == "restore(v0)"
     assert read_snapshot(spark, d, 1).count() == 10
+
+
+def test_clone_shallow_zero_copy_divergent_histories(spark, tmp_path):
+    """A shallow clone copies no data, reads the source version through
+    external refs, diverges on append, and its snapshot expiry can never
+    delete source files."""
+    import glob
+
+    from tansu_spark.lake.snapshots import clone_shallow
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    _write(spark, src, range(10))
+    commit_snapshot(src)
+    clone_shallow(src, dst)
+    assert glob.glob(f"{dst}/**/*.parquet", recursive=True) == []
+    assert read_snapshot(spark, dst).count() == 10
+    # Divergence: append to the clone only.
+    _write(spark, dst, range(100, 105))
+    commit_snapshot(dst)
+    assert read_snapshot(spark, dst).count() == 15
+    assert spark.read.parquet(src).count() == 10
+    # Clone v0 still resolves after the append (external refs carried).
+    assert read_snapshot(spark, dst, 0).count() == 10
+    # Expiring the clone's history never touches source data files.
+    expire_snapshots(dst, keep_last=1)
+    assert spark.read.parquet(src).count() == 10
+    assert read_snapshot(spark, dst).count() == 15
+
+
+def test_clone_shallow_of_partitioned_source_parses_partition_dirs(spark, tmp_path):
+    from tansu_spark.lake.snapshots import clone_shallow
+
+    src = str(tmp_path / "psrc")
+    dst = str(tmp_path / "pclone")
+    _write(spark, src, range(12), part=True)
+    commit_snapshot(src)
+    clone_shallow(src, dst)
+    got = read_snapshot(spark, dst)
+    assert got.count() == 12
+    assert set(r["p"] for r in got.select("p").distinct().collect()) == {0, 1}
