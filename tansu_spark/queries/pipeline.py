@@ -101,11 +101,43 @@ def _checkpoint_rdd_id(df) -> int | None:
 
 def dedup_chain_protected_ids() -> set:
     """RDD ids whose blocks back the live chain checkpoints — callers that
-    bulk-unpersist leftovers (bench.py) must skip these."""
+    bulk-unpersist leftovers (bench.py) must skip these. Includes the
+    winnowing fingerprint cache (same reuse contract: two consumers,
+    one expensive build)."""
     out: set = set()
     for ids in _CHAIN_PROTECTED.values():
         out |= ids
+    for ids in _FPS_PROTECTED.values():
+        out |= ids
     return out
+
+
+_FPS_CACHE: dict = {}
+_FPS_PROTECTED: dict = {}
+
+
+def _winnow_fps_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached, checkpointed winnowed fingerprints — built once
+    per (app, sf_dir) and shared by the near-dup pair query and the
+    eval-contamination query (the same probe-and-rebuild contract as
+    _dedup_chain: a driver-side persistent-RDD registry check, zero
+    Spark jobs when healthy)."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _FPS_CACHE.get(key)
+    if hit is not None:
+        ids = _FPS_PROTECTED.get(key, set())
+        if ids and ids <= _persistent_rdd_ids(spark):
+            return hit
+        _FPS_CACHE.pop(key, None)
+        _FPS_PROTECTED.pop(key, None)
+    fps = _winnow_fps(spark, sf_dir).localCheckpoint(eager=True)
+    _FPS_CACHE[key] = fps
+    _FPS_PROTECTED[key] = {
+        i for i in (_checkpoint_rdd_id(fps),) if i is not None
+    }
+    return fps
 
 
 def _dedup_chain(spark: SparkSession, sf_dir: str) -> dict:
@@ -5135,7 +5167,7 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus saturates the 24.5x constant (every fingerprint at df=L) but
     cannot exceed it; the observed 0.01→0.1 sweep growth (4.06x in r7)
     is pair-density approaching that ceiling, not superlinearity."""
-    fps = _winnow_fps(spark, sf_dir).localCheckpoint(eager=True)
+    fps = _winnow_fps_cached(spark, sf_dir)
     kept = fps.join(
         fps.groupBy("h").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= 50),
         "h",
@@ -5204,7 +5236,7 @@ def corpus_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the detection is one equi-join of the training fingerprint table
     against them — per-doc cost is its winnowed fingerprint count
     (~2/(w+1) of its length), never a pairwise scan."""
-    fps = _winnow_fps(spark, sf_dir).localCheckpoint(eager=True)
+    fps = _winnow_fps_cached(spark, sf_dir)
     kept = fps.join(
         fps.groupBy("h").agg(F.count(F.lit(1)).alias("_df")).where(F.col("_df") <= 50),
         "h",
