@@ -339,3 +339,34 @@ def test_prefix_filter_join_is_superset_of_lsh_verified(spark, sf_dir):
         for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
     }
     assert lsh <= exact, lsh - exact
+
+
+def test_winnow_fps_cache_self_heals_and_protects(spark):
+    """The winnowing fingerprint cache follows the chain contract: one
+    build per (app, sf), its checkpoint id enters the protected set, an
+    external bulk-unpersist triggers rebuild (not failure), and the
+    protected id is replaced on rebuild."""
+    from tansu_spark.queries import pipeline as P
+
+    sf = "/root/testdata/sf0.001"
+    P._FPS_CACHE.clear()
+    P._FPS_PROTECTED.clear()
+    fps = P._winnow_fps_cached(spark, sf)
+    n = fps.count()
+    assert n > 0
+    ids1 = set().union(*P._FPS_PROTECTED.values())
+    assert len(ids1) == 1 and ids1 <= P._persistent_rdd_ids(spark)
+    assert ids1 <= P.dedup_chain_protected_ids()
+    # cache hit: same object, no rebuild
+    assert P._winnow_fps_cached(spark, sf) is fps
+
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+    spark.catalog.clearCache()
+
+    fps2 = P._winnow_fps_cached(spark, sf)  # must rebuild, not raise
+    assert fps2 is not fps
+    assert fps2.count() == n
+    ids2 = set().union(*P._FPS_PROTECTED.values())
+    assert len(ids2) == 1 and ids2 != ids1
