@@ -499,6 +499,18 @@ def compile_type_strictness(schema: dict[str, Any], raw, parsed):
                 ok = (vt == "VOID") | ok
             preds.append(ok)
 
+        if nullable_of(t) is not None and (
+            ("const" in sub and sub["const"] is not None)
+            or ("enum" in sub and None not in sub["enum"])
+        ):
+            # const/enum constrain EVERY instance type including null
+            # (unlike minimum/pattern/..., which only apply to their own
+            # primitive type): an explicit null passes the ["null", T]
+            # union but fails a non-null const/enum. Only the variant
+            # can see the difference between that null and an absent key
+            # (hypothesis differential, r8).
+            preds.append(vt != "VOID")
+
         if t_norm == "array" and isinstance(sub.get("items"), dict):
             elems = F.try_variant_get(node, "$", "array<variant>")
             preds.append(

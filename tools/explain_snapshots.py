@@ -219,6 +219,23 @@ SNAPSHOTS: dict[str, str] = {
         "value is the ntypes scalar literal. Per-doc aggregation sums "
         "BIGINT micro-probabilities — no double accumulation stage."
     ),
+    "graph_pagerank_knn": (
+        "Iterative graph op with a STATICALLY BOUNDED plan: the kNN "
+        "adjacency is a checkpointed scan (built once), each of the 3 "
+        "iterations is one hash-join of O(nk) scalar contributions + a "
+        "partial-agg shuffle keyed on the destination id + one left join "
+        "against the node frame; the count row rides a single-row "
+        "BroadcastExchange. No embedding column appears after the "
+        "adjacency build — verify ReadSchema on the iteration scans."
+    ),
+    "pipeline_quality_linear_probe": (
+        "Training in the dataflow: ONE partial-agg shuffle produces the "
+        "nine-Gram-sum single row (HashAggregate partial -> final over "
+        "zero grouping keys), the Cramer solve is a Project over that row "
+        "broadcast back (single-row BroadcastExchange), and scoring is a "
+        "second scan — two corpus scans total, no gradient loop, no "
+        "collect in the plan."
+    ),
 }
 
 
