@@ -5873,19 +5873,20 @@ def text_rouge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM (SELECT doc_id, unnest(phrases) AS phrase,
                         generate_subscripts(phrases, 1) AS pid
                  FROM ph0)),
-    pw AS (SELECT doc_id, pid, phrase, len(pw) AS plen, unnest(pw) AS w
+    pw AS (SELECT doc_id, pid, len(pw) AS plen, unnest(pw) AS w
            FROM ph),
     ws AS (SELECT doc_id, w,
                   CAST(sum(plen - 1) AS DOUBLE) / count(*) AS score
            FROM pw GROUP BY doc_id, w),
-    ps AS (SELECT p.doc_id, p.phrase,
+    ps AS (SELECT p.doc_id, p.pid,
                   CAST(sum(CAST(round(ws.score, 12) AS DECIMAL(28,12)))
                        AS DOUBLE) AS pscore
            FROM pw p JOIN ws ON ws.doc_id = p.doc_id AND ws.w = p.w
-           GROUP BY p.doc_id, p.pid, p.phrase),
-    agg AS (SELECT doc_id, phrase, max(pscore) AS pscore,
+           GROUP BY p.doc_id, p.pid),
+    agg AS (SELECT s.doc_id, h.phrase, max(s.pscore) AS pscore,
                    CAST(count(*) AS BIGINT) AS n_occurrences
-            FROM ps GROUP BY doc_id, phrase)
+            FROM ps s JOIN ph h ON h.doc_id = s.doc_id AND h.pid = s.pid
+            GROUP BY s.doc_id, h.phrase)
     SELECT doc_id, phrase, round(pscore, 6) AS score, n_occurrences,
            CAST(rnk AS BIGINT) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -5936,8 +5937,13 @@ def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = ph0.select(
         "doc_id", F.posexplode("phrases").alias("pid", "phrase")
     ).select("doc_id", "pid", "phrase", F.split("phrase", " ").alias("pw"))
+    # The word grain carries ONLY scalars — phrase strings re-attach by
+    # (doc, pid) AFTER the score aggregation. Measured at sf1: the
+    # ciphered shards have near-zero stopword density, so phrases run
+    # ~40 words; carrying the phrase string through the word explode
+    # shuffled ~800 MB of repeated strings (and sank an AQE broadcast).
     pw = ph.select(
-        "doc_id", "pid", "phrase", F.size("pw").alias("plen"),
+        "doc_id", "pid", F.size("pw").alias("plen"),
         F.explode("pw").alias("w"),
     )
     ws = pw.groupBy("doc_id", "w").agg(
@@ -5948,16 +5954,20 @@ def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = (
         pw.join(ws, ["doc_id", "w"])
-        .groupBy("doc_id", "pid", "phrase")
+        .groupBy("doc_id", "pid")
         .agg(
             F.sum(F.round("score", 12).cast("decimal(28,12)"))
             .cast("double")
             .alias("pscore")
         )
     )
-    agg = ps.groupBy("doc_id", "phrase").agg(
-        F.max("pscore").alias("pscore"),
-        F.count(F.lit(1)).alias("n_occurrences"),
+    agg = (
+        ps.join(ph.select("doc_id", "pid", "phrase"), ["doc_id", "pid"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.max("pscore").alias("pscore"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("pscore"), F.asc("phrase"))
     return (
