@@ -126,19 +126,37 @@ def read_snapshot(
         live = os.path.normpath(os.path.join(table_dir, rel))
         if os.path.exists(live):
             # A shallow clone's external refs parse partition dirs
-            # against the SOURCE table root, not the clone's.
-            base = (
-                src_root
+            # against the SOURCE table root, not the clone's — and when
+            # the ref resolved (at clone time) into the source's
+            # _history/<batch>/, the batch root is the basePath, exactly
+            # like the local relocation branch below; src_root alone
+            # would make Spark parse `_history/<batch>` as partition
+            # directory segments.
+            root = (
+                os.path.normpath(src_root)
                 if src_root
                 and live.startswith(os.path.normpath(src_root) + os.sep)
                 else table_dir
+            )
+            in_root = os.path.relpath(live, root).split(os.sep)
+            base = (
+                os.path.join(root, *in_root[:2])
+                if len(in_root) > 2 and in_root[0] == HISTORY_DIR
+                else root
             )
             groups.setdefault(base, []).append(live)
             continue
         hist_rel = doc["relocations"].get(rel)
         if hist_rel is None or not os.path.exists(os.path.join(table_dir, hist_rel)):
+            clone_note = (
+                f" (shallow clone of {src_root}: source-side maintenance"
+                f" after the clone invalidates external refs)"
+                if src_root
+                else ""
+            )
             raise FileNotFoundError(
-                f"version {version} of {table_dir} is expired: {rel} was vacuumed"
+                f"version {version} of {table_dir} is expired: {rel} was"
+                f" vacuumed{clone_note}"
             )
         # basePath = _history/<batch>; the remainder mirrors the table layout.
         parts = hist_rel.split(os.sep)
@@ -264,7 +282,17 @@ def clone_shallow(
 
     Like Delta, a shallow clone is LOG-DEFINED: read it through
     read_snapshot (explicit file list); a plain directory scan of
-    dst_dir sees only files written after the clone."""
+    dst_dir sees only files written after the clone.
+
+    HAZARD (same as Delta's documented shallow-clone/VACUUM interaction):
+    the converse of the expiry guarantee does NOT hold — SOURCE-side
+    maintenance after the clone (compact_table relocation or
+    expire_snapshots on the source) moves or deletes the physical files
+    the clone's external refs point at, silently invalidating the clone:
+    its reads then fail as 'expired' even for the clone's latest version
+    (read_snapshot's error names the clone source so the failure is
+    diagnosable). Treat clones as snapshots to consume before source
+    VACUUM, or deep-copy before source maintenance."""
     doc = load_manifest(src_dir)
     if doc is None or not doc["versions"]:
         raise FileNotFoundError(f"no snapshots committed in {src_dir}")
@@ -276,11 +304,19 @@ def clone_shallow(
     refs = []
     for rel in by_v[version]["files"]:
         live = os.path.join(src_dir, rel)
-        phys = (
-            live
-            if os.path.exists(live)
-            else os.path.join(src_dir, doc["relocations"][rel])
-        )
+        if os.path.exists(live):
+            phys = live
+        else:
+            # Mirror restore_version's pass-1 validation: a partially
+            # vacuumed source version is a clear error, not a KeyError.
+            hist_rel = doc["relocations"].get(rel)
+            if hist_rel is None or not os.path.exists(
+                os.path.join(src_dir, hist_rel)
+            ):
+                raise FileNotFoundError(
+                    f"cannot clone {src_dir}@{version}: {rel} was vacuumed"
+                )
+            phys = os.path.join(src_dir, hist_rel)
         refs.append(os.path.relpath(os.path.abspath(phys), os.path.abspath(dst_dir)))
     os.makedirs(dst_dir, exist_ok=True)
     write_json_atomic(

@@ -2534,10 +2534,17 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated per round by a broadcast of the single new center (k rounds
     x one map + one TakeOrdered top-1 — no shuffle of the corpus); the
     chosen set is bounded by config k, never data volume. Each round
-    localCheckpoints the (id, dm) scalars so plan depth stays constant.
-    Sequentiality is inherent to greedy k-center (each pick conditions
-    on the last), so rounds, not data, are the serial axis — k is small
-    by construction."""
+    localCheckpoints the (id, embedding, dm) table so plan depth stays
+    constant — the embedding column is RETAINED BY DESIGN (a scalar-only
+    checkpoint would force a corpus-wide shuffle-join per round to
+    recover the vectors for the next distance update, and localCheckpoint
+    drops partitioning metadata so the join could never be co-located);
+    instead each round's single-row pick is checkpointed and the
+    PREVIOUS round's corpus-sized blocks are explicitly unpersisted, so
+    peak block-manager footprint is ~2 corpus copies, never k (r8
+    advice). Sequentiality is inherent to greedy k-center (each pick
+    conditions on the last), so rounds, not data, are the serial axis —
+    k is small by construction."""
     emb = _emb(spark, sf_dir)
     c0 = emb.orderBy("vec_id").limit(1)
     md = emb.crossJoin(
@@ -2554,9 +2561,29 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("sel_dist"),
         )
     ]
+
+    def _ckpt_rdd(df):
+        # The persisted JVM RDD behind a localCheckpoint'ed DataFrame
+        # (same access path as pipeline._checkpoint_rdd_id).
+        try:
+            return df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            return None
+
+    prev = None
     for r in range(1, 8):
         md = md.localCheckpoint(eager=True)
-        nxt = md.orderBy(F.desc("dm"), F.asc("vec_id")).limit(1)
+        # Round r's table is materialized; round r-1's corpus-sized
+        # blocks are no longer reachable by anything (its pick was
+        # checkpointed as a single row below) — free them now.
+        if prev is not None:
+            prev.unpersist(False)
+        prev = _ckpt_rdd(md)
+        nxt = (
+            md.orderBy(F.desc("dm"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row; detaches picks from md
+        )
         picks.append(
             nxt.select(
                 F.lit(r).alias("sel_round"),
@@ -2574,6 +2601,10 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1) - F.round(S.cosine("embedding", "cemb"), 10),
             ).alias("dm"),
         )
+    # The last round's corpus table feeds nothing downstream (picks read
+    # only the 1-row checkpoints).
+    if prev is not None:
+        prev.unpersist(False)
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)

@@ -298,3 +298,62 @@ def test_semantic_cluster_contrast_matches_oracle_and_floor(spark, sf_dir):
     n_vec = load(spark, sf_dir, "embeddings").count()
     assert df.count() == n_vec  # one decision row per vector
     compare(df, SEMANTIC_CLUSTER_CONTRAST_ORACLE, sf_dir)
+
+
+def test_duckdb_list_inner_product_is_sequential_left_fold():
+    """Pinned engine-behavior parity (r8 advice): every similarity
+    oracle's `_dot_sql` uses DuckDB's `list_inner_product` on the claim
+    that it accumulates sequentially left-to-right — the identical IEEE
+    shape to Spark's `aggregate` fold. Summation order is an engine
+    implementation detail; if a DuckDB upgrade moves to SIMD/pairwise
+    accumulation, this ONE targeted test fails (on vectors built so
+    sequential and pairwise orders give DIFFERENT doubles) instead of
+    round-10 digits silently flipping across every similarity oracle."""
+    import duckdb
+
+    def seq_fold(a, b):
+        t = 0.0
+        for x, y in zip(a, b):
+            t += x * y
+        return t
+
+    ones = [1.0] * 64
+    cases = [
+        # Cancellation chain, order-sensitive: sequential left fold gives
+        # 1.0 (each +1 after the -1e16 survives; each +1 before a +1e16
+        # is absorbed); pairwise/tree orders give 0.0 or 16.0.
+        ([1e16, 1.0, -1e16, 1.0] * 16, ones),
+        # Alternating magnitudes with sign flips across the whole range.
+        ([((-1.0) ** i) * (10.0 ** ((i % 17) - 8)) for i in range(64)], ones),
+        # Subnormals: accumulation of 64 denormal products.
+        ([5e-324] * 64, ones),
+        # Both sides non-trivial: products rounded identically in both
+        # engines before the fold, then order-sensitive accumulation.
+        (
+            [1e8 + i * 0.1 for i in range(64)],
+            [((-1.0) ** i) * (1e8 - i * 0.1) for i in range(64)],
+        ),
+        # Zero vector floor case.
+        ([0.0] * 64, ones),
+    ]
+    con = duckdb.connect()
+    for a, b in cases:
+        expect = seq_fold(a, b)
+        got = con.execute(
+            "SELECT list_inner_product(CAST(? AS DOUBLE[]), CAST(? AS DOUBLE[]))",
+            [a, b],
+        ).fetchone()[0]
+        assert got == expect, (
+            f"list_inner_product no longer matches the sequential "
+            f"left fold: got {got!r}, want {expect!r} — re-verify every "
+            f"_dot_sql oracle before trusting round-10 cosine digits"
+        )
+        # And the explicit list_reduce fold (the pre-r8 oracle form)
+        # agrees too, tying the two SQL shapes together.
+        red = con.execute(
+            "SELECT list_reduce(list_transform(range(1, len(?) + 1),"
+            " i -> (CAST(? AS DOUBLE[]))[i] * (CAST(? AS DOUBLE[]))[i]),"
+            " (x, y) -> x + y)",
+            [a, a, b],
+        ).fetchone()[0]
+        assert red == expect

@@ -220,3 +220,68 @@ def test_clone_shallow_of_partitioned_source_parses_partition_dirs(spark, tmp_pa
     got = read_snapshot(spark, dst)
     assert got.count() == 12
     assert set(r["p"] for r in got.select("p").distinct().collect()) == {0, 1}
+
+
+def test_clone_of_compacted_source_uses_history_batch_base(spark, tmp_path):
+    """A clone taken AFTER a source compaction holds external refs into
+    the source's _history/<batch>/; the basePath for those refs must be
+    the batch root (r8 advice) or Spark would try to parse
+    `_history/<batch>` as partition directory segments."""
+    from tansu_spark.lake.maintain import compact_table
+    from tansu_spark.lake.snapshots import clone_shallow
+
+    src = str(tmp_path / "hsrc")
+    dst = str(tmp_path / "hclone")
+    _write(spark, src, range(12), part=True)
+    commit_snapshot(src)
+    _write(spark, src, range(12, 24), part=True)
+    commit_snapshot(src)
+    compact_table(spark, src, target_bytes=1 << 30)
+    # v0's files are now relocated under src/_history/<batch>/.
+    clone_shallow(src, dst, version=0)
+    got = read_snapshot(spark, dst)
+    assert sorted(r["id"] for r in got.collect()) == list(range(12))
+    assert set(r["p"] for r in got.select("p").distinct().collect()) == {0, 1}
+
+
+def test_clone_of_vacuumed_source_version_raises_descriptive(spark, tmp_path):
+    """A version still listed in the manifest but with a history file
+    physically gone (partially vacuumed source) must fail clone_shallow
+    with a descriptive FileNotFoundError, mirroring restore_version's
+    pass-1 validation — not a bare KeyError (r8 advice)."""
+    import glob
+
+    from tansu_spark.lake.maintain import compact_table
+    from tansu_spark.lake.snapshots import HISTORY_DIR, clone_shallow
+
+    src = str(tmp_path / "vsrc")
+    _write(spark, src, range(10))
+    commit_snapshot(src)
+    _write(spark, src, range(10, 20))
+    commit_snapshot(src)
+    compact_table(spark, src, target_bytes=1 << 30)
+    hist = glob.glob(f"{src}/{HISTORY_DIR}/**/*.parquet", recursive=True)
+    assert hist
+    os.unlink(hist[0])
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        clone_shallow(src, str(tmp_path / "vclone"), version=0)
+
+
+def test_clone_read_after_source_maintenance_names_the_source(spark, tmp_path):
+    """Source-side VACUUM after a clone invalidates the clone's external
+    refs (Delta's documented shallow-clone hazard); the read error must
+    name the clone source so the failure is diagnosable."""
+    from tansu_spark.lake.maintain import compact_table
+    from tansu_spark.lake.snapshots import clone_shallow
+
+    src = str(tmp_path / "msrc")
+    dst = str(tmp_path / "mclone")
+    _write(spark, src, range(10))
+    commit_snapshot(src)
+    clone_shallow(src, dst)
+    _write(spark, src, range(10, 20))
+    commit_snapshot(src)
+    compact_table(spark, src, target_bytes=1 << 30)
+    expire_snapshots(src, keep_last=1)
+    with pytest.raises(FileNotFoundError, match="shallow clone"):
+        read_snapshot(spark, dst).collect()
