@@ -61,6 +61,37 @@ def main() -> None:
             print(f"produced {produced}/{total}", file=sys.stderr)
         produce_s = time.time() - t0
 
+        # PIPELINED Python-rows produce (r8 verdict ask #4): a second
+        # thread builds + ships batch N+1's Arrow frame (driver→JVM
+        # transfer) while the main thread runs batch N's parquet commit.
+        # If the residual bottleneck really is page-cache writeback +
+        # parquet commit (BASELINE.md r7 profile), the overlap gain is
+        # bounded by the transfer share and stays < 1.5x.
+        from concurrent.futures import ThreadPoolExecutor
+
+        broker.create_topic("perf_pipe", partitions=8)
+
+        def mk_frame(start: int, n: int):
+            return broker.rows_to_frame(
+                [{"key": f"k{start + i}", "value": payload} for i in range(n)]
+            )
+
+        ex = ThreadPoolExecutor(max_workers=1)
+        produced_p = 0
+        t3 = time.time()
+        fut = ex.submit(mk_frame, 0, min(batch, total))
+        while produced_p < total:
+            df = fut.result()
+            n = min(batch, total - produced_p)
+            nxt = min(batch, total - (produced_p + n))
+            if nxt > 0:
+                fut = ex.submit(mk_frame, produced_p + n, nxt)
+            broker.produce("perf_pipe", df)
+            produced_p += n
+            print(f"pipelined {produced_p}/{total}", file=sys.stderr)
+        ex.shutdown()
+        produce_pipe_s = time.time() - t3
+
         # DataFrame-source produce: rows generated JVM-side (spark.range),
         # no driver serialization — the shape of real ingestion (files,
         # streams), where the Python list path above is the CLI/cat shape.
@@ -92,6 +123,9 @@ def main() -> None:
             "metric": "broker_throughput",
             "produce_records_per_s": round(produced / produce_s, 1),
             "produce_mb_per_s": round(produced * rec_size / produce_s / 1e6, 2),
+            "produce_pipelined_records_per_s": round(
+                produced_p / produce_pipe_s, 1
+            ),
             "produce_df_records_per_s": round(produced_df / produce_df_s, 1),
             "produce_df_mb_per_s": round(produced_df * rec_size / produce_df_s / 1e6, 2),
             "fetch_records_per_s": round(fetched / fetch_s, 1),

@@ -601,6 +601,15 @@ class Broker:
         a plain list-of-tuples createDataFrame pickles row-at-a-time and
         measured ~14x slower at batch 50k (r7 verdict ask #6); the Arrow
         path moves three contiguous column buffers instead."""
+        return self.produce(topic, self.rows_to_frame(rows), **kw)
+
+    def rows_to_frame(self, rows: list[dict[str, Any]]) -> DataFrame:
+        """The driver→JVM half of produce_rows: encode the dict batch as
+        ONE Arrow pandas frame and ship it (createDataFrame over the
+        pinned parallelize path transfers eagerly). Split out so a
+        pipelined producer (bench_broker.py --pipelined, r8 verdict ask
+        #4) can overlap batch N+1's transfer with batch N's parquet
+        commit from a second thread."""
         import datetime
 
         import pandas as pd
@@ -644,7 +653,7 @@ class Broker:
                 self.spark.conf.unset(key)
             else:
                 self.spark.conf.set(key, old)
-        return self.produce(topic, df, **kw)
+        return df
 
     # ---------------------------------------------------------------- fetching
     def _parse_topic_key(self, topic: str) -> tuple[str, bytes | None]:

@@ -294,6 +294,42 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, s): one row per distinct trigram shingle per 64/48 chunk —
+    the map-only explode feeding dedup_chunk_minhash's signature
+    aggregate. Exposed as a helper so tools/stage_attribution.py can
+    count the chunk and shingle stages the query actually runs."""
+    tk = _docs(spark, sf_dir).select(
+        "doc_id", T.tokens("text").alias("t")
+    ).withColumn("n", F.size("t"))
+    ch = (
+        tk.withColumn(
+            "chunk_index",
+            F.explode(
+                F.sequence(F.lit(0), F.expr("(greatest(n, 17) - 17) div 48"))
+            ),
+        )
+        .select(
+            (F.col("doc_id") * 1000000 + F.col("chunk_index")).alias("cid"),
+            F.expr("slice(t, chunk_index * 48 + 1, 64)").alias("t"),
+        )
+    )
+    zipped = "slice(t, 3, size(t)-2)"
+    for j in (2, 1):
+        zipped = (
+            f"zip_with(slice(t, {j}, size(t)-2), {zipped}, "
+            "(x, y) -> concat(x, ' ', y))"
+        )
+    sh = ch.select(
+        "cid",
+        F.expr(
+            f"array_distinct(CASE WHEN size(t) >= 3 THEN {zipped} "
+            "ELSE array(concat_ws(' ', t)) END)"
+        ).alias("shingles"),
+    )
+    return sh.select("cid", F.explode("shingles").alias("s"))
+
+
 @query(
     "dedup_chunk_minhash",
     oracle=_TOK_CTE
@@ -352,35 +388,7 @@ def dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     document becomes many bounded chunks instead of one mega-row)."""
     from tansu_spark.functions.dedup import lsh_bands, lsh_candidate_pairs
 
-    tk = _docs(spark, sf_dir).select(
-        "doc_id", T.tokens("text").alias("t")
-    ).withColumn("n", F.size("t"))
-    ch = (
-        tk.withColumn(
-            "chunk_index",
-            F.explode(
-                F.sequence(F.lit(0), F.expr("(greatest(n, 17) - 17) div 48"))
-            ),
-        )
-        .select(
-            (F.col("doc_id") * 1000000 + F.col("chunk_index")).alias("cid"),
-            F.expr("slice(t, chunk_index * 48 + 1, 64)").alias("t"),
-        )
-    )
-    zipped = "slice(t, 3, size(t)-2)"
-    for j in (2, 1):
-        zipped = (
-            f"zip_with(slice(t, {j}, size(t)-2), {zipped}, "
-            "(x, y) -> concat(x, ' ', y))"
-        )
-    sh = ch.select(
-        "cid",
-        F.expr(
-            f"array_distinct(CASE WHEN size(t) >= 3 THEN {zipped} "
-            "ELSE array(concat_ws(' ', t)) END)"
-        ).alias("shingles"),
-    )
-    e = sh.select("cid", F.explode("shingles").alias("s"))
+    e = _chunk_shingle_rows(spark, sf_dir)
     sig = e.groupBy("cid").agg(
         *[
             F.min(

@@ -11,15 +11,27 @@ new sample:
   event_id +100000i, user_id +1500i, doc_id +5000i, vec_id +2000i), so
   every join relationship of the original holds per copy and fact/dim
   ratios are preserved.
-* documents.text in copy i>0 goes through a per-copy letter-shift cipher
-  (translate a..z by i): WITHIN a copy all planted near-dup/substring
-  structure survives bit-for-bit (a cipher is a bijection applied
-  uniformly), while ACROSS copies shared substrings vanish — so the
-  corpus behaves like 10 independent shards: near-dup pair density per
-  doc stays constant and candidate volume grows linearly, which is what
-  a real 10x corpus does. Coarse blocking keys (lang, length) are NOT
-  varied, deliberately: blocks genuinely grow 10x in a 10x corpus, and
-  any per-block quadratic must show up in the sweep, not be masked.
+* documents.text in copy i>0 goes through a per-copy STOPWORD-PRESERVING
+  letter-shift cipher: every word NOT in a language's stopword list is
+  translate()d a..z by i; stopwords pass through unchanged. WITHIN a
+  copy all planted near-dup/substring structure survives bit-for-bit
+  (the word-level cipher is a bijection applied uniformly — modulo a
+  negligible chance a ciphered word collides with a stopword), while
+  ACROSS copies shared content substrings vanish — so the corpus behaves
+  like 10 independent shards: near-dup pair density per doc stays
+  constant and candidate volume grows linearly, which is what a real 10x
+  corpus does. Preserving stopwords is what keeps the QUALITY-GATE and
+  LANG-ID behavior of the copies realistic (r9 fix): the original
+  whole-text cipher turned "the/a/of/..." into non-stopwords, so
+  Gopher's n_stop>=2 rule rejected 9 of 10 shards and every
+  survivor-bound downstream stage (curation capstone stages 2-8) ran on
+  sf0.1-sized data — the second decade silently wasn't one for those
+  stages. Stopword trigrams DO now collide across shards, as they do in
+  any real corpus — hub-key/df-cap discipline must absorb them, which is
+  part of what the sweep should test. Coarse blocking keys (lang,
+  length) are NOT varied, deliberately: blocks genuinely grow 10x in a
+  10x corpus, and any per-block quadratic must show up in the sweep, not
+  be masked.
 * embeddings in copy i>0 get a per-copy random permutation of the 64
   dims (seeded, numpy): norms and within-copy cosines are exactly
   preserved, cross-copy cosines are scrambled — 10 independent shards
@@ -31,6 +43,9 @@ Run: python tools/gen_scale_data.py   (~30 s, ~170 MB output)
 from __future__ import annotations
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np
@@ -122,11 +137,28 @@ def main() -> None:
     def shifted(i: int) -> str:
         return ALPHA[i:] + ALPHA[:i]
 
+    # Stopword-preserving word-level cipher (see module docstring): the
+    # union of every language's heuristic stopword list, i.e. exactly the
+    # words the engine's quality gates / lang-id key on.
+    from tansu_spark.functions.text import STOPWORDS
+
+    stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stoplist = ", ".join(f"'{w}'" for w in stop)
+
+    def cipher(i: int) -> str:
+        if i == 0:
+            return "text"
+        return (
+            "array_to_string(list_transform(string_split(text, ' '), "
+            f"w -> CASE WHEN w IN ({stoplist}) THEN w "
+            f"ELSE translate(w, '{ALPHA}', '{shifted(i)}') END), ' ')"
+        )
+
     write(
         "documents",
         " UNION ALL ".join(
             f"SELECT doc_id + {i} * 5000 AS doc_id,"
-            f" translate(text, '{ALPHA}', '{shifted(i)}') AS text,"
+            f" {cipher(i)} AS text,"
             f" lang, source, n_chars FROM '{SRC}/documents.parquet'"
             for i in range(COPIES)
         ),
