@@ -43,14 +43,21 @@ def with_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(id, shingles) — distinct token n-grams per document. Documents
-    shorter than n tokens contribute their whole text as one shingle.
+    shorter than n tokens contribute their whole text as one shingle;
+    NULL-text documents contribute NO shingles (pinned: without the
+    filter the ELSE branch's concat_ws turns a NULL token list into an
+    '' shingle, making every NULL doc a near-duplicate of every empty
+    doc — the DuckDB oracles' NULL lists naturally yield no shingle
+    rows, and the hostile gate caught the divergence).
 
     The token array is materialized in its own projection (not re-split
     inside the lambda). N-grams are assembled from n WHOLE-ARRAY slices
     combined with zip_with — the per-element lambda is a flat string
     concat, with no per-element slice allocation (measured ~2x cheaper
     on a cold plan than transform(sequence, i -> slice(t, i+1, n)))."""
-    toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(text_col).alias("t")
+    )
     zipped = f"slice(t, {n}, size(t)-{n - 1})"
     for j in range(n - 1, 0, -1):
         zipped = (

@@ -492,10 +492,13 @@ def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_value_percentiles",
     oracle="""
     SELECT event_type,
-           quantile_cont(value, 0.25) AS p25,
-           quantile_cont(value, 0.50) AS p50,
-           quantile_cont(value, 0.75) AS p75,
-           quantile_cont(value, 0.90) AS p90,
+           -- + 0.0 normalizes IEEE -0.0: interpolation between +/-0.0
+           -- elements inherits whichever zero the engine's sort put at
+           -- that rank (hostile-gate find; same number either way)
+           quantile_cont(value, 0.25) + 0.0 AS p25,
+           quantile_cont(value, 0.50) + 0.0 AS p50,
+           quantile_cont(value, 0.75) + 0.0 AS p75,
+           quantile_cont(value, 0.90) + 0.0 AS p90,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -507,11 +510,12 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-reducer, no extra shuffle beyond the groupBy."""
     ev = load(spark, sf_dir, "events")
     pcts = F.percentile("value", F.lit([0.25, 0.5, 0.75, 0.9]))
+    zero = F.lit(0.0)  # + 0.0 normalizes -0.0 ranks (see oracle note)
     return ev.groupBy("event_type").agg(
-        pcts.getItem(0).alias("p25"),
-        pcts.getItem(1).alias("p50"),
-        pcts.getItem(2).alias("p75"),
-        pcts.getItem(3).alias("p90"),
+        (pcts.getItem(0) + zero).alias("p25"),
+        (pcts.getItem(1) + zero).alias("p50"),
+        (pcts.getItem(2) + zero).alias("p75"),
+        (pcts.getItem(3) + zero).alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -2482,8 +2486,13 @@ def bucketed_join_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH st AS (
       SELECT user_id, count(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(value AS DECIMAL(12,2))
-                      * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
+             -- squares widen to DECIMAL(19,2): DuckDB's DECIMAL(12,2)
+             -- product overflows INT64 at the domain edge (9.9e9^2;
+             -- 19 digits is DuckDB's hugeint promotion threshold)
+             -- where Spark's auto-widened DECIMAL(25,4) is exact;
+             -- same scale-4 grid, wider range (hostile-gate find)
+             CAST(SUM(CAST(value AS DECIMAL(19,2))
+                      * CAST(value AS DECIMAL(19,2))) AS DOUBLE) AS s2
       FROM events GROUP BY user_id),
     z AS (
       SELECT e.event_id, e.user_id, e.value,
@@ -3271,8 +3280,12 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type,
            count(*) AS n,
-           round(any_value(d.med), 6) AS median_value,
-           round(any_value(a.mad), 6) AS mad,
+           -- + 0.0 normalizes IEEE -0.0: a +/-0.0 TIE at the median
+           -- slot sorts differently across engines (Spark's Double
+           -- total order has -0.0 < 0.0; DuckDB's IEEE compare treats
+           -- them equal) — same number, divergent sign bit
+           round(any_value(d.med) + 0.0, 6) AS median_value,
+           round(any_value(a.mad) + 0.0, 6) AS mad,
            CAST(sum(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
              AS n_outliers,
            CAST(min(CASE WHEN d.adev > 3 * a.mad THEN d.value END) AS DOUBLE)
@@ -3299,9 +3312,14 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_out = F.col("adev") > 3 * F.col("mad")
     return d.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.first("med"), 6).alias("median_value"),
-        F.round(F.first("mad"), 6).alias("mad"),
-        F.sum(is_out.cast("int")).cast("long").alias("n_outliers"),
+        # + 0.0 normalizes -0.0 median ties; outlier counts of groups
+        # whose MAD is undefined (all-NULL values) pin to 0, not NULL —
+        # both hostile-gate finds (see the oracle note)
+        F.round(F.first("med") + F.lit(0.0), 6).alias("median_value"),
+        F.round(F.first("mad") + F.lit(0.0), 6).alias("mad"),
+        F.coalesce(F.sum(is_out.cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_outliers"),
         F.min(F.when(is_out, F.col("value"))).cast("double").alias("min_outlier_value"),
     )
 
@@ -3981,8 +3999,9 @@ _OR["streaming_kmv_state"] = _kmv_capped_oracle()
     plan=("single_row_broadcast",),
     oracle="""
     WITH g AS (SELECT CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
-                      CAST(SUM(CAST(value AS DECIMAL(12,2))
-                               * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+                      -- DECIMAL(19,2): see events_zscore_outliers' oracle note
+                      CAST(SUM(CAST(value AS DECIMAL(19,2))
+                               * CAST(value AS DECIMAL(19,2))) AS DOUBLE) AS s2,
                       count(*) AS n FROM events),
     p AS (SELECT s1 / n AS mu, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd FROM g),
     c AS (SELECT e.user_id, e.event_id, e.ts, p.sd,

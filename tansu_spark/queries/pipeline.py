@@ -357,32 +357,30 @@ def _chunk_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without it NULL docs emit a phantom ''-shingle chunk).
         .where(F.col("n").isNotNull())
     )
-    ch = (
-        tk.withColumn(
-            "chunk_index",
-            F.explode(
-                F.sequence(F.lit(0), F.expr("(greatest(n, 17) - 17) div 48"))
-            ),
-        )
+    # Per-chunk DISTINCT trigram arrays built INSIDE one doc-grain HOF
+    # (indexed element_at taps), so only (chunk_index, small shingle
+    # array) ever leaves the row. The previous shape — explode the
+    # chunk index, then slice the carried token array per chunk row —
+    # made Generate copy each chunk row WITH the full array
+    # (UnsafeRow.copy): a 10 MB hostile doc became 31k chunk rows x
+    # 10 MB = ~300 GB and OOMed the executor. Chunk trigram cost here
+    # is O(chunk_len) per chunk, linear per document.
+    per_chunk = F.expr(
+        "transform(sequence(0, (greatest(n, 17) - 17) div 48), "
+        "ci -> array_distinct(CASE WHEN least(n - ci * 48, 64) >= 3 THEN "
+        "transform(sequence(ci * 48 + 1, ci * 48 + least(n - ci * 48, 64) - 2), "
+        "i -> concat(element_at(t, CAST(i AS INT)), ' ', "
+        "element_at(t, CAST(i + 1 AS INT)), ' ', "
+        "element_at(t, CAST(i + 2 AS INT)))) "
+        "ELSE array(concat_ws(' ', slice(t, ci * 48 + 1, 64))) END))"
+    )
+    return (
+        tk.select("doc_id", F.posexplode(per_chunk).alias("ci", "shingles"))
         .select(
-            (F.col("doc_id") * 1000000 + F.col("chunk_index")).alias("cid"),
-            F.expr("slice(t, chunk_index * 48 + 1, 64)").alias("t"),
+            (F.col("doc_id") * 1000000 + F.col("ci")).alias("cid"),
+            F.explode("shingles").alias("s"),
         )
     )
-    zipped = "slice(t, 3, size(t)-2)"
-    for j in (2, 1):
-        zipped = (
-            f"zip_with(slice(t, {j}, size(t)-2), {zipped}, "
-            "(x, y) -> concat(x, ' ', y))"
-        )
-    sh = ch.select(
-        "cid",
-        F.expr(
-            f"array_distinct(CASE WHEN size(t) >= 3 THEN {zipped} "
-            "ELSE array(concat_ws(' ', t)) END)"
-        ).alias("shingles"),
-    )
-    return sh.select("cid", F.explode("shingles").alias("s"))
 
 
 @query(
@@ -424,8 +422,14 @@ def _chunk_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (SELECT cid, seed // 2 AS band,
                      string_agg(mh, '|' ORDER BY seed) AS band_sig
               FROM sig GROUP BY cid, seed // 2),
+    -- max_bucket=1000 mirror: buckets larger than the valve are
+    -- dropped before pair expansion (see the query docstring).
+    okb AS (SELECT band, band_sig FROM bands
+            GROUP BY band, band_sig HAVING count(*) <= 1000),
     pairs AS (SELECT DISTINCT a.cid AS cid_a, b.cid AS cid_b
-              FROM bands a JOIN bands b
+              FROM bands a
+              JOIN okb USING (band, band_sig)
+              JOIN bands b
                 ON a.band = b.band AND a.band_sig = b.band_sig
                AND a.cid // 1000000 < b.cid // 1000000)
     SELECT cid_a // 1000000 AS doc_a,
@@ -450,10 +454,17 @@ def dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: chunking is map-only (~n_tokens/48 row amplification);
     signatures are ONE explode + ONE 8-min-agg groupBy on cid; candidate
     generation is the bucket-groupBy expansion (never a self-join, never
-    all-pairs) with the same max_bucket valve available as the document
-    grain. Cost scales with chunk count — for fixed-size chunks that is
-    corpus tokens / stride, independent of document skew (a 1 GB
-    document becomes many bounded chunks instead of one mega-row)."""
+    all-pairs) with max_bucket=1000 SET at this grain: an internally
+    repetitive document's chunks collapse onto few signatures (the 10 MB
+    hostile doc put ~31k chunks in one bucket — 480M in-bucket pairs,
+    almost all same-document and discarded post-hoc), so hub buckets are
+    structurally likely here in a way doc-grain buckets are not. Members
+    of a dropped bucket are wall-of-duplicates content that
+    dedup_chunk_exact already collapses (the r8 levenshtein hub-key
+    discipline); the hard bound is 999/2 x member rows. Cost scales with
+    chunk count — for fixed-size chunks that is corpus tokens / stride,
+    independent of document skew (a 1 GB document becomes many bounded
+    chunks instead of one mega-row)."""
     from tansu_spark.functions.dedup import lsh_bands, lsh_candidate_pairs
 
     e = _chunk_shingle_rows(spark, sf_dir)
@@ -465,9 +476,9 @@ def dedup_chunk_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(8)
         ]
     )
-    pairs = lsh_candidate_pairs(lsh_bands(sig, "cid"), "cid").filter(
-        F.expr("doc_a div 1000000 < doc_b div 1000000")
-    )
+    pairs = lsh_candidate_pairs(
+        lsh_bands(sig, "cid"), "cid", max_bucket=1000
+    ).filter(F.expr("doc_a div 1000000 < doc_b div 1000000"))
     return pairs.select(
         F.expr("doc_a div 1000000").alias("doc_a"),
         F.expr("CAST(doc_a % 1000000 AS INT)").alias("chunk_a"),
@@ -767,7 +778,18 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_levenshtein_blocked",
     oracle="""
     WITH d AS (SELECT doc_id, lang, n_chars // 32 AS band,
-                      substring(text, 1, 48) AS pfx
+                      -- non-ASCII codepoints project to '?' BEFORE the
+                      -- distance: DuckDB's levenshtein is BYTE-based
+                      -- while Spark's is codepoint-based (an astral
+                      -- char scored 4 vs 1 — hostile-gate find); both
+                      -- regex engines are codepoint-aware, so the
+                      -- sanitized prefixes are pure ASCII where
+                      -- byte == codepoint. ASCII corpora unchanged.
+                      -- substring first (1:1 codepoint replacement, so
+                      -- the order is equivalent — and the regex never
+                      -- scans a 10 MB document)
+                      regexp_replace(substring(text, 1, 48),
+                                     '[^\\x00-\\x7F]', '?', 'g') AS pfx
                FROM documents),
     k AS (SELECT doc_id, lang, band, substring(pfx, 1, 8) AS kb FROM d
           UNION
@@ -823,7 +845,11 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         (F.col("n_chars") / 32).cast("long").alias("band"),
-        F.substring("text", 1, 48).alias("pfx"),
+        # ASCII projection before the distance — see the oracle note
+        # (byte-based vs codepoint-based levenshtein across engines).
+        F.regexp_replace(
+            F.substring("text", 1, 48), r"[^\x00-\x7F]", "?"
+        ).alias("pfx"),
     )
     k = (
         d.select(
@@ -894,11 +920,14 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list(struct_pack(c := c, n := n) ORDER BY c) AS dist
             FROM cnt GROUP BY doc_id)
     SELECT doc_id, total AS n_chars, n_distinct,
+           -- + 0.0 normalizes IEEE -0.0 (single-char alphabet: the
+           -- negated zero-sum is -0.0 here, +0.0 on Spark — the
+           -- hostile gate's 1-char and single-token docs caught it)
            round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                    list_transform(dist,
                      s -> (CAST(s.n AS DOUBLE) / total)
                           * log2(CAST(s.n AS DOUBLE) / total))),
-                 (x, y) -> x + y), 6) AS entropy_bits,
+                 (x, y) -> x + y) + 0.0, 6) AS entropy_bits,
            (-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                    list_transform(dist,
                      s -> (CAST(s.n AS DOUBLE) / total)
@@ -935,11 +964,12 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = lambda s, total: (s.getField("n").cast("double") / total) * F.log2(  # noqa: E731
         s.getField("n").cast("double") / total
     )
+    # + 0.0 normalizes IEEE -0.0 (single-char alphabet; see the oracle)
     ent = -F.aggregate(
         "dist",
         F.lit(0.0),
         lambda a, s: a + term(s, F.col("n_chars")),
-    )
+    ) + F.lit(0.0)
     return tot.select(
         "doc_id",
         "n_chars",
@@ -1016,7 +1046,12 @@ def _gopher_keep_col() -> F.Column:
              AS mean_word_len,
            round(CAST(top_cnt AS DOUBLE) / greatest(n_words, 1), 6)
              AS top_token_frac,
-           round(CAST(n_tri - d_tri AS DOUBLE) / greatest(n_tri, 1), 6)
+           -- NULL-text pin: _TRI_DUCK's ELSE branch yields [NULL]
+           -- (n_tri = 1) for a NULL doc while Spark's trigram zip is
+           -- NULL — features stay NULL for NULL docs on both engines.
+           CASE WHEN n_words IS NULL THEN NULL
+                ELSE round(CAST(n_tri - d_tri AS DOUBLE)
+                           / greatest(n_tri, 1), 6) END
              AS dup_trigram_frac,
            CAST(n_stop AS BIGINT) AS n_stopwords,
            CAST(CASE WHEN n_words >= 20
@@ -1068,7 +1103,11 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_trigram_frac"),
         F.col("n_stop").cast("bigint").alias("n_stopwords"),
-        keep.cast("int").alias("keep"),
+        # NULL-text pin (hostile gate): feature columns stay NULL for a
+        # NULL doc, but `keep` is a DECISION — a NULL doc is never kept,
+        # so the tri-state boolean collapses to 0 (the oracle's CASE
+        # ELSE branch already does).
+        F.coalesce(keep.cast("int"), F.lit(0)).alias("keep"),
     )
 
 
@@ -1257,21 +1296,30 @@ def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                       list_filter(t, x -> NOT list_contains({_EN}, x)) AS kept
                FROM tok)
     SELECT doc_id, len(kept) AS n_kept,
-           md5(array_to_string(kept, ' ')) AS cleaned_digest
+           -- digest pin (hostile gate): a FULLY-PRUNED doc's cleaned
+           -- text is '' (md5('')), not NULL — DuckDB's
+           -- array_to_string([]) is NULL, so coalesce; a NULL doc's
+           -- digest stays NULL (Spark's concat_ws would have said '').
+           CASE WHEN kept IS NULL THEN NULL
+                ELSE md5(coalesce(array_to_string(kept, ' '), '')) END
+             AS cleaned_digest
     FROM pruned
     """,
 )
 def text_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary pruning (stopword removal) with an md5 digest of the
     cleaned text proving both engines rebuilt the identical document.
-    Map-only array filter — no shuffle."""
+    Map-only array filter — no shuffle. NULL docs digest to NULL;
+    fully-pruned docs digest to md5('') (see the oracle pin)."""
     stop = ["the", "a", "of", "and", "to", "in", "is", "that"]
     d = _docs(spark, sf_dir)
     kept = F.filter(T.tokens("text"), lambda x: ~F.array_contains(F.array(*[F.lit(s) for s in stop]), x))
     return d.select(
         "doc_id",
         F.size(kept).alias("n_kept"),
-        F.md5(F.concat_ws(" ", kept)).alias("cleaned_digest"),
+        F.when(kept.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.md5(F.concat_ws(" ", kept)))
+        .alias("cleaned_digest"),
     )
 
 

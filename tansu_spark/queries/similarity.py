@@ -2509,9 +2509,15 @@ def _kc_round_sql(prev_md: str, r: int) -> str:
     md0 AS (SELECT e.vec_id, 1 - {_cos_sql("e.embedding", "ce.cemb")} AS dm
             FROM embeddings e CROSS JOIN ce0 ce),
     {",".join(_kc_round_sql(f"md{r - 1}", r) for r in range(1, 8))}
+    SELECT * FROM (
     SELECT 0 AS sel_round, (SELECT vec_id FROM c0) AS vec_id,
            CAST(NULL AS DOUBLE) AS sel_dist
     {"".join(f" UNION ALL SELECT {r}, (SELECT vec_id FROM c{r}), round((SELECT dm FROM c{r}), 10)" for r in range(1, 8))}
+    )
+    -- empty-corpus pin (hostile gate): the unrolled rounds' scalar
+    -- subqueries yield NULL picks on zero input rows; an empty corpus
+    -- has an EMPTY coreset, as the Spark limit(1) seed already says.
+    WHERE vec_id IS NOT NULL
     """,
 )
 def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:

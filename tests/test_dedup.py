@@ -255,6 +255,11 @@ def test_dedup_chain_protected_ids_exact_and_reset_on_rebuild(spark):
 
     P._CHAIN_CACHE.clear()
     P._CHAIN_PROTECTED.clear()
+    # dedup_chain_protected_ids() also unions the winnowing fingerprint
+    # cache's ids (r8) — clear it too, or any earlier test that built
+    # winnowing fingerprints makes the exact-count assert order-dependent
+    P._FPS_CACHE.clear()
+    P._FPS_PROTECTED.clear()
     P._dedup_chain(spark, sf)
     ids1 = P.dedup_chain_protected_ids()
     assert len(ids1) == 4, ids1  # sh, pairs, verified, cc — one id each
