@@ -102,7 +102,11 @@ def _cmd_produce(args, out) -> int:
                 else (value if isinstance(value, str) else json.dumps(value)).encode()
             )
         rows.append({"key": k, "value": v})
-    offsets = b.produce_rows(args.topic, rows)
+    # Multi-batch inputs take the double-buffered path: batch N+1's
+    # Arrow transfer overlaps batch N's parquet commit (1.57x at
+    # 100k rows — bench_broker.py). base_offsets reports the FIRST
+    # batch, where this produce started.
+    offsets = b.produce_rows_pipelined(args.topic, rows)[0]
     _emit({"produced": len(rows), "base_offsets": {str(k): v for k, v in offsets.items()}}, out)
     return 0
 

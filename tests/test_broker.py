@@ -793,3 +793,38 @@ def test_committed_pending_offsets_replayed_on_startup(spark, tmp_path):
     b2.end_transaction("etl3", commit=False)
     assert "offsets" not in read_json(b2._txns_path(), {})["etl3"]
     assert b2.fetch_offsets("g", "src") == {0: 9}
+
+
+def test_produce_rows_pipelined_matches_sequential(broker):
+    """The double-buffered produce path (r8 verdict ask #4) must be a
+    pure throughput optimization: same records, same contiguous
+    offsets, same fetch result as sequential produce_rows — the helper
+    thread only BUILDS frames; every commit stays on the caller's
+    thread in order."""
+    broker.create_topic("seq", partitions=2)
+    broker.create_topic("pipe", partitions=2)
+    rows = _rows(250, prefix="p")
+    offs_seq = [
+        broker.produce_rows("seq", rows[i : i + 50])
+        for i in range(0, 250, 50)
+    ]
+    offs = broker.produce_rows_pipelined("pipe", rows, batch_size=50)
+    assert len(offs) == 5  # one base-offsets dict per committed batch
+    # batch-for-batch identical base offsets to the sequential twin
+    assert offs == offs_seq
+    marks_s = broker.list_offsets("seq", "latest")
+    marks_p = broker.list_offsets("pipe", "latest")
+    assert marks_s == marks_p and sum(marks_p.values()) == 250
+    a = {
+        (r["partition"], r["offset"], bytes(r["key"]), bytes(r["value"]))
+        for r in broker.fetch("seq").collect()
+    }
+    b = {
+        (r["partition"], r["offset"], bytes(r["key"]), bytes(r["value"]))
+        for r in broker.fetch("pipe").collect()
+    }
+    assert a == b
+    # the single-batch fast path returns one dict and produces once
+    broker.create_topic("one", partitions=1)
+    offs1 = broker.produce_rows_pipelined("one", _rows(7), batch_size=50)
+    assert len(offs1) == 1 and broker.list_offsets("one", "latest") == {0: 7}
