@@ -23,6 +23,33 @@ from pyspark.sql import functions as F
 
 from tansu_spark.functions.text import bpe_tokens
 
+# Pre-tokens are capped at 64 symbols before merge application, on BOTH
+# engines: the left-greedy fold is O(len^2) in the word length (each
+# step regex-scans a growing accumulator string), which natural-language
+# words never notice (GPT-2-style pre-tokenization keeps them short) but
+# a 100k-char single-token blob turns into ~10^10 char operations — the
+# hostile gate measured it as a hang. Runs longer than 64 chars segment
+# at fixed 64-char boundaries (merges never cross a segment boundary —
+# the disclosed approximation); real corpora are bit-identical.
+WORD_CAP = 64
+
+
+def bpe_words(c) -> F.Column:
+    """Pre-tokens segmented at WORD_CAP chars (see note above) — the
+    unit the word-frequency table, training folds, and encode
+    dictionary all share."""
+    cap = F.lit(WORD_CAP)
+
+    def seg(w):
+        n_seg = ((F.length(w) - F.lit(1)) / cap).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_seg),
+            lambda k: F.substring(w, k * cap + 1, cap),
+        )
+
+    return F.flatten(F.transform(bpe_tokens(c), seg))
+
+
 # Fold one merge (a, b) -> m through a symbol string "s1 s2 ... sn".
 # `[^ ]+$` (one-or-more, never empty) matches the last symbol exactly once
 # in BOTH regex engines — `[^ ]*$` would double-fire in Java's replaceAll
@@ -39,7 +66,7 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(wd, n): the corpus's pre-token frequency table — the only pass
     over the raw text."""
     return (
-        docs.select(F.explode(bpe_tokens(text_col)).alias("wd"))
+        docs.select(F.explode(bpe_words(text_col)).alias("wd"))
         .groupBy("wd")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -154,7 +181,7 @@ def bpe_encode(
         ]
         words = wf.select("wd")
     if words is None:
-        words = docs.select(F.explode(bpe_tokens(text_col)).alias("wd")).distinct()
+        words = docs.select(F.explode(bpe_words(text_col)).alias("wd")).distinct()
     # (wd, n_sub) dictionary: chars -> K folds, each a chained projection
     # over the DISTINCT word table (column refs, so no expression blowup).
     wtab = words.withColumn(
@@ -170,21 +197,27 @@ def bpe_encode(
     # occurrences) — recomputing it as size(regexp_extract_all(text))
     # after the join would re-run the full-text regex once per TOKEN
     # (Catalyst collapses projections into the join output; measured 5 s
-    # of the old 6 s at sf0.1 was exactly that).
+    # of the old 6 s at sf0.1 was exactly that). The doc-length column
+    # lives in its OWN subtree for the same reason: projected next to
+    # the explode, CollapseProject carried text/length(text) through
+    # the Generate and the join — per-token cost proportional to
+    # DOCUMENT size, which the hostile 10 MB doc turned into a hang
+    # (1.5M tokens x 10 MB). A doc_id join against the scan-grain
+    # (doc_id, length) table keeps the exploded rows two scalars wide.
+    nc = docs.select("doc_id", F.length(F.col(text_col)).alias("_nc"))
     occ = docs.select(
         "doc_id",
-        F.length(F.col(text_col)).alias("_nc"),
-        F.explode_outer(bpe_tokens(text_col)).alias("wd"),
+        F.explode_outer(bpe_words(text_col)).alias("wd"),
     )
     counted = (
         occ.join(F.broadcast(wtab), "wd", "left")
-        .groupBy("doc_id", "_nc")
+        .groupBy("doc_id")
         .agg(
             F.count("wd").cast("int").alias("n_pretokens"),
             F.sum(F.coalesce("_n_sub", F.lit(0))).cast("long").alias("n_subwords"),
         )
     )
-    return counted.select(
+    return counted.join(nc, "doc_id").select(
         "doc_id",
         "n_pretokens",
         "n_subwords",

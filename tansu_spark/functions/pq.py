@@ -349,7 +349,11 @@ def _adc_scores(encoded: DataFrame, lut: DataFrame, id_col: str) -> DataFrame:
     return num.select(
         "query_id",
         id_col,
-        (F.col("num") / (F.col("qn") * F.col("vnorm"))).alias("approx_cosine"),
+        (F.col("num")
+             / (F.greatest(F.col("qn"), F.lit(1e-30))
+                * F.greatest(F.col("vnorm"), F.lit(1e-30)))).alias(
+                "approx_cosine"
+            ),
     )
 
 
@@ -481,7 +485,11 @@ def ivf_pq_topk_df(
         .select(
             "query_id",
             id_col,
-            (F.col("num") / (F.col("qn") * F.col("vnorm"))).alias("approx_cosine"),
+            (F.col("num")
+             / (F.greatest(F.col("qn"), F.lit(1e-30))
+                * F.greatest(F.col("vnorm"), F.lit(1e-30)))).alias(
+                "approx_cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -600,7 +608,11 @@ def ivf_pq_topk(
         .select(
             "query_id",
             id_col,
-            (F.col("num") / (F.col("qn") * F.col("vnorm"))).alias("approx_cosine"),
+            (F.col("num")
+             / (F.greatest(F.col("qn"), F.lit(1e-30))
+                * F.greatest(F.col("vnorm"), F.lit(1e-30)))).alias(
+                "approx_cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -168,6 +168,8 @@ def set_ops_users_vs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(metric AS DECIMAL(12,2))) AS DOUBLE) AS metric_sum
     FROM t
     GROUP BY ROLLUP(event_type, "partition")
+    -- empty-input pin: see events_cube_counts' oracle note.
+    HAVING count(*) > 0
     """,
 )
 def events_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,8 +528,8 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n,
            count(DISTINCT user_id) AS exact_users,
-           quantile_cont(value, 0.50) AS exact_p50,
-           quantile_cont(value, 0.90) AS exact_p90,
+           quantile_cont(value, 0.50) + 0.0 AS exact_p50,
+           quantile_cont(value, 0.90) + 0.0 AS exact_p90,
            true AS estimate_within_bound
     FROM events GROUP BY event_type
     """,
@@ -563,8 +565,8 @@ def events_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct("user_id", rsd=0.01).alias("_approx_users"),
-        pcts_exact.getItem(0).alias("exact_p50"),
-        pcts_exact.getItem(1).alias("exact_p90"),
+        (pcts_exact.getItem(0) + F.lit(0.0)).alias("exact_p50"),
+        (pcts_exact.getItem(1) + F.lit(0.0)).alias("exact_p90"),
         pcts_approx.getItem(0).alias("_approx_p50"),
         pcts_approx.getItem(1).alias("_approx_p90"),
         F.min("value").alias("_lo"),
@@ -573,19 +575,40 @@ def events_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
-    agg = base.join(users, "event_type")
-    spread = F.col("_hi") - F.col("_lo")
-    within = (
-        # HLL++ rsd=1%: 5-sigma margin (same bound the pytest twin pins)
-        (
-            F.abs(F.col("_approx_users") - F.col("exact_users"))
-            <= F.greatest(F.lit(3.0), 0.05 * F.col("exact_users"))
+    # KLL's contract is a RANK guarantee (returned value's rank within
+    # eps*N of the target), so the bound check measures the returned
+    # element's true rank via a broadcast join-back — a value tolerance
+    # (the old 5%-of-spread form) false-alarms on any heavy-tailed
+    # group, where adjacent ranks sit decades apart (hostile-gate find:
+    # 5 events spanning ±9.9e9 made a rank-exact answer read as
+    # "out of bound").
+    probes = base.select("event_type", "_approx_p50", "_approx_p90")
+    ranks = (
+        ev.join(F.broadcast(probes), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("_nn"),
+            F.sum((F.col("value") < F.col("_approx_p50")).cast("long")).alias("_lt50"),
+            F.sum((F.col("value") <= F.col("_approx_p50")).cast("long")).alias("_le50"),
+            F.sum((F.col("value") < F.col("_approx_p90")).cast("long")).alias("_lt90"),
+            F.sum((F.col("value") <= F.col("_approx_p90")).cast("long")).alias("_le90"),
         )
-        # KLL accuracy 10000: inside the column range, near the exact
-        & F.col("_approx_p50").between(F.col("_lo"), F.col("_hi"))
-        & F.col("_approx_p90").between(F.col("_lo"), F.col("_hi"))
-        & (F.abs(F.col("_approx_p50") - F.col("exact_p50")) <= 0.05 * spread + 1e-9)
-        & (F.abs(F.col("_approx_p90") - F.col("exact_p90")) <= 0.05 * spread + 1e-9)
+    )
+    agg = base.join(users, "event_type").join(ranks, "event_type")
+    slack = F.greatest(F.lit(1.0), F.col("_nn") / 10000.0)
+
+    def rank_ok(q: float, lt: str, le: str):
+        target = F.ceil(F.lit(q) * F.col("_nn"))
+        return (target >= F.col(lt) + 1 - slack) & (
+            target <= F.col(le) + slack
+        )
+
+    within = F.when(F.col("_nn") == 0, F.lit(True)).otherwise(
+        rank_ok(0.5, "_lt50", "_le50") & rank_ok(0.9, "_lt90", "_le90")
+    ) & (
+        # HLL++ rsd=1%: 5-sigma margin (same bound the pytest twin pins)
+        F.abs(F.col("_approx_users") - F.col("exact_users"))
+        <= F.greatest(F.lit(3.0), 0.05 * F.col("exact_users"))
     )
     return agg.select(
         "event_type",
@@ -600,13 +623,20 @@ def events_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_json_props_stats",
     oracle="""
+    -- json_valid guard: DuckDB's ->> RAISES on malformed JSON (the
+    -- hostile empty-string props) where Spark's from_json yields NULL;
+    -- invalid/empty props pin to NULL k on both engines.
+    WITH j AS (SELECT event_type,
+                      CASE WHEN json_valid(props)
+                           THEN CAST(props->>'k' AS BIGINT) END AS k
+               FROM events)
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
-           min(CAST(props->>'k' AS BIGINT)) AS k_min,
-           max(CAST(props->>'k' AS BIGINT)) AS k_max,
-           count(DISTINCT CAST(props->>'k' AS BIGINT)) AS k_distinct
-    FROM events GROUP BY event_type
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           min(k) AS k_min,
+           max(k) AS k_max,
+           count(DISTINCT k) AS k_distinct
+    FROM j GROUP BY event_type
     """,
 )
 def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2306,6 +2336,12 @@ def events_top_spenders_per_week(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS gid
     FROM (SELECT event_type, ts FROM events)
     GROUP BY CUBE (event_type, weekday)
+    -- empty-input pin: SQL's () grouping set emits a vacuous
+    -- grand-total row (count 0) over zero input rows; Spark's cube()
+    -- emits nothing. An empty corpus reports an empty cube — the
+    -- HAVING drops only that vacuous row (real groups always count
+    -- >= 1). Hostile-gate find.
+    HAVING count(*) > 0
     """,
 )
 def events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2421,6 +2457,16 @@ def mv_incremental_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value_dec", _dec("value")
             )
             view.apply_batch(batch, i)
+        # Zero-row source ⇒ no batch ever wrote a bucket; the view
+        # correctly raises "no data yet", and the QUERY's answer is the
+        # empty aggregate (matching the oracle's GROUP BY over zero
+        # rows) — hostile-empty-gate pin.
+        if not view._has_data():
+            return spark.createDataFrame(
+                [],
+                "event_type string, n bigint, value_sum double,"
+                " value_min double, value_max double",
+            )
         return (
             view.read()
             .select(
@@ -3079,13 +3125,18 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_props_inferred_stats",
     oracle="""
+    -- json_valid guard: see events_json_props_stats' oracle note.
+    WITH j AS (SELECT event_type,
+                      CASE WHEN json_valid(props)
+                           THEN CAST(props->>'k' AS BIGINT) END AS k
+               FROM events)
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
-           CAST(avg(CAST(props->>'k' AS BIGINT)) AS DOUBLE) AS k_avg,
-           CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_min,
-           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_max
-    FROM events GROUP BY event_type
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           CAST(avg(k) AS DOUBLE) AS k_avg,
+           CAST(min(k) AS BIGINT) AS k_min,
+           CAST(max(k) AS BIGINT) AS k_max
+    FROM j GROUP BY event_type
     """,
 )
 def events_props_inferred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3101,7 +3152,14 @@ def events_props_inferred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     sample = [r[0] for r in ev.select("props").limit(500).collect()]
     inferred = infer_json_strings(sample)
-    k = F.from_json("props", inferred).getField("k")
+    # A corpus whose sampled props never carry 'k' infers a struct
+    # without that field — the stat is then NULL everywhere (the
+    # from_json missing-field contract), not an analysis error.
+    names = inferred.fieldNames() if hasattr(inferred, "fieldNames") else []
+    if "k" in names:
+        k = F.from_json("props", inferred).getField("k").cast("bigint")
+    else:
+        k = F.lit(None).cast("bigint")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -3470,9 +3528,10 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('week', ts) AS week,
            event_type,
            count(*) AS n,
-           round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.9), 6) AS p90,
-           round(quantile_cont(value, 0.99), 6) AS p99
+           -- + 0.0 normalizes IEEE -0.0 rank ties (hostile gate)
+           round(quantile_cont(value, 0.5) + 0.0, 6) AS p50,
+           round(quantile_cont(value, 0.9) + 0.0, 6) AS p90,
+           round(quantile_cont(value, 0.99) + 0.0, 6) AS p99
     FROM events GROUP BY week, event_type
     """,
 )
@@ -3490,9 +3549,9 @@ def events_weekly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("week", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(pcts.getItem(0), 6).alias("p50"),
-            F.round(pcts.getItem(1), 6).alias("p90"),
-            F.round(pcts.getItem(2), 6).alias("p99"),
+            F.round(pcts.getItem(0) + F.lit(0.0), 6).alias("p50"),
+            F.round(pcts.getItem(1) + F.lit(0.0), 6).alias("p90"),
+            F.round(pcts.getItem(2) + F.lit(0.0), 6).alias("p99"),
         )
     )
 

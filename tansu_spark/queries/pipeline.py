@@ -1504,9 +1504,14 @@ def corpus_mix_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("q_sum").cast("double") / F.greatest("n_docs", one), 6
         ).alias("mean_quality"),
-        F.floor(F.col("w") / F.col("t") * 100000).cast("bigint").alias(
-            "target_alloc"
-        ),
+        # t = 0 (no source kept ANY doc — all-degenerate corpus) means
+        # no allocatable weight: NULL, matching DuckDB's x/0.0 -> NULL.
+        # Spark's ANSI division raises instead (hostile-gate find).
+        F.when(
+            F.col("t") > 0, F.floor(F.col("w") / F.col("t") * 100000)
+        )
+        .cast("bigint")
+        .alias("target_alloc"),
     )
 
 
@@ -2606,7 +2611,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + 0.2 * {_STOP_EN} AS score
           FROM tok)
     SELECT doc_id, source, round(score, 6) AS score,
-           round(percent_rank() OVER (PARTITION BY source ORDER BY score),
+           -- NULLS FIRST pins NULL-score (NULL text) docs to the WORST
+           -- rank: Spark's ascending default; DuckDB defaults NULLS
+           -- LAST, which would calibrate a NULL doc as best-in-source
+           -- (hostile-gate find).
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY score NULLS FIRST),
                  6) AS source_pct
     FROM q
     """,
@@ -2640,6 +2650,15 @@ def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# Pre-tokens segmented at 64 chars — the DuckDB twin of
+# functions/bpe.py::bpe_words (the left-greedy merge fold is O(len^2)
+# per word; a 100k-char single-token blob hung the hostile gate).
+_BPE_SEG = (
+    f"flatten(list_transform(regexp_extract_all(text, '{_BPE_RE}'), "
+    "w -> list_transform(range(0, (length(w)-1)//64 + 1), "
+    "k -> substring(w, CAST(k*64+1 AS INTEGER), 64))))"
+)
+
 
 def _bpe_chain(n_merges: int) -> str:
     """Generate the K-round BPE-training CTE chain (shared by the train
@@ -2653,9 +2672,9 @@ def _bpe_chain(n_merges: int) -> str:
     parts = [
         f"""
     WITH w AS (SELECT wd, count(*) AS n
-               FROM (SELECT unnest(regexp_extract_all(text, '{bpe}')) AS wd
+               FROM (SELECT unnest({_BPE_SEG}) AS wd
                      FROM documents) GROUP BY wd),
-    s0 AS (SELECT n, array_to_string(
+    s0 AS (SELECT wd, n, array_to_string(
                        list_transform(range(1, length(wd)+1), i -> wd[i]),
                        ' ') AS s
            FROM w)"""
@@ -2673,7 +2692,7 @@ def _bpe_chain(n_merges: int) -> str:
                     split_part(pair, ' ', 2) AS rhs,
                     replace(pair, ' ', '') AS merged, cnt
              FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
-    s{r + 1} AS (SELECT n, list_reduce(str_split(s, ' '), (acc, x) ->
+    s{r + 1} AS (SELECT wd, n, list_reduce(str_split(s, ' '), (acc, x) ->
                    CASE WHEN regexp_extract(acc, '[^ ]+$') = b.lhs
                              AND x = b.rhs
                         THEN regexp_replace(acc, '[^ ]+$', b.merged)
@@ -2692,43 +2711,33 @@ def _bpe_oracle(n_merges: int) -> str:
 
 
 def _bpe_encode_oracle(n_merges: int) -> str:
-    """Encode oracle: retrain the merge chain (b0..b{K-1}), then apply
-    each merge in order to every document's pre-token symbol strings and
-    count the resulting subword tokens."""
-    parts = [
-        _bpe_chain(n_merges),
-        f""",
-    d0 AS (SELECT doc_id, length(text) AS nc,
-                  regexp_extract_all(text, '{_BPE_RE}') AS wds
-           FROM documents),
-    e0 AS (SELECT doc_id, nc, len(wds) AS n_pretokens,
-                  list_transform(wds, wd -> array_to_string(
-                      list_transform(range(1, length(wd)+1), i -> wd[i]),
-                      ' ')) AS ws
-           FROM d0)""",
-    ]
-    for r in range(n_merges):
-        parts.append(
-            f""",
-    e{r + 1} AS (SELECT doc_id, nc, n_pretokens,
-                   list_transform(ws, s -> list_reduce(str_split(s, ' '),
-                     (acc, x) ->
-                       CASE WHEN regexp_extract(acc, '[^ ]+$') = b.lhs
-                                 AND x = b.rhs
-                            THEN regexp_replace(acc, '[^ ]+$', b.merged)
-                            ELSE acc || ' ' || x END)) AS ws
-                 FROM e{r} CROSS JOIN b{r} b)"""
-        )
-    parts.append(
-        f"""
-    SELECT doc_id, n_pretokens,
-           CAST(coalesce(list_sum(list_transform(ws, s -> len(str_split(s, ' ')))), 0)
-                AS BIGINT) AS n_subwords,
-           round(CAST(coalesce(list_sum(list_transform(ws, s -> len(str_split(s, ' ')))), 0)
-                      AS DOUBLE) / greatest(nc, 1), 6) AS tokens_per_char
-    FROM e{n_merges}"""
+    """Encode oracle, DICTIONARY-encoded like the Spark side: the merge
+    chain's final symbol table s{K} (now carrying its word key) IS the
+    (segment -> n_subwords) dictionary — one fold per DISTINCT segmented
+    pre-token, joined back to the per-document occurrence explode. The
+    old per-instance form re-folded every occurrence inside a per-doc
+    list (the hostile 10 MB doc = 1.5M folds x 5 rounds in one lambda —
+    minutes); this is also exactly the fastBPE shape the Spark encoder
+    uses. NULL/empty docs pin to (0, 0, 0.0) — count semantics, matching
+    Spark's explode_outer + count(wd)."""
+    return (
+        _bpe_chain(n_merges)
+        + f""",
+    dict AS (SELECT wd, len(str_split(s, ' ')) AS n_sub FROM s{n_merges}),
+    base AS (SELECT doc_id, length(text) AS nc,
+                    {_BPE_SEG} AS wds
+             FROM documents),
+    occ AS (SELECT doc_id, unnest(wds) AS wd FROM base),
+    cnt AS (SELECT occ.doc_id, count(*) AS n_pre,
+                   CAST(sum(d.n_sub) AS BIGINT) AS n_sub
+            FROM occ JOIN dict d USING (wd) GROUP BY occ.doc_id)
+    SELECT b.doc_id,
+           CAST(coalesce(c.n_pre, 0) AS INTEGER) AS n_pretokens,
+           CAST(coalesce(c.n_sub, 0) AS BIGINT) AS n_subwords,
+           round(CAST(coalesce(c.n_sub, 0) AS DOUBLE)
+                 / greatest(b.nc, 1), 6) AS tokens_per_char
+    FROM base b LEFT JOIN cnt c ON c.doc_id = b.doc_id"""
     )
-    return "".join(parts)
 
 
 @query("text_bpe_train", oracle=_bpe_oracle(5))
@@ -4151,9 +4160,17 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise("train"),
         )
     )
+    # coalesce: sum over an EMPTY survivor set is NULL while the
+    # oracle's filtered counts are 0 — an all-degenerate corpus (every
+    # doc fails gopher) must report 0-survivor stages, not NULLs
+    # (hostile-gate find; alloc stays NULL by design on both engines).
     c_split = spl.agg(
-        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
-        F.sum((F.col("split") == "eval").cast("long")).alias("n_eval"),
+        F.coalesce(
+            F.sum((F.col("split") == "train").cast("long")), F.lit(0)
+        ).alias("n_train"),
+        F.coalesce(
+            F.sum((F.col("split") == "eval").cast("long")), F.lit(0)
+        ).alias("n_eval"),
     )
 
     # -- stage 8: temperature plan over the TRAIN survivors

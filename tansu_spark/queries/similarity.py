@@ -1281,8 +1281,8 @@ def sim_pq_trained_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM persub GROUP BY query_id, vec_id),
     final AS (
       SELECT a.query_id, a.vec_id,
-             a.num / (sqrt({_dot_sql("q.embedding", "q.embedding")})
-                      * sqrt({_dot_sql("e.embedding", "e.embedding")}))
+             a.num / (greatest(sqrt({_dot_sql("q.embedding", "q.embedding")}), 1e-30)
+                      * greatest(sqrt({_dot_sql("e.embedding", "e.embedding")}), 1e-30))
                AS raw
       FROM adc a
       JOIN embeddings q ON q.vec_id = a.query_id
@@ -1389,7 +1389,11 @@ def sim_ivfpq_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM persub p
             JOIN cand c ON c.query_id = p.query_id AND c.vec_id = p.vec_id
             GROUP BY p.query_id, p.vec_id),
-    final AS (SELECT query_id, vec_id, num / (qn * vnorm) AS raw FROM adc)
+    final AS (SELECT query_id, vec_id,
+                 -- norm floor 1e-30 (zero-vector guard, the repo's
+                 -- cosine convention; hostile-gate find)
+                 num / (greatest(qn, 1e-30) * greatest(vnorm, 1e-30))
+                   AS raw FROM adc)
     SELECT query_id, vec_id, round(raw, 10) AS approx_cosine
     FROM final
     QUALIFY row_number() OVER (PARTITION BY query_id
@@ -1509,7 +1513,10 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             (
                 F.aggregate("_l", F.col("qc"), lambda a, x: a + x.getField("dot"))
-                / (F.col("qn") * F.col("vnorm"))
+                / (
+                    F.greatest(F.col("qn"), F.lit(1e-30))
+                    * F.greatest(F.col("vnorm"), F.lit(1e-30))
+                )
             ).alias("raw"),
         )
     )

@@ -95,9 +95,19 @@ def infer_instances(values: list[Any]) -> DataType:
 
 def infer_json_strings(raw: list[str | bytes | None]) -> DataType:
     """Parse raw JSON documents and infer their single common type.
-    Absent payloads (None cells) are skipped — absence of a record value
-    is not a JSON ``null``; an explicit ``null`` instance still infers
-    Null and errors against any other type, per the strict reference
-    semantics."""
-    vals = [json.loads(r) for r in raw if r is not None]
+    Absent payloads (None cells) and MALFORMED documents (empty string,
+    truncated JSON) are skipped — absence of a record value is not a
+    JSON ``null``, and a sample that doesn't parse carries no type
+    evidence (the decode path already yields NULL for it, the from_json
+    contract — hostile-gate find: one '' props sample crashed inference
+    driver-side). An explicit ``null`` instance still infers Null and
+    errors against any other type, per the strict reference semantics."""
+    vals = []
+    for r in raw:
+        if r is None:
+            continue
+        try:
+            vals.append(json.loads(r))
+        except (ValueError, TypeError):
+            continue
     return infer_instances(vals)

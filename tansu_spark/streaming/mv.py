@@ -118,6 +118,21 @@ class IncrementalView:
                 .groupBy("bucket", *self.key_cols)
                 .agg(*_agg_exprs(self.aggs, merge=True))
             )
+            # Pin aggregate columns to the batch-partial schema — the
+            # view's canonical types. Merge re-aggregation WIDENS
+            # decimal sums (22,2 -> 32,2 -> 38,2 ...), so buckets
+            # touched by different numbers of batches would be written
+            # with different parquet decimal widths and break read-back
+            # schema resolution (dense corpora mask it — every batch
+            # touches every bucket, so widths stay uniform; a sparse
+            # hostile batch pattern exposed it). The cast back is exact
+            # while the merged sum fits the partial type — the same
+            # documented numeric domain the decimal grid already has.
+            for f in partial.schema.fields:
+                if f.name in self.aggs:
+                    merged = merged.withColumn(
+                        f.name, F.col(f.name).cast(f.dataType)
+                    )
         else:
             merged = partial.select("bucket", *self.key_cols, *self.aggs)
         writer = merged.write.mode("overwrite").partitionBy("bucket")

@@ -129,6 +129,60 @@ HOSTILE_QUERIES = [
     "sample_stratified_by_lang",
     "pipeline_label_text_quality",
     "corpus_quantile_calibration",
+    # --- r9 widening: every remaining entry whose input is the hostile
+    # --- surface (documents/embeddings/events). TPC-H/kafka/lake/
+    # --- streaming/multimodal entries stay out: their inputs are copied
+    # --- valid TPC-H rows or builder-constructed topics/media.
+    "corpus_importance_sample",
+    "corpus_mix_dashboard",
+    "corpus_mix_upsample",
+    "corpus_temperature_plan",
+    "dedup_cross_source_matrix",
+    "dedup_lsh_recall_report",
+    "events_approx_aggregates",
+    "events_cohort_retention",
+    "events_cube_counts",
+    "events_dau_wau_stickiness",
+    "events_funnel_conversion",
+    "events_hourly_lerp",
+    "events_hourly_locf",
+    "events_json_props_stats",
+    "events_pivot_type_counts",
+    "events_props_inferred_stats",
+    "events_quality_profile",
+    "events_rolling_window",
+    "events_rollup_counts",
+    "events_sessionize_batch",
+    "events_sliding_window_counts",
+    "events_top_spenders_per_week",
+    "events_tumbling_counts",
+    "events_type_audience_overlap",
+    "events_weekly_percentile_bands",
+    "events_window_functions",
+    "embeddings_label_centroids",
+    "embeddings_shard_drift",
+    "mv_incremental_event_stats",
+    "pipeline_corpus_curation",
+    "pipeline_curation_capstone",
+    "pipeline_leakage_safe_split",
+    "pipeline_post_dedup_token_budget",
+    "pipeline_sequence_packing",
+    "sample_shard_assignment",
+    "sample_uniform_k_per_source",
+    "sim_hard_negatives",
+    "sim_int8_rerank_topk",
+    "sim_lsh_multiprobe_topk",
+    "sim_matryoshka_recall",
+    "sim_pq_encode_seeded",
+    "sim_pq_trained_encode",
+    "sim_ivfpq_topk_seeded",
+    "sim_ivfpq_residual_topk",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "text_bpe_token_stats",
+    "text_feature_correlation",
+    "text_novelty_attribution",
+    "text_quality_calibrated",
 ]
 
 
