@@ -154,6 +154,24 @@ def main() -> None:
         "load_avg_end": round(os.getloadavg()[0], 2),
     }
 
+    # Canonical-stamp guard (r9 verdict ask #2): the r9 artifact was taken
+    # in a ~2.7x-contended window (scan control 1.169s vs the 0.41s r1
+    # anchor) and read as a fake 1.5x regression. Refuse the stamp when the
+    # controls deviate from their quiet-window anchors so a contaminated
+    # run is self-labeled instead of judged at face value.
+    SCAN_CONTROL_ANCHOR_S = 0.41   # tpch_q6, unchanged since r1
+    PARALLEL_PROBE_ANCHOR_S = 0.33  # 32-task JVM agg, quiet-window r8/r9
+    contamination = []
+    sc = calibration["scan_control_s"]
+    if sc is not None and sc > 1.5 * SCAN_CONTROL_ANCHOR_S:
+        contamination.append(
+            f"scan_control {sc:.3f}s > 1.5x anchor {SCAN_CONTROL_ANCHOR_S}s"
+        )
+    if par_probe_s > 2.0 * PARALLEL_PROBE_ANCHOR_S:
+        contamination.append(
+            f"parallel_probe {par_probe_s:.3f}s > 2x anchor {PARALLEL_PROBE_ANCHOR_S}s"
+        )
+
     detail = {
         "metric": "all_queries_wall",
         "value": round(sum(timings.values()), 3),
@@ -164,8 +182,11 @@ def main() -> None:
         "calibration": calibration,
         # the BENCH_DETAIL written by the bench run the driver records as
         # BENCH_r{N}.json IS the round's canonical measurement (r5 shipped
-        # two runs with different totals and no label — never again)
-        "canonical": True,
+        # two runs with different totals and no label — never again) —
+        # UNLESS the in-run controls show host contention, in which case
+        # the artifact says so itself.
+        "canonical": not contamination,
+        "contamination": contamination,
     }
     # BENCH_DETAIL.json is the judge's sf0.1 per-query record — a smoke
     # run at another SF must never overwrite it (round-2 commit 60411a4
@@ -185,6 +206,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": float(sf) if sf else sf_dir,
                 "calibration": calibration,
+                "canonical": not contamination,
+                "contamination": contamination,
             },
             separators=(",", ":"),
         )

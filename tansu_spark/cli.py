@@ -104,10 +104,24 @@ def _cmd_produce(args, out) -> int:
         rows.append({"key": k, "value": v})
     # Multi-batch inputs take the double-buffered path: batch N+1's
     # Arrow transfer overlaps batch N's parquet commit (1.57x at
-    # 100k rows — bench_broker.py). base_offsets reports the FIRST
-    # batch, where this produce started.
-    offsets = b.produce_rows_pipelined(args.topic, rows)[0]
-    _emit({"produced": len(rows), "base_offsets": {str(k): v for k, v in offsets.items()}}, out)
+    # 100k rows — bench_broker.py). base_offsets merges the MINIMUM
+    # offset per partition across all committed batches, so a partition
+    # first touched in a later batch still appears; `batches` discloses
+    # that a multi-batch produce is a sequence of commits, not one
+    # atomic commit.
+    per_batch = b.produce_rows_pipelined(args.topic, rows)
+    offsets: dict[int, int] = {}
+    for batch in per_batch:
+        for p, o in batch.items():
+            offsets[p] = min(offsets.get(p, o), o)
+    _emit(
+        {
+            "produced": len(rows),
+            "base_offsets": {str(k): v for k, v in sorted(offsets.items())},
+            "batches": len(per_batch),
+        },
+        out,
+    )
     return 0
 
 

@@ -4161,3 +4161,52 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_alarm_event"),
         F.round(F.max("s"), 6).alias("max_cusum"),
     )
+
+
+@query(
+    "events_value_domain_audit",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN value IS NOT NULL AND abs(value) > 1e10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(MIN(CASE WHEN value IS NOT NULL
+                         THEN GREATEST(LEAST(value, 1e10), -1e10) END)
+                AS DOUBLE) AS clamped_min,
+           CAST(MAX(CASE WHEN value IS NOT NULL
+                         THEN GREATEST(LEAST(value, 1e10), -1e10) END)
+                AS DOUBLE) AS clamped_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_value_domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time numeric-domain audit (r9 advice): classify every event
+    value against the DOCUMENTED |value| <= 1e10 parity domain and report,
+    per event type, how many rows a 'reject' pass would drop, how many are
+    NULL, and the min/max the 'clamp' pass would produce. This is the
+    product's answer to out-of-domain magnitudes — validate and choose a
+    policy at ingest, never feed them to operators whose cross-engine
+    behavior is undefined (DuckDB raises on the DECIMAL cast, Spark NULLs).
+    One scan + one groupBy; the domain predicates are pure column
+    expressions from tansu_spark.functions.domain."""
+    from tansu_spark.functions.domain import (
+        EVENT_VALUE_ABS_MAX,
+        enforce_domain,
+        in_domain,
+    )
+
+    lo, hi = -EVENT_VALUE_ABS_MAX, EVENT_VALUE_ABS_MAX
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    clamped = enforce_domain(
+        ev.withColumn("v_clamped", F.col("value")), "v_clamped", lo, hi, mode="clamp"
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~in_domain("value", lo, hi)).cast("int")).cast("long").alias("n_out"),
+        F.sum(F.col("value").isNull().cast("int")).cast("long").alias("n_null"),
+        F.min("v_clamped").cast("double").alias("clamped_min"),
+        F.max("v_clamped").cast("double").alias("clamped_max"),
+    )

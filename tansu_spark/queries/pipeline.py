@@ -6048,6 +6048,35 @@ def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles keyed by (doc, word) / (doc, phrase) — uniform keys, no
     joins beyond the word-score equi-join driven by the same exploded
     frame; per-doc state is its own vocabulary."""
+    frames = _rake_frames(spark, sf_dir)
+    ph, pw, ws, ps = frames["ph"], frames["pw"], frames["ws"], frames["ps"]
+    agg = (
+        ps.join(ph.select("doc_id", "pid", "phrase"), ["doc_id", "pid"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.max("pscore").alias("pscore"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("pscore"), F.asc("phrase"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "phrase",
+            F.round("pscore", 6).alias("score"),
+            "n_occurrences",
+            "rank",
+        )
+    )
+
+
+def _rake_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The RAKE dataflow's intermediate grains, shared between the query
+    and tools/stage_attribution.py (so the stage table counts the rows
+    the REAL plan shuffles): ph = phrase grain, pw = word grain (scalars
+    only), ws = per-(doc,word) scores, ps = per-(doc,pid) phrase scores."""
     docs = load(spark, sf_dir, "documents")
     stop_arr = "array({})".format(
         ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is", "that"])
@@ -6094,23 +6123,4 @@ def text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pscore")
         )
     )
-    agg = (
-        ps.join(ph.select("doc_id", "pid", "phrase"), ["doc_id", "pid"])
-        .groupBy("doc_id", "phrase")
-        .agg(
-            F.max("pscore").alias("pscore"),
-            F.count(F.lit(1)).alias("n_occurrences"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("pscore"), F.asc("phrase"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 3)
-        .select(
-            "doc_id",
-            "phrase",
-            F.round("pscore", 6).alias("score"),
-            "n_occurrences",
-            "rank",
-        )
-    )
+    return {"ph": ph, "pw": pw, "ws": ws, "ps": ps}

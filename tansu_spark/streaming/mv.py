@@ -128,11 +128,36 @@ class IncrementalView:
             # hostile batch pattern exposed it). The cast back is exact
             # while the merged sum fits the partial type — the same
             # documented numeric domain the decimal grid already has.
-            for f in partial.schema.fields:
-                if f.name in self.aggs:
-                    merged = merged.withColumn(
-                        f.name, F.col(f.name).cast(f.dataType)
-                    )
+            # Guarded down-cast: a decimal overflow here would either
+            # cast to NULL (non-ANSI: silent view-state corruption) or
+            # throw a raw SparkArithmeticException mid-write (ANSI).
+            # try_cast is NULL-on-overflow in BOTH modes, so detect
+            # NULL-after-cast with non-NULL input and raise one
+            # descriptive error — the caller learns the view's sum domain
+            # was exceeded rather than reading a poisoned bucket forever.
+            cast_cols = [
+                f for f in partial.schema.fields if f.name in self.aggs
+            ]
+            for f in cast_cols:
+                merged = merged.withColumn(
+                    f"__cast_{f.name}",
+                    F.col(f.name).try_cast(f.dataType),
+                )
+            overflow_pred = None
+            for f in cast_cols:
+                p = F.col(f.name).isNotNull() & F.col(f"__cast_{f.name}").isNull()
+                overflow_pred = p if overflow_pred is None else (overflow_pred | p)
+            if overflow_pred is not None and merged.where(overflow_pred).limit(1).count():
+                raise ArithmeticError(
+                    f"view {self.view_dir}: merged aggregate overflows the "
+                    f"view's canonical decimal width "
+                    f"({[(f.name, str(f.dataType)) for f in cast_cols]}); "
+                    "recreate the view with a wider sum type"
+                )
+            for f in cast_cols:
+                merged = merged.withColumn(
+                    f.name, F.col(f"__cast_{f.name}")
+                ).drop(f"__cast_{f.name}")
         else:
             merged = partial.select("bucket", *self.key_cols, *self.aggs)
         writer = merged.write.mode("overwrite").partitionBy("bucket")

@@ -131,3 +131,38 @@ def test_cat_produce_encodes_wire_and_lake_is_duckdb_readable(spark, tmp_path):
         (1, 1000371, 15.32), (2, 1000372, 22.15),
         (2, 1000373, 9.01), (1, 1000374, 42.13),
     ]
+
+
+def test_multibatch_produce_reports_all_partitions(store, tmp_path, monkeypatch):
+    """r9 advice: a >1-batch pipelined produce must report base_offsets
+    for EVERY touched partition (minimum offset per partition across all
+    batches), not just partitions of the first batch — plus a `batches`
+    field disclosing the produce was a sequence of commits."""
+    from tansu_spark.broker.broker import Broker
+
+    real = Broker.produce_rows_pipelined
+
+    def small_batches(self, topic, rows, batch_size=10_000, **kw):
+        return real(self, topic, rows, batch_size=4, **kw)
+
+    monkeypatch.setattr(Broker, "produce_rows_pipelined", small_batches)
+    run(store, "topic", "create", "mb", "--partitions", "3")
+    lines = tmp_path / "rows.jsonl"
+    # 12 rows / batch_size 4 = 3 commits; keys spread over all partitions
+    lines.write_text(
+        "\n".join(
+            json.dumps({"key": f"k{i}", "value": {"n": i}}) for i in range(12)
+        )
+    )
+    got = run(store, "produce", "mb", "--file", str(lines))[0]
+    assert got["produced"] == 12
+    assert got["batches"] == 3
+    consumed = run(store, "consume", "mb", "--max-records", "100")
+    touched = {str(r["partition"]) for r in consumed}
+    assert set(got["base_offsets"]) == touched
+    # each reported offset is the MINIMUM offset seen in that partition
+    mins = {}
+    for r in consumed:
+        p = str(r["partition"])
+        mins[p] = min(mins.get(p, r["offset"]), r["offset"])
+    assert got["base_offsets"] == mins

@@ -131,3 +131,26 @@ def test_stream_from_topic_maintains_view(spark, tmp_path):
     }
     got = {r["key_str"]: (r["n"], r["bytes"]) for r in view.read().collect()}
     assert got == want
+
+
+def test_merge_overflow_of_canonical_width_raises(spark, tmp_path):
+    """The merge path casts widened decimal sums back to the incoming
+    batch's partial type; in non-ANSI mode an overflow would cast to NULL
+    and silently corrupt the bucket forever after. The guard must raise
+    instead (r9 advice). Trigger: a wide first batch (sum ~1e20 fits
+    decimal(38,0)) then a narrow second batch whose partial type
+    decimal(15,0) cannot hold the merged total."""
+    from decimal import Decimal
+
+    import pytest
+
+    view = IncrementalView(
+        spark, str(tmp_path / "vo"), ["k"], {"v_sum": ("sum", "v")}, n_buckets=2
+    )
+    wide = spark.createDataFrame(
+        [("a", Decimal(10**20))], "k string, v decimal(38,0)"
+    )
+    assert view.apply_batch(wide, 0)
+    narrow = spark.createDataFrame([("a", Decimal(1))], "k string, v decimal(5,0)")
+    with pytest.raises(ArithmeticError, match="decimal width"):
+        view.apply_batch(narrow, 1)

@@ -249,10 +249,8 @@ def test_clone_of_vacuumed_source_version_raises_descriptive(spark, tmp_path):
     physically gone (partially vacuumed source) must fail clone_shallow
     with a descriptive FileNotFoundError, mirroring restore_version's
     pass-1 validation — not a bare KeyError (r8 advice)."""
-    import glob
-
     from tansu_spark.lake.maintain import compact_table
-    from tansu_spark.lake.snapshots import HISTORY_DIR, clone_shallow
+    from tansu_spark.lake.snapshots import clone_shallow, load_manifest
 
     src = str(tmp_path / "vsrc")
     _write(spark, src, range(10))
@@ -260,9 +258,21 @@ def test_clone_of_vacuumed_source_version_raises_descriptive(spark, tmp_path):
     _write(spark, src, range(10, 20))
     commit_snapshot(src)
     compact_table(spark, src, target_bytes=1 << 30)
-    hist = glob.glob(f"{src}/{HISTORY_DIR}/**/*.parquet", recursive=True)
-    assert hist
-    os.unlink(hist[0])
+    # Unlink a history file that version 0's manifest actually references
+    # (resolved through the relocation map) — NOT glob order, which under
+    # full-suite state can hand back a file v0 never referenced, letting
+    # the clone legitimately succeed.
+    doc = load_manifest(src)
+    v0 = next(e for e in doc["versions"] if e["v"] == 0)
+    victims = [
+        os.path.join(src, doc["relocations"][rel])
+        for rel in v0["files"]
+        if rel in doc["relocations"]
+        and not os.path.exists(os.path.join(src, rel))
+        and os.path.exists(os.path.join(src, doc["relocations"][rel]))
+    ]
+    assert victims, "compaction should have relocated v0 files to history"
+    os.unlink(victims[0])
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         clone_shallow(src, str(tmp_path / "vclone"), version=0)
 

@@ -46,6 +46,7 @@ TABLES = [
 
 # Input-sensitive registry subset (content-dependent semantics).
 HOSTILE_QUERIES = [
+    "events_value_domain_audit",
     # --- dedup over document text ---
     "dedup_exact",
     "dedup_exact_substring",
@@ -203,11 +204,25 @@ def run_fixture(spark, fixture_dir: str) -> dict:
         return hashlib.md5(d.astype(str).to_csv().encode()).hexdigest()
 
     def norm(d):
-        return (
-            d.reindex(sorted(d.columns), axis=1)
-            .sort_values(by=sorted(d.columns))
-            .reset_index(drop=True)
-        )
+        """Column-sort + row-sort + EXPLICIT dtype normalization (r9
+        advice): the hash compares astype(str) output, so a dtype-only
+        difference between Spark-toPandas and DuckDB .df() (int64 "5" vs
+        null-upcast float64 "5.0", object None "None" vs NaN "nan") must
+        not decide the verdict. Integers → nullable Int64, floats →
+        float64, bools → nullable boolean, object NULLs → one sentinel."""
+        import pandas as pd
+
+        d = d.reindex(sorted(d.columns), axis=1)
+        for c in d.columns:
+            if pd.api.types.is_bool_dtype(d[c]):
+                d[c] = d[c].astype("boolean")
+            elif pd.api.types.is_integer_dtype(d[c]):
+                d[c] = d[c].astype("Int64")
+            elif pd.api.types.is_float_dtype(d[c]):
+                d[c] = d[c].astype("float64")
+            elif d[c].dtype == object:
+                d[c] = d[c].where(d[c].notna(), "<NULL>")
+        return d.sort_values(by=sorted(d.columns)).reset_index(drop=True)
 
     results: dict[str, dict] = {}
     for name in HOSTILE_QUERIES:

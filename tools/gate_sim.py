@@ -85,9 +85,25 @@ def main() -> int:
             results[name] = {"status": "ERROR", "err": str(ex)[:300]}
             print(name, "ERROR", str(ex)[:200], flush=True)
 
+    # Run metadata (r9 verdict ask #5): make the preview's scope auditable
+    # without git archaeology — which SF it ran at, how many registry
+    # entries existed, and when.
+    results["_meta"] = {
+        "sf_dir": SF_DIR,
+        "sf": float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf"))
+        if os.path.basename(SF_DIR.rstrip("/")).startswith("sf")
+        else None,
+        "registry_size": len(qs),
+        "oracled": len(osql),
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+    }
     json.dump(results, open(out_path, "w"), indent=1)
-    bad = [n for n, r in results.items() if r["status"] not in ("MATCH", "rows-only")]
-    print("TOTAL", len(results), "BAD", len(bad), bad, flush=True)
+    bad = [
+        n
+        for n, r in results.items()
+        if n != "_meta" and r["status"] not in ("MATCH", "rows-only")
+    ]
+    print("TOTAL", len(results) - 1, "BAD", len(bad), bad, flush=True)
     return 1 if bad else 0
 
 

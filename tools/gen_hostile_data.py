@@ -164,7 +164,11 @@ def hostile_embeddings() -> list[dict]:
             # cross-engine grids are DECIMAL(28,12)/INT64 at 1e12
             # resolution, so component products must stay < ~1e16.
             # (1e30 overflowed the grid CAST — DuckDB raises, Spark
-            # NULLs — testing engine overflow, not our operators.)
+            # NULLs — testing engine overflow, not our operators.
+            # Out-of-domain magnitudes are not merely untested: the
+            # product's ingest path rejects/clamps them —
+            # tansu_spark/functions/domain.py, audited by the
+            # events_value_domain_audit registry entry.)
             return [1e2 if j % 2 == 0 else -1e2 for j in range(N_DIMS)]
         if kind == "tiny":
             return [1e-300] * N_DIMS

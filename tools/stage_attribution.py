@@ -262,6 +262,113 @@ def _stages_power_iteration(spark, sf_dir):
     ]
 
 
+def _stages_rake(spark, sf_dir):
+    """text_rake_phrases (7.10x on the regenerated honest-cipher sweep —
+    r9 verdict ask #3). Linear axes: phrase rows and word-grain rows
+    (the two explodes) plus the two agg grains (doc,word) / (doc,pid);
+    output is pinned <= 3 per document. Counts come from the query's own
+    _rake_frames helper — the rows the real plan shuffles."""
+    from tansu_spark.queries import QUERIES
+    from tansu_spark.queries.pipeline import _rake_frames
+
+    frames = _rake_frames(spark, sf_dir)
+    from tansu_spark.tables import load
+
+    return [
+        ("documents", load(spark, sf_dir, "documents").count()),
+        ("phrase rows (ph explode)", frames["ph"].count()),
+        ("word-grain rows (pw explode)", frames["pw"].count()),
+        ("word-score rows (doc,word groups)", frames["ws"].count()),
+        ("phrase-score rows (doc,pid groups)", frames["ps"].count()),
+        ("output rows (top-3 per doc)",
+         QUERIES["text_rake_phrases"](spark, sf_dir).count()),
+    ]
+
+
+def _stages_kmeans_trained(spark, sf_dir):
+    """sim_kmeans_trained_topk (6.33x on the regenerated sweep — r9
+    verdict ask #3). The scale axes: training assignment rows (one per
+    corpus vector), trained centroid rows (FIXED 16), and the serving
+    probe candidates (members of the 2 probed clusters for each of the
+    8 queries). Replicates the query's own seeded-init + one-Lloyd-round
+    trained model via the same public helpers."""
+    from pyspark.sql import functions as F
+
+    from tansu_spark.functions import similarity as S
+    from tansu_spark.queries import QUERIES
+    from tansu_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    seeds = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    model0 = S.centroid_model_row(seeds)
+    assign0 = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(model0))
+        .withColumn("_vn", S.norm("embedding"))
+        .select(
+            "vec_id",
+            "embedding",
+            (
+                -F.array_max(
+                    S.model_row_scores("embedding", F.col("_vn"))
+                ).getField("nid")
+            ).alias("cluster"),
+        )
+    )
+    tcent = S.lloyd_means_df(assign0.select("embedding", "cluster"))
+    tmodel = S.centroid_model_row(tcent)
+    assign1 = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(tmodel))
+        .withColumn("_vn", S.norm("embedding"))
+        .select(
+            "vec_id",
+            (
+                -F.array_max(
+                    S.model_row_scores("embedding", F.col("_vn"))
+                ).getField("nid")
+            ).alias("cluster"),
+        )
+    )
+    csz = assign1.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    probes = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .crossJoin(F.broadcast(tmodel))
+        .withColumn("_vn", S.norm("embedding"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        S.model_row_scores("embedding", F.col("_vn")),
+                        asc=False,
+                    ),
+                    1,
+                    2,
+                )
+            ).alias("_p"),
+        )
+        .select("query_id", (-F.col("_p")["nid"]).alias("cluster"))
+    )
+    scored = (
+        probes.join(csz, "cluster")
+        .agg(F.sum("n").cast("long").alias("s"))
+        .collect()[0]["s"]
+    )
+    return [
+        ("embeddings (train assignment rows)", n),
+        ("trained centroid rows (fixed)", tcent.count()),
+        ("probe rows (8 queries x 2 clusters)", probes.count()),
+        ("scored candidate rows (probed-cluster members)", int(scored)),
+        ("output rows (8 x top-5)",
+         QUERIES["sim_kmeans_trained_topk"](spark, sf_dir).count()),
+    ]
+
+
 FAMILIES = [
     ("dedup_winnowing_fingerprints", _stages_winnowing),
     ("dedup_chunk_minhash", _stages_chunk_minhash),
@@ -269,6 +376,8 @@ FAMILIES = [
     ("pipeline_curation_capstone", _stages_capstone),
     ("sim_ivfpq_residual_topk", _stages_ivfpq_residual),
     ("embeddings_power_iteration_pc", _stages_power_iteration),
+    ("text_rake_phrases", _stages_rake),
+    ("sim_kmeans_trained_topk", _stages_kmeans_trained),
 ]
 
 
