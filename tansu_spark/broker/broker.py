@@ -364,16 +364,46 @@ class Broker:
             out = out.withColumn("timestamp", F.current_timestamp())
         if "headers" not in cols:
             out = out.withColumn("headers", F.lit(None).cast(RECORD_SCHEMA["headers"].dataType))
+        hash_partition = F.coalesce(
+            F.pmod(F.hash(F.col("key")), F.lit(cfg.partitions)), F.lit(0)
+        ).cast("int")
         if "partition" not in cols:
+            out = out.withColumn("partition", hash_partition)
+        else:
+            # Explicit partitions: rows without one fall back to the hash
+            # default (r10 hostile control-plane find: produce_rows
+            # silently DROPPED the row dicts' partition field and
+            # re-hashed by key). Out-of-range partitions stay covered by
+            # the post-write observe validation below — the watermark is
+            # the commit point, so nothing invalid becomes visible.
             out = out.withColumn(
                 "partition",
-                F.coalesce(
-                    F.pmod(F.hash(F.col("key")), F.lit(cfg.partitions)), F.lit(0)
-                ).cast("int"),
+                F.coalesce(F.col("partition").cast("int"), hash_partition),
             )
         out = out.withColumn("key", F.col("key").cast("binary")).withColumn(
             "value", F.col("value").cast("binary")
         )
+
+        # Kafka contract: a compacted topic cannot accept a record without
+        # a key (InvalidRecordException — the cleaner has nothing to
+        # compact on). Enforced as a raise_error column inside the write
+        # job itself: zero extra jobs on the produce hot path, and the
+        # whole batch fails before the commit point (r10 hostile
+        # control-plane find — null-key records were silently accepted
+        # and then survived every compaction forever).
+        if "compact" in cfg.cleanup_policy:
+            out = out.withColumn(
+                "key",
+                F.when(
+                    F.col("key").isNull(),
+                    F.raise_error(
+                        F.lit(
+                            f"INVALID_RECORD: compacted topic {topic!r} "
+                            "requires a non-null key"
+                        )
+                    ).cast("binary"),
+                ).otherwise(F.col("key")),
+            )
 
         # Binary-wire topics: stamp each record with the WRITER schema's
         # fingerprint header and snapshot that schema version into topic
@@ -660,18 +690,23 @@ class Broker:
             ]
         )
         now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
-        pdf = pd.DataFrame(
-            {
-                "key": pd.Series([enc(r.get("key")) for r in rows], dtype=object),
-                "value": pd.Series([enc(r.get("value")) for r in rows], dtype=object),
-                # datetime64, not object: an object-dtype timestamp column
-                # kicks createDataFrame off the Arrow fast path (measured
-                # 2.35s vs 0.17s at 50k rows).
-                "timestamp": pd.to_datetime(
-                    [r.get("timestamp", now) for r in rows]
-                ),
-            }
-        )
+        cols = {
+            "key": pd.Series([enc(r.get("key")) for r in rows], dtype=object),
+            "value": pd.Series([enc(r.get("value")) for r in rows], dtype=object),
+            # datetime64, not object: an object-dtype timestamp column
+            # kicks createDataFrame off the Arrow fast path (measured
+            # 2.35s vs 0.17s at 50k rows).
+            "timestamp": pd.to_datetime([r.get("timestamp", now) for r in rows]),
+        }
+        if any("partition" in r for r in rows):
+            # Explicit routing (r10 hostile find: this column was silently
+            # dropped). Nullable Int32 — rows without a partition keep the
+            # hash default downstream.
+            cols["partition"] = pd.array(
+                [r.get("partition") for r in rows], dtype="Int32"
+            )
+            schema.add(StructField("partition", IntegerType(), True))
+        pdf = pd.DataFrame(cols)
         # Big CLI batches straddle the 48 MB arrow localRelationThreshold,
         # flipping between an embedded LocalRelation (worst case ~3.4s at
         # 50k x 1 KiB — the whole batch rides the logical plan) and the

@@ -217,7 +217,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--config", action="append", metavar="K=V")
     t.set_defaults(fn=_cmd_topic)
 
-    pr = sub.add_parser("produce", help="produce JSON lines (nisshi-cat)")
+    pr = sub.add_parser(
+        "produce",
+        help="produce JSON lines (nisshi-cat)",
+        description="Produce JSON lines to a topic. Inputs over 10k rows "
+        "commit as a SEQUENCE of pipelined batches (the `batches` output "
+        "field), not one atomic commit; base_offsets reports the minimum "
+        "offset per touched partition across all batches.",
+    )
     pr.add_argument("topic")
     pr.add_argument("--file", help="read from file instead of stdin")
     pr.set_defaults(fn=_cmd_produce)

@@ -187,13 +187,17 @@ class LakeSink:
         "partition transforms"; the reference's Iceberg sink gets these
         from the table metadata — here they live in the topic config):
 
-        - ``bucket(n, col)``  → deterministic n-way hash bucket. Iceberg
-          mandates murmur3; we use the repo's md5 discipline instead
-          (`sampling.hash_bucket`) so the SAME bucket function runs in any
-          engine — a DuckDB reader can reconstruct the routing exactly
-          (murmur3 exists in neither DuckDB nor the oracle gate).
-          Documented divergence: deterministic + engine-portable beats
-          byte-level Iceberg parity this container cannot verify.
+        - ``bucket(n, col)``  → deterministic n-way hash bucket. For
+          integer-typed columns (the types Iceberg hashes as an 8-byte
+          little-endian long: int/long/date/timestamp) this is the EXACT
+          Iceberg spec bucket — murmur3_x86_32 expressed as straight-line
+          32-bit column algebra (functions/iceberg_hash.py, pinned to the
+          spec's Appendix B vectors) that a DuckDB reader replays
+          bit-identically, so the r1-r9 "md5 instead of murmur3"
+          divergence is CLOSED for these types. Strings keep the md5
+          discipline (variable-length murmur needs a per-byte loop
+          neither engine expresses as plain columns; documented
+          divergence, engine-portable either way).
         - ``truncate(w, col)`` → Iceberg truncate: numbers floor to a
           width-w band (`v - ((v % w + w) % w)`, exact for negatives),
           strings take the first w characters.
@@ -206,12 +210,43 @@ class LakeSink:
         m = _re.fullmatch(r"\s*bucket\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)\s*", spec)
         if m:
             n, col = int(m.group(1)), m.group(2)
+            alias = f"{col.replace('.', '_')}_bucket"
+            dtype = dict(df.dtypes).get(col, "")
+            if dtype in ("bigint", "int", "smallint", "tinyint"):
+                from tansu_spark.functions.iceberg_hash import iceberg_bucket_col
+
+                return iceberg_bucket_col(col, n), alias
+            if dtype == "date":
+                # Iceberg hashes dates as epoch DAYS (int, widened to long)
+                from tansu_spark.functions.iceberg_hash import iceberg_bucket_col
+
+                return (
+                    iceberg_bucket_col(f"datediff({col}, DATE '1970-01-01')", n),
+                    alias,
+                )
+            if dtype.startswith("timestamp"):
+                # Iceberg hashes timestamps as epoch MICROS
+                from tansu_spark.functions.iceberg_hash import iceberg_bucket_col
+
+                return (
+                    iceberg_bucket_col(f"unix_micros({col})", n),
+                    alias,
+                )
+            if dtype == "string":
+                # Iceberg hashes strings as murmur3 of their UTF-8 bytes
+                from tansu_spark.functions.iceberg_hash import (
+                    iceberg_bucket_str_col,
+                )
+
+                return iceberg_bucket_str_col(col, n), alias
+            # remaining types (decimal/double/binary) keep the documented
+            # engine-portable md5 route
             from tansu_spark.functions.sampling import hash_bucket
 
             nib8 = F.substring(hash_bucket(col, seed=0), 1, 8)
             return (
                 (F.conv(nib8, 16, 10).cast("long") % n).cast("int"),
-                f"{col.replace('.', '_')}_bucket",
+                alias,
             )
         m = _re.fullmatch(r"\s*truncate\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)\s*", spec)
         if m:

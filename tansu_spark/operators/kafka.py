@@ -98,10 +98,17 @@ def offsets_for_timestamp(df: DataFrame, ts) -> DataFrame:
     """First offset whose timestamp >= ts, per partition.
 
     Mirrors sql/list_latest_offset_timestamp.sql
-    (``timestamp >= $4 ORDER BY offset LIMIT 1``).
-    """
+    (``timestamp >= $4 ORDER BY offset LIMIT 1``). ``ts`` may be a
+    timestamp/date string, a datetime, or Kafka's wire form — EPOCH
+    MILLISECONDS as an integer (ListOffsets request); a bare int literal
+    would otherwise fail analysis against the TIMESTAMP column (r10
+    hostile control-plane find)."""
+    if isinstance(ts, (int, float)) and not isinstance(ts, bool):
+        ts_lit = F.timestamp_millis(F.lit(int(ts)))
+    else:
+        ts_lit = F.lit(ts)
     return (
-        df.filter(F.col("timestamp") >= F.lit(ts))
+        df.filter(F.col("timestamp") >= ts_lit)
         .groupBy("partition")
         .agg(F.min("offset").alias("offset"))
     )

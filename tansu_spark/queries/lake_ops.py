@@ -343,17 +343,25 @@ def lake_merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+from tansu_spark.functions.iceberg_hash import murmur3_cte_sql as _mm_cte
+
+_PT_MM = _mm_cte(
+    "SELECT event_id, user_id, event_type, ts FROM events",
+    "user_id",
+    "event_id, user_id, event_type, ts",
+)
+
+
 @query(
     "lake_partition_transforms",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT event_id, user_id, event_type, ts,
-             CAST(CAST(concat('0x', substr(md5(concat('0', ':', CAST(user_id AS VARCHAR))), 1, 8))
-                  AS BIGINT) % 8 AS INTEGER) AS user_bucket,
+             CAST((mm_h % 2147483648) % 8 AS INTEGER) AS user_bucket,
              event_id - ((event_id % 100 + 100) % 100) AS event_id_trunc,
              substr(event_type, 1, 3) AS type_trunc,
              CAST(EXTRACT(day FROM ts) AS INTEGER) AS ts_day
-      FROM events
+      FROM ({_PT_MM})
     )
     SELECT user_bucket, ts_day,
            count(*) AS n,
@@ -365,9 +373,10 @@ def lake_merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lake_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style hidden-partitioning transforms
-    (LakeSink.partition_transform): bucket(8, user_id) via the
-    cross-engine md5 hash (same discipline as sampling — murmur3 exists
-    in neither DuckDB nor the gate; documented divergence), numeric and
+    (LakeSink.partition_transform): bucket(8, user_id) via the EXACT
+    Iceberg murmur3 bucket (functions/iceberg_hash.py — r10 closes the
+    former md5 divergence for long-hashed types; the oracle replays the
+    identical 32-bit arithmetic as a DuckDB CTE chain), numeric and
     string truncate(w, col), and the day() temporal transform — computed
     by the SAME code the sink uses to route files, aggregated per
     (bucket, day) partition tuple. The id_sum per tuple is the witness
@@ -877,3 +886,99 @@ def lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+_IB_MM = _mm_cte(
+    "SELECT event_id, user_id FROM events", "user_id", "event_id, user_id"
+)
+
+
+@query(
+    "lake_iceberg_bucket_exact",
+    oracle=f"""
+    SELECT CAST((mm_h % 2147483648) % 16 AS INTEGER) AS bucket,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(min(CASE WHEN mm_h >= 2147483648 THEN mm_h - 4294967296
+                         ELSE mm_h END) AS INTEGER) AS min_hash
+    FROM ({_IB_MM})
+    GROUP BY bucket
+    """,
+)
+def lake_iceberg_bucket_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Iceberg bucket transform (spec: (murmur3_x86_32(le8(v), 0)
+    & Integer.MAX_VALUE) % N) over events.user_id — the hash is
+    straight-line 32-bit column algebra in BOTH engines
+    (functions/iceberg_hash.py; spec Appendix B vectors pinned in
+    tests/test_iceberg_hash.py), so a file written under this routing is
+    byte-level readable by real Iceberg AND re-derivable by any SQL
+    reader. One scan + one groupBy on the 16-value bucket key; the hash
+    itself is ~20 whole-stage-codegen expressions, no UDF, no shuffle
+    before the aggregation. min_hash witnesses the signed hash values,
+    id_sum witnesses row routing."""
+    from tansu_spark.functions.iceberg_hash import with_murmur3
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    # chain form: ~20 plain expressions, fully inside whole-stage codegen
+    # (the single-Column fold form is CodegenFallback — fine for sink
+    # routing, not for the scan hot path)
+    t = with_murmur3(ev, "user_id", "h").withColumn(
+        "bucket",
+        (
+            F.col("h").cast("bigint").bitwiseAND(F.lit(2147483647).cast("bigint"))
+            % 16
+        ).cast("int"),
+    )
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.min("h").cast("int").alias("min_hash"),
+    )
+
+
+from tansu_spark.functions.iceberg_hash import (  # noqa: E402
+    murmur3_str_cte_sql as _mm_str_cte,
+)
+
+_IBS_MM = _mm_str_cte(
+    "SELECT c_custkey, c_name FROM customer", "c_name", "c_custkey, c_name"
+)
+
+
+@query(
+    "lake_iceberg_bucket_string",
+    oracle=f"""
+    SELECT CAST((mm_h % 2147483648) % 32 AS INTEGER) AS bucket,
+           count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(min(CASE WHEN mm_h >= 2147483648 THEN mm_h - 4294967296
+                         ELSE mm_h END) AS INTEGER) AS min_hash
+    FROM ({_IBS_MM})
+    GROUP BY bucket
+    """,
+)
+def lake_iceberg_bucket_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Iceberg bucket transform for a STRING column (spec: murmur3
+    of the UTF-8 bytes) over customer.c_name: byte access via
+    hex(encode(s)) on both engines, the 4-byte-block body as a fold over
+    block indices (Spark `aggregate` / DuckDB `list_reduce` with the
+    seed prepended), straight-line tail + fmix. With the long form
+    (lake_iceberg_bucket_exact) this makes bucket routing byte-level
+    Iceberg-parity for every common partition-key type. One scan + one
+    groupBy; per-row cost is linear in the key's byte length, no UDF."""
+    from tansu_spark.functions.iceberg_hash import with_murmur3_str
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # chain form: the block fold stays a lambda (variable-length input),
+    # everything else is plain codegen arithmetic
+    t = with_murmur3_str(c, "c_name", "h").withColumn(
+        "bucket",
+        (F.col("h").cast("bigint").bitwiseAND(F.lit(2147483647).cast("bigint")) % 32).cast("int"),
+    )
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.min("h").cast("int").alias("min_hash"),
+    )

@@ -47,6 +47,8 @@ TABLES = [
 # Input-sensitive registry subset (content-dependent semantics).
 HOSTILE_QUERIES = [
     "events_value_domain_audit",
+    "lake_iceberg_bucket_exact",
+    "lake_iceberg_bucket_string",
     # --- dedup over document text ---
     "dedup_exact",
     "dedup_exact_substring",

@@ -418,7 +418,8 @@ def main() -> None:
             print(f"{lab} {qname} done {walls[qname][lab]:.1f}s", flush=True)
 
     lines = [
-        SECTION_HEADER + " (r9 — verdict ask #1)",
+        SECTION_HEADER + " (r9 ask #1; r10 adds text_rake_phrases +"
+        " sim_kmeans_trained_topk per r9 ask #3)",
         "",
         "Per-stage ROW COUNTS for every SCALING.md entry whose second-decade",
         "(sf0.1→sf1) wall ratio sat in the 6–10x band, generated by",
