@@ -204,7 +204,14 @@ class LakeSink:
         - ``year(col)/month(col)/day(col)/hour(col)`` → calendar parts.
 
         Returns (column, default_alias) or None when ``spec`` is not a
-        transform (plain column / SQL expr)."""
+        transform (plain column / SQL expr).
+
+        Perf note: the murmur3 bucket here is the single-Column fold form
+        (aggregate lambdas are CodegenFallback — interpreted JVM, still
+        no Python). For bulk backfills where routing dominates, pre-append
+        the hash with functions/iceberg_hash.with_murmur3[_str] (the
+        withColumn chain form, full whole-stage codegen) and partition on
+        a plain column instead."""
         import re as _re
 
         m = _re.fullmatch(r"\s*bucket\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)\s*", spec)
