@@ -378,15 +378,26 @@ def lake_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     former md5 divergence for long-hashed types; the oracle replays the
     identical 32-bit arithmetic as a DuckDB CTE chain), numeric and
     string truncate(w, col), and the day() temporal transform — computed
-    by the SAME code the sink uses to route files, aggregated per
-    (bucket, day) partition tuple. The id_sum per tuple is the witness
-    that every row routes identically in both engines."""
+    by the sink's own transform code, aggregated per (bucket, day)
+    partition tuple. The id_sum per tuple is the witness that every row
+    routes identically in both engines.
+
+    The bucket uses the hash's withColumn-CHAIN form (whole-stage
+    codegen) rather than the sink's single-Column fold: same arithmetic
+    to the bit — pinned equal to LakeSink.partition_transform's routing
+    on the spec vectors in tests/test_iceberg_hash.py — but the fold is
+    CodegenFallback and measured 3.8x slower on this scan (r10 bench)."""
+    from tansu_spark.functions.iceberg_hash import with_murmur3
     from tansu_spark.lake.sink import LakeSink
 
     ev = load(spark, sf_dir, "events").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
-    b, _ = LakeSink.partition_transform("bucket(8, user_id)", ev)
+    ev = with_murmur3(ev, "user_id", "_uh")
+    b = (
+        F.col("_uh").cast("bigint").bitwiseAND(F.lit(2147483647).cast("bigint"))
+        % 8
+    ).cast("int")
     tr, _ = LakeSink.partition_transform("truncate(100, event_id)", ev)
     tp, _ = LakeSink.partition_transform("truncate(3, event_type)", ev)
     dy, _ = LakeSink.partition_transform("day(ts)", ev)

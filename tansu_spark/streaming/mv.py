@@ -131,38 +131,41 @@ class IncrementalView:
             # Guarded down-cast: a decimal overflow here would either
             # cast to NULL (non-ANSI: silent view-state corruption) or
             # throw a raw SparkArithmeticException mid-write (ANSI).
-            # try_cast is NULL-on-overflow in BOTH modes, so detect
-            # NULL-after-cast with non-NULL input and raise one
-            # descriptive error — the caller learns the view's sum domain
-            # was exceeded rather than reading a poisoned bucket forever.
+            # try_cast is NULL-on-overflow in BOTH modes; NULL-after-cast
+            # with non-NULL input raises a descriptive error INSIDE the
+            # write job (raise_error column — zero extra jobs; a separate
+            # pre-write probe re-ran the merge per batch and showed up as
+            # +8 jobs / +0.5s on the r10 bench). A failed write aborts
+            # before last_batch_id advances, so replay stays safe.
             cast_cols = [
                 f for f in partial.schema.fields if f.name in self.aggs
             ]
             for f in cast_cols:
+                tc = F.col(f.name).try_cast(f.dataType)
                 merged = merged.withColumn(
-                    f"__cast_{f.name}",
-                    F.col(f.name).try_cast(f.dataType),
+                    f.name,
+                    F.when(
+                        F.col(f.name).isNotNull() & tc.isNull(),
+                        F.raise_error(
+                            F.lit(
+                                f"DECIMAL_OVERFLOW: view {self.view_dir}: "
+                                f"merged {f.name} overflows the view's "
+                                f"canonical width {f.dataType.simpleString()};"
+                                " recreate the view with a wider sum type"
+                            )
+                        ).cast(f.dataType),
+                    ).otherwise(tc),
                 )
-            overflow_pred = None
-            for f in cast_cols:
-                p = F.col(f.name).isNotNull() & F.col(f"__cast_{f.name}").isNull()
-                overflow_pred = p if overflow_pred is None else (overflow_pred | p)
-            if overflow_pred is not None and merged.where(overflow_pred).limit(1).count():
-                raise ArithmeticError(
-                    f"view {self.view_dir}: merged aggregate overflows the "
-                    f"view's canonical decimal width "
-                    f"({[(f.name, str(f.dataType)) for f in cast_cols]}); "
-                    "recreate the view with a wider sum type"
-                )
-            for f in cast_cols:
-                merged = merged.withColumn(
-                    f.name, F.col(f"__cast_{f.name}")
-                ).drop(f"__cast_{f.name}")
         else:
             merged = partial.select("bucket", *self.key_cols, *self.aggs)
         writer = merged.write.mode("overwrite").partitionBy("bucket")
         # Dynamic mode replaces only the buckets present in `merged`.
-        writer.option("partitionOverwriteMode", "dynamic").parquet(self.view_dir)
+        try:
+            writer.option("partitionOverwriteMode", "dynamic").parquet(self.view_dir)
+        except Exception as e:  # noqa: BLE001 — re-type the guard's error
+            if "DECIMAL_OVERFLOW" in str(e):
+                raise ArithmeticError(str(e).split("SQLSTATE")[0]) from e
+            raise
         write_json_atomic(self._meta_path(), {"last_batch_id": batch_id})
         return True
 

@@ -152,5 +152,5 @@ def test_merge_overflow_of_canonical_width_raises(spark, tmp_path):
     )
     assert view.apply_batch(wide, 0)
     narrow = spark.createDataFrame([("a", Decimal(1))], "k string, v decimal(5,0)")
-    with pytest.raises(ArithmeticError, match="decimal width"):
+    with pytest.raises(ArithmeticError, match="canonical width"):
         view.apply_batch(narrow, 1)
