@@ -182,6 +182,14 @@ class GroupCoordinator:
     def _group(self, group_id: str) -> Group:
         return self._groups.setdefault(group_id, Group())
 
+    def _peek(self, group_id: str) -> Group | None:
+        """Read-only lookup: unlike _group, does NOT materialize a
+        phantom group. Kafka's describe/heartbeat/leave on an unknown
+        group answer Dead/UNKNOWN_MEMBER_ID without creating state (r10
+        control-plane hostile find: a monitoring tool describing groups
+        was creating them)."""
+        return self._groups.get(group_id)
+
     def _evict_expired(self, g: Group, now: float) -> bool:
         """Session-timeout eviction (Inner::missed_heartbeat). Returns
         True when membership shrank; the caller handles the typestate
@@ -244,7 +252,18 @@ class GroupCoordinator:
         return out
 
     def describe(self, group_id: str) -> dict[str, Any]:
-        g = self._group(group_id)
+        g = self._peek(group_id)
+        if g is None:
+            # Kafka DescribeGroups on an unknown group: state Dead,
+            # nothing materialized.
+            return {
+                "state": "Dead",
+                "generation_id": -1,
+                "protocol_type": None,
+                "protocol_name": None,
+                "leader": None,
+                "members": [],
+            }
         return {
             "state": "Formed" if g.formed else "Forming",
             "generation_id": g.generation_id,
@@ -421,7 +440,9 @@ class GroupCoordinator:
         M.add("coordinator_requests", method="heartbeat")
         now = time.time() if now is None else now
         with self._lock():
-            g = self._group(group_id)
+            g = self._peek(group_id)
+            if g is None:
+                return ErrorCode.UNKNOWN_MEMBER_ID
             if member_id not in g.members:
                 return ErrorCode.UNKNOWN_MEMBER_ID
             if generation_id > g.generation_id:
@@ -444,7 +465,9 @@ class GroupCoordinator:
         M.add("coordinator_requests", method="leave")
         ids = [member_id] if member_id is not None else list(members or [])
         with self._lock():
-            g = self._group(group_id)
+            g = self._peek(group_id)
+            if g is None:
+                return [(mid, ErrorCode.UNKNOWN_MEMBER_ID) for mid in ids]
             out: list[tuple[str, ErrorCode]] = []
             removed = False
             for mid in ids:

@@ -7,12 +7,17 @@ plane's hostile gate (tools/gate_hostile.py) covers content-dependent
 queries; this is the state-machine half the r9 exclusion argued but
 never tested.
 
-Two real defects this suite surfaced on first run (both fixed):
+Real defects this suite surfaced on first run (all fixed):
 * list_offsets(topic, <epoch-ms int>) threw a raw AnalysisException
   (TIMESTAMP >= INT) instead of honoring Kafka's ListOffsets wire form;
 * a compacted topic silently ACCEPTED null-key records (Kafka rejects
   them with InvalidRecordException — the cleaner has nothing to key on),
-  and they then survived every compaction forever.
+  and they then survived every compaction forever;
+* produce_rows silently DROPPED an explicit `partition` field in the
+  row dicts and re-hashed by key;
+* coordinator describe/heartbeat/leave on an UNKNOWN group materialized
+  a phantom group as a side effect (Kafka answers Dead /
+  UNKNOWN_MEMBER_ID without creating state).
 """
 
 from __future__ import annotations
@@ -231,3 +236,69 @@ def test_interval_join_empty_side(spark, broker, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT * FROM hostile_sjoin").count() == 0
+
+
+# ----------------------------------------------------- lake snapshot edges
+def test_lake_snapshot_edges(spark, tmp_path):
+    from tansu_spark.lake.maintain import compact_table
+    from tansu_spark.lake.snapshots import (
+        clone_shallow,
+        commit_snapshot,
+        expire_snapshots,
+        read_snapshot,
+        restore_version,
+    )
+
+    d = str(tmp_path / "t")
+    # never-committed table: read and clone both fail descriptively
+    with pytest.raises(FileNotFoundError, match="no snapshots"):
+        read_snapshot(spark, d)
+    with pytest.raises(FileNotFoundError, match="no snapshots"):
+        clone_shallow(d, str(tmp_path / "c"))
+    # compact of an empty directory table: no-op, no error
+    import os
+
+    d2 = str(tmp_path / "e")
+    os.makedirs(d2)
+    assert compact_table(spark, d2, target_bytes=1 << 30) == {}
+
+    spark.range(5).write.mode("append").parquet(d)
+    commit_snapshot(d)
+    # expire keeping more versions than exist: deletes nothing
+    assert expire_snapshots(d, keep_last=10) == 0
+    assert read_snapshot(spark, d).count() == 5
+    # restore TO the live version: commits a new identical version
+    assert restore_version(d, 0) == 1
+    assert read_snapshot(spark, d).count() == 5
+    assert sorted(r["id"] for r in read_snapshot(spark, d, 0).collect()) == \
+        sorted(r["id"] for r in read_snapshot(spark, d, 1).collect())
+    # restore to an unknown version: names the available ones
+    with pytest.raises(KeyError, match="have \\[0, 1\\]"):
+        restore_version(d, 99)
+
+
+# ----------------------------------------------- coordinator unknown entities
+def test_coordinator_unknown_entities_do_not_materialize(broker):
+    """Kafka contract: describe/heartbeat/leave against an UNKNOWN group
+    answer Dead/UNKNOWN_MEMBER_ID and must NOT create the group (r10
+    find: read-only probes were materializing phantom groups — a
+    monitoring tool describing groups would create them)."""
+    from tansu_spark.broker.coordinator import ErrorCode, GroupCoordinator
+
+    c = GroupCoordinator(broker)
+    assert c.describe("ghost")["state"] == "Dead"
+    assert c.heartbeat("ghost", 0, "nobody") == ErrorCode.UNKNOWN_MEMBER_ID
+    assert c.leave("ghost", member_id="nobody") == [
+        ("nobody", ErrorCode.UNKNOWN_MEMBER_ID)
+    ]
+    assert c.delete_groups(["ghost"]) == [
+        ("ghost", ErrorCode.GROUP_ID_NOT_FOUND)
+    ]
+    # none of the probes created state
+    assert [g["group_id"] for g in c.list_groups()] == []
+    # unknown-group offset fetch through the broker: empty, not an error
+    assert broker.fetch_offsets("ghost", "any-topic") == {}
+
+    # a real group still forms normally afterwards
+    r = c.join("real", protocols=[("range", b"")])
+    assert r["error"] == ErrorCode.MEMBER_ID_REQUIRED or r.get("member_id")
