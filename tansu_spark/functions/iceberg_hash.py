@@ -248,12 +248,26 @@ def _k_mix(kexpr: str, engine: str) -> str:
 
 def _body_fold(hexcol: str, nbcol: str, engine: str) -> str:
     if engine == "spark":
-        # filter keeps 0..nb-1 (empty when nb=0; a bare sequence(0, nb-1)
-        # would DESCEND for nb=0)
+        # Aggregate lambdas are interpreted (CodegenFallback), so the
+        # per-element tree must be SMALL: one conv() parse of the
+        # 8-hex-char big-endian word + an arithmetic byteswap beats four
+        # per-byte conv() calls ~3x (r10 sweep: the four-conv form put
+        # lake_iceberg_bucket_string at 10.3x/decade, i.e. per-row cost
+        # dominated everything). slice(sequence(0, nb), 1, nb) yields
+        # 0..nb-1 and is empty at nb=0 (a bare sequence(0, nb-1) would
+        # DESCEND there).
+        be = f"CAST(conv(substr({hexcol}, CAST(8*i+1 AS INT), 8), 16, 10) AS BIGINT)"
+        le = (
+            f"(shiftright(w0, 24) + (shiftright(w0, 16) % 256) * 256"
+            f" + (shiftright(w0, 8) % 256) * 65536 + (w0 % 256) * 16777216)"
+        )
+        words = (
+            f"transform(transform(slice(sequence(0, {nbcol}), 1,"
+            f" CAST({nbcol} AS INT)), i -> {be}), w0 -> {le})"
+        )
         return (
-            f"aggregate(filter(sequence(0, {nbcol}), x -> x < {nbcol}),"
-            f" CAST(0 AS BIGINT),"
-            f" (h, i) -> {_h_upd('h', _word(hexcol, 'i', 'spark'), 'spark')})"
+            f"aggregate({words}, CAST(0 AS BIGINT),"
+            f" (h, w) -> {_h_upd('h', 'w', 'spark')})"
         )
     words = (
         f"list_transform(range(0, CAST({nbcol} AS INTEGER)),"
