@@ -369,6 +369,72 @@ def _stages_kmeans_trained(spark, sf_dir):
     ]
 
 
+def _stages_ivf_ann(spark, sf_dir):
+    """sim_ivf_ann_topk (8.51x on the r10 quiet sweep — boundary wobble
+    from r9's 5.72x). Same SEEDED quantizer and 2-probe serving shape as
+    sim_ivfpq_residual_topk: the scale axes are the corpus assignment
+    rows (one per vector) and the probed-cluster candidate rows; the
+    model stays a fixed 16-row broadcast."""
+    from pyspark.sql import functions as F
+
+    from tansu_spark.functions import similarity as S
+    from tansu_spark.queries import QUERIES
+    from tansu_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cents_model = S.centroid_model_row(
+        emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+        )
+    )
+    assign = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents_model))
+        .withColumn("_vn", S.norm("embedding"))
+        .select(
+            "vec_id",
+            (-F.array_max(
+                S.model_row_scores("embedding", F.col("_vn"))
+            )["nid"]).alias("cluster"),
+        )
+    )
+    csz = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    probes = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents_model))
+        .withColumn("_vn", S.norm("embedding"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        S.model_row_scores("embedding", F.col("_vn")),
+                        asc=False,
+                    ),
+                    1,
+                    2,
+                )
+            ).alias("_p"),
+        )
+        .select("query_id", (-F.col("_p")["nid"]).alias("cluster"))
+    )
+    scored = (
+        probes.join(csz, "cluster")
+        .agg(F.sum("n").cast("long").alias("s"))
+        .collect()[0]["s"]
+    )
+    return [
+        ("embeddings (assignment rows)", n),
+        ("seed centroid rows (fixed)", 16),
+        ("probe rows (8 queries x 2 clusters)", probes.count()),
+        ("scored candidate rows (probed-cluster members)", int(scored)),
+        ("output rows (8 x top-5)",
+         QUERIES["sim_ivf_ann_topk"](spark, sf_dir).count()),
+    ]
+
+
 FAMILIES = [
     ("dedup_winnowing_fingerprints", _stages_winnowing),
     ("dedup_chunk_minhash", _stages_chunk_minhash),
@@ -378,6 +444,7 @@ FAMILIES = [
     ("embeddings_power_iteration_pc", _stages_power_iteration),
     ("text_rake_phrases", _stages_rake),
     ("sim_kmeans_trained_topk", _stages_kmeans_trained),
+    ("sim_ivf_ann_topk", _stages_ivf_ann),
 ]
 
 
@@ -418,8 +485,8 @@ def main() -> None:
             print(f"{lab} {qname} done {walls[qname][lab]:.1f}s", flush=True)
 
     lines = [
-        SECTION_HEADER + " (r9 ask #1; r10 adds text_rake_phrases +"
-        " sim_kmeans_trained_topk per r9 ask #3)",
+        SECTION_HEADER + " (r9 ask #1; r10 adds text_rake_phrases,"
+        " sim_kmeans_trained_topk, sim_ivf_ann_topk)",
         "",
         "Per-stage ROW COUNTS for every SCALING.md entry whose second-decade",
         "(sf0.1→sf1) wall ratio sat in the 6–10x band, generated by",
