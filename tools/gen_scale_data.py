@@ -37,7 +37,17 @@ new sample:
   preserved, cross-copy cosines are scrambled — 10 independent shards
   of the same vector distribution.
 
-Run: python tools/gen_scale_data.py   (~30 s, ~170 MB output)
+Run: python tools/gen_scale_data.py          (~30 s, ~170 MB output)
+     python tools/gen_scale_data.py --sf10   (third decade: 100 copies
+                                              -> testdata_big/sf10,
+                                              ~2.5 GB; the letter-shift
+                                              cipher is replaced by a
+                                              seeded alphabet
+                                              PERMUTATION per copy —
+                                              26 shift keys would
+                                              collide across 100 copies
+                                              and plant phantom
+                                              cross-shard exact dups)
 """
 
 from __future__ import annotations
@@ -59,6 +69,18 @@ DST = os.path.join(HERE, "testdata_big", "sf1")
 COPIES = 10
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
+# --sf10 (third decade, r10): 100 strided copies of sf0.1 instead of 10.
+# A letter-SHIFT cipher has only 26 keys, so 100 copies would collide
+# (shift i and i+26 produce bit-identical shards -> phantom cross-shard
+# exact dups a real 100x corpus would not have). The sf10 cipher is
+# therefore a seeded random PERMUTATION of the alphabet per copy
+# (keyspace 26!, copy 0 = identity) — still a bijection applied
+# word-level with stopwords passed through, so every within-copy
+# dup/near-dup/quality/lang-id property holds exactly as at sf1.
+if "--sf10" in sys.argv:
+    COPIES = 100
+    DST = os.path.join(HERE, "testdata_big", "sf10")
+
 STRIDES = {
     "customer": ("c_custkey", 15_000),
     "supplier": ("s_suppkey", 1_000),
@@ -70,6 +92,9 @@ STRIDES = {
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    threads = os.environ.get("GEN_SCALE_THREADS")
+    if threads:
+        con.execute(f"SET threads = {int(threads)}")
 
     def write(name: str, sql: str) -> None:
         out = os.path.join(DST, f"{name}.parquet")
@@ -135,6 +160,13 @@ def main() -> None:
     )
 
     def shifted(i: int) -> str:
+        if COPIES > 10:
+            # Permutation cipher (see --sf10 note above): seeded, distinct
+            # per copy, identity for copy 0.
+            if i == 0:
+                return ALPHA
+            perm = np.random.RandomState(7000 + i).permutation(list(ALPHA))
+            return "".join(perm)
         return ALPHA[i:] + ALPHA[:i]
 
     # Stopword-preserving word-level cipher (see module docstring): the
@@ -154,15 +186,25 @@ def main() -> None:
             f"ELSE translate(w, '{ALPHA}', '{shifted(i)}') END), ' ')"
         )
 
-    write(
-        "documents",
-        " UNION ALL ".join(
-            f"SELECT doc_id + {i} * 5000 AS doc_id,"
-            f" {cipher(i)} AS text,"
-            f" lang, source, n_chars FROM '{SRC}/documents.parquet'"
-            for i in range(COPIES)
-        ),
-    )
+    doc_selects = [
+        f"SELECT doc_id + {i} * 5000 AS doc_id,"
+        f" {cipher(i)} AS text,"
+        f" lang, source, n_chars FROM '{SRC}/documents.parquet'"
+        for i in range(COPIES)
+    ]
+    if COPIES <= 10:
+        write("documents", " UNION ALL ".join(doc_selects))
+    else:
+        # 100 inline stoplists in one statement make a ~MB SQL string;
+        # stage through a table in chunks instead.
+        con.execute(f"CREATE TABLE _docs AS {doc_selects[0]}")
+        for j in range(1, COPIES, 10):
+            con.execute(
+                "INSERT INTO _docs "
+                + " UNION ALL ".join(doc_selects[j : j + 10])
+            )
+        write("documents", "SELECT * FROM _docs")
+        con.execute("DROP TABLE _docs")
 
     # Embeddings: per-copy dim permutation (numpy), preserving float32.
     src = pq.read_table(f"{SRC}/embeddings.parquet")
