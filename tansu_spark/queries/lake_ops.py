@@ -993,3 +993,80 @@ def lake_iceberg_bucket_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_custkey").cast("long").alias("key_sum"),
         F.min("h").cast("int").alias("min_hash"),
     )
+
+
+@query(
+    "lake_delta_log_read",
+    oracle="""
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+                  FROM orders),
+    merged AS (
+      SELECT k,
+             CASE WHEN k % 5 = 4 THEN 'L' ELSE s END AS s,
+             CASE WHEN k % 5 = 4 THEN p + 1000.0 ELSE p END AS p
+      FROM base WHERE k % 5 <> 2
+    )
+    SELECT s AS o_orderstatus,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS price_total
+    FROM merged GROUP BY s
+    """,
+)
+def lake_delta_log_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta transaction-log EXPORT + external-reader read-back
+    (lake/delta_log.py — the interop surface of the reference's delta-rs
+    commit path, nisshi-schema/src/lake/delta.rs:99-178): full-load
+    orders into a versioned bucketed table, run a row-level MERGE
+    (updates k%5=4 -> status 'L', price +1000; deletes k%5=2) that
+    rewrites only touched buckets and RELOCATES their old files, export
+    `_snapshots.json` as a spec-format `_delta_log/` (protocol/metaData/
+    add/remove JSON commits with footer-harvested stats), then read the
+    table back EXACTLY as a foreign Delta reader would — file list from
+    pure log replay, schema from metaData.schemaString — and aggregate.
+    Matching the declarative oracle proves the log's add/remove
+    bookkeeping reconstructs the post-merge live set bit-exactly (a
+    stale bucket file surviving replay would double-count its rows).
+    Scale: export is O(files) footer metadata reads, no data scan; the
+    read is the same partition-pruned parquet scan as read_snapshot."""
+    import shutil
+    import tempfile
+
+    from tansu_spark.lake.delta_log import export_delta_log, read_via_delta_log
+    from tansu_spark.lake.merge import MergeTable
+
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = tempfile.mkdtemp(prefix="lake_dl_")
+    try:
+        t = MergeTable(spark, f"{scratch}/t", ["k"], n_buckets=8, versioned=True)
+        t.write_full(base)
+        chg = (
+            base.where(F.col("k") % 5 == 4)
+            .select("k", F.lit("L").alias("s"),
+                    (F.col("p") + F.lit(1000.0)).alias("p"),
+                    F.lit("U").alias("_op"))
+            .unionByName(
+                base.where(F.col("k") % 5 == 2)
+                .select("k", F.lit(None).cast("string").alias("s"),
+                        F.lit(None).cast("double").alias("p"),
+                        F.lit("D").alias("_op"))
+            )
+        )
+        t.merge(chg)
+        export_delta_log(spark, f"{scratch}/t")
+        merged = read_via_delta_log(spark, f"{scratch}/t").drop("bucket")
+        return (
+            merged.groupBy(F.col("s").alias("o_orderstatus"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("p").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("price_total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
