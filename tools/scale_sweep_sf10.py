@@ -59,11 +59,17 @@ BAND = [
     ("sim_ivf_ann_topk", "8.5x d2 (r10 stage table)"),
     ("text_inverted_index", "4.0x d2; zipfian partial aggs"),
 ]
+_FULL_BAND = list(BAND)
 
 
 def main() -> None:
     if not os.path.isdir(SF10_DIR):
         sys.exit(f"missing {SF10_DIR}: run python tools/gen_scale_data.py --sf10")
+    if "--only" in sys.argv:
+        # Re-measure a subset (e.g. after a fixture or plan fix); rows
+        # not re-run keep their previous values from SCALING_SF10.json.
+        keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        BAND[:] = [b for b in BAND if b[0] in keep]
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     from tansu_spark.queries import QUERIES
@@ -120,6 +126,11 @@ def main() -> None:
              "status": status}
         )
 
+    if "--only" in sys.argv and os.path.exists(OUT_JSON):
+        old = {r["query"]: r for r in json.load(open(OUT_JSON))["rows"]}
+        old.update({r["query"]: r for r in rows})
+        rows = [old[q] for q, _ in _FULL_BAND if q in old]
+
     art = {
         "rows": rows,
         "calibration": {
@@ -134,8 +145,45 @@ def main() -> None:
     with open(OUT_JSON, "w") as f:
         json.dump(art, f, indent=1, sort_keys=True)
     print(f"wrote {OUT_JSON}")
+    _splice(art)
 
-    # Splice the section into SCALING.md (replace an existing one).
+
+_FINDINGS = [
+    "Third-decade findings (r10, both diagnosed in-round):",
+    "",
+    "- **Unsplittable-fixture artifact (FIXED)**: the first sf10 sweep",
+    "  put the whole IVF/PQ/power-iteration family at 8.5-10.2x with a",
+    "  single-straggler task profile. Cluster occupancy was BALANCED",
+    "  (max 7.2% of 16 clusters), so not assignment skew; the cause was",
+    "  the FIXTURE: pyarrow had written embeddings.parquet as ONE row",
+    "  group at every scale, and a single row group is unsplittable —",
+    "  every scan-heavy corpus stage ran in ONE task no matter the core",
+    "  count. With 5000-row groups (gen_scale_data.py now pins",
+    "  row_group_size; a real 10x corpus arrives as many files/row",
+    "  groups): diagnostic re-runs dropped sim_kmeans 503.9->48.0s,",
+    "  ivfpq_seeded 190.5->49.0s, ivfpq_residual 206.8->53.4s,",
+    "  power_iteration 202.0->49.1s at sf10, and the final same-session",
+    "  re-measure (table below, sf1 fixture also re-laid-out) lands the",
+    "  family at d3 1.09-1.71x — kmeans 26.5s at sf10. The 100 TB lesson",
+    "  is DATA LAYOUT, not plans: scan parallelism = min(cores, row",
+    "  groups x files), so writer row-group/file sizing is a first-class",
+    "  scale knob.",
+    "- **text_rake_phrases 10.64x**: stage attribution at sf10 shows",
+    "  every grain EXACTLY 10.0x (ph 210,070 -> 2,100,700; pw 2,529,020",
+    "  -> 25,290,200; ws/ps likewise) — the dataflow is linear; the wall",
+    "  overage is fixed-32-partition shuffle spill at sf10 volumes. The",
+    "  same query at 128 shuffle partitions: 227.4 -> 152.2s = 7.1x,",
+    "  exactly its second-decade ratio. On a real cluster",
+    "  spark.sql.shuffle.partitions scales with the estate (AQE",
+    "  coalesces downward); the committed row keeps the 32-partition",
+    "  number because the sweep holds config constant across decades.",
+]
+
+
+def _splice(art: dict) -> None:
+    """(Re)write the SCALING.md third-decade section from the artifact
+    (also reachable standalone via --resplice, no re-measuring)."""
+    cal = art["calibration"]
     md = open(SCALING_MD).read()
     if SECTION_MARK in md:
         head, rest = md.split(SECTION_MARK, 1)
@@ -155,15 +203,16 @@ def main() -> None:
         "member; >10x at this scale is a real superlinear term. Span",
         "covered: sf0.01 -> sf10 = 1000x.",
         "",
-        f"Calibration: scan control {scan_control:.3f}s"
-        f" (r1 anchor 0.41s), load {load_start:.2f} ->"
-        f" {os.getloadavg()[0]:.2f}, driver"
-        f" {os.environ['SPARK_GRAFT_DRIVER_MEM']}.",
+        f"Calibration: scan control {cal['scan_control_s']:.3f}s"
+        f" (r1 anchor 0.41s), load {cal['load_avg_start']:.2f} ->"
+        f" {cal['load_avg_end']:.2f}, driver {cal['driver_mem']}.",
+        "",
+    ] + _FINDINGS + [
         "",
         "| query | sf1 s | sf10 s | 10/1 | second-decade context |",
         "|---|---|---|---|---|",
     ]
-    for r in rows:
+    for r in art["rows"]:
         lines.append(
             f"| {r['query']} | {r['sf1_s']} | {r['sf10_s']} |"
             f" {r['d3_ratio']}x | {r['why']} |"
@@ -176,4 +225,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--resplice" in sys.argv:
+        _splice(json.load(open(OUT_JSON)))
+    else:
+        main()
