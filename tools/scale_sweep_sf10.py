@@ -167,7 +167,10 @@ _FINDINGS = [
     "  family at d3 1.09-1.71x — kmeans 26.5s at sf10. The 100 TB lesson",
     "  is DATA LAYOUT, not plans: scan parallelism = min(cores, row",
     "  groups x files), so writer row-group/file sizing is a first-class",
-    "  scale knob.",
+    "  scale knob. The MAIN table above was also re-swept on the",
+    "  re-laid-out sf1 fixture (kmeans d2 7.35x -> 3.69x); the",
+    "  'second-decade context' labels below keep the SELECTION-time",
+    "  ratios that put each entry in this band.",
     "- **text_rake_phrases 10.64x**: stage attribution at sf10 shows",
     "  every grain EXACTLY 10.0x (ph 210,070 -> 2,100,700; pw 2,529,020",
     "  -> 25,290,200; ws/ps likewise) — the dataflow is linear; the wall",
