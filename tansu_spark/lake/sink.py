@@ -178,6 +178,13 @@ class LakeSink:
                 for c in cfg.get("tansu.lake.z_order", "").split(",")
                 if c.strip()
             ],
+            # Parquet-format topics only: ALSO materialize each snapshot
+            # commit as a spec-format _delta_log/ (lake/delta_log.py), so
+            # the table is adoptable by external Delta readers without a
+            # Delta runtime — the reference's delta sink always commits
+            # through the log (delta.rs flush_and_commit); this is the
+            # parquet-native equivalent, incremental per store tick.
+            "delta_log": cfg.get("tansu.lake.delta_log", "false") == "true",
         }
 
     # ------------------------------------------------------------- transforms
@@ -396,6 +403,10 @@ class LakeSink:
                     from tansu_spark.lake.snapshots import commit_snapshot
 
                     commit_snapshot(self.table_dir(topic), "append")
+                    if cfg["delta_log"]:
+                        from tansu_spark.lake.delta_log import export_delta_log
+
+                        export_delta_log(self.spark, self.table_dir(topic))
                 elif cfg["format"] == "delta":
                     # Native Delta runtime (gate passed above): Delta
                     # supports path-based tables, creates the transaction

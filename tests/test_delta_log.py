@@ -216,3 +216,47 @@ def test_historical_version_read_fails_descriptively_after_relocation(
         read_via_delta_log(spark, d, 0).count()
     # In-engine time travel still works via the relocation map.
     assert read_snapshot(spark, d, 0).count() == 10
+
+
+def test_sink_config_exports_log_incrementally(spark, tmp_path):
+    """tansu.lake.delta_log=true: every parquet store tick ALSO commits
+    a Delta JSON log — the reference's always-through-the-log delta sink
+    (delta.rs flush_and_commit), parquet-native."""
+    from tansu_spark.broker.broker import Broker
+    from tansu_spark.lake import LakeSink
+    from tansu_spark.registry.registry import SchemaRegistry
+
+    schema_dir = os.path.join(os.path.dirname(__file__), "fixtures", "schemas")
+    broker = Broker(
+        spark, str(tmp_path / "store"), registry=SchemaRegistry(schema_dir)
+    )
+    sink = LakeSink(broker, str(tmp_path / "lake"))
+    broker.create_topic(
+        "person", partitions=1, config={"tansu.lake.delta_log": "true"}
+    )
+
+    def people(n, start=0):
+        broker.produce_rows(
+            "person",
+            [
+                {
+                    "key": f"{i:03d}-45-6789",
+                    "value": f'{{"firstName":"f{i}","lastName":"l{i}","age":{i % 90}}}',
+                }
+                for i in range(start, start + n)
+            ],
+        )
+
+    people(5)
+    assert sink.store("person") == 5
+    d = sink.table_dir("person")
+    assert _log_files(d) == ["00000000000000000000.json"]
+    people(3, start=5)
+    assert sink.store("person") == 3
+    assert _log_files(d) == [
+        "00000000000000000000.json",
+        "00000000000000000001.json",
+    ]
+    paths, _ = replay_delta_log(d)
+    assert paths == sorted(load_manifest(d)["versions"][-1]["files"])
+    assert read_via_delta_log(spark, d).count() == 8
