@@ -34,6 +34,11 @@ What is guaranteed, and what is not (both by construction):
   are REFUSED: our DV sidecar is not Delta's roaring-bitmap format, and
   exporting base files alone would resurrect deleted rows. Compact the
   DVs away first (DvTable.rewritten_files + rewrite), then export.
+- Every CHECKPOINT_INTERVAL commits the export also writes the spec
+  `%020d.checkpoint.parquet` + `_last_checkpoint`, so reader bootstrap
+  is O(1 checkpoint + <=interval JSON commits) however long the table
+  lives, and commits at or before the checkpoint can be truncated
+  (log retention) without losing the table.
 
 Schema note: `metaData` is emitted in commit 0 with the table's CURRENT
 schema (read from live footers). Our schema migrations are add-only
@@ -58,6 +63,17 @@ from tansu_spark.lake.snapshots import HISTORY_DIR, load_manifest
 DELTA_LOG_DIR = "_delta_log"
 _ENGINE = "tansu-spark"
 
+# Spec checkpointing: every N commits the full replay STATE is written
+# as `%020d.checkpoint.parquet` + `_last_checkpoint`, so readers
+# bootstrap in O(1 checkpoint + <=N JSON commits) instead of O(all
+# commits), and commits at or before the checkpoint can be TRUNCATED
+# (log retention) without losing the table. 10 matches the Delta
+# writers' default. Tombstoned `remove` entries are NOT carried into
+# checkpoints: our maintenance relocates replaced files immediately
+# (retention 0), so there is no un-vacuumed window a tombstone would
+# protect.
+CHECKPOINT_INTERVAL = 10
+
 
 def _log_dir(table_dir: str) -> str:
     return os.path.join(table_dir, DELTA_LOG_DIR)
@@ -65,6 +81,22 @@ def _log_dir(table_dir: str) -> str:
 
 def _commit_path(table_dir: str, version: int) -> str:
     return os.path.join(_log_dir(table_dir), f"{version:020d}.json")
+
+
+def _checkpoint_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_dir(table_dir), f"{version:020d}.checkpoint.parquet")
+
+
+def _last_checkpoint_path(table_dir: str) -> str:
+    return os.path.join(_log_dir(table_dir), "_last_checkpoint")
+
+
+def _last_checkpoint_version(table_dir: str) -> int:
+    """-1 when no checkpoint exists."""
+    p = _last_checkpoint_path(table_dir)
+    if not os.path.exists(p):
+        return -1
+    return int(json.load(open(p))["version"])
 
 
 def _partition_values(rel: str) -> dict[str, str]:
@@ -204,13 +236,16 @@ def export_delta_log(
         for n in os.listdir(_log_dir(table_dir))
         if n.endswith(".json")
     )
+    base_v = max(
+        existing[-1] if existing else -1, _last_checkpoint_version(table_dir)
+    )
     prev: list[str] = []
-    if existing:
+    if base_v >= 0:
         # Incremental export: the baseline file set is what the on-disk
         # log already replays to — NOT the previous manifest entry, which
         # expire_snapshots may have dropped (computing the diff against
         # an empty prev would re-add files the log already removed).
-        prev = _replay_rel(table_dir, existing[-1])
+        prev = _replay_rel(table_dir, base_v)
     elif versions[0]["v"] != 0:
         raise RuntimeError(
             f"cannot bootstrap a Delta log for {table_dir}: snapshot"
@@ -220,7 +255,7 @@ def export_delta_log(
             " before expiring, or re-create the table."
         )
     for entry in versions:
-        if existing and entry["v"] <= existing[-1]:
+        if entry["v"] <= base_v:
             continue
         out = _commit_path(table_dir, entry["v"])
         ts_ms = int(entry["ts"] * 1000)
@@ -314,6 +349,11 @@ def export_delta_log(
             f.write("\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n")
         os.replace(tmp, out)
         prev = entry["files"]
+    # Spec checkpoint cadence: once the tail past the last checkpoint
+    # reaches CHECKPOINT_INTERVAL commits, snapshot the replay state so
+    # bootstrap stays O(1 checkpoint + <=interval commits) forever.
+    if latest["v"] - _last_checkpoint_version(table_dir) >= CHECKPOINT_INTERVAL:
+        write_checkpoint(table_dir, latest["v"])
     return latest["v"]
 
 
@@ -331,43 +371,197 @@ def _replay_rel(table_dir: str, version: int) -> list[str]:
     return sorted(out)
 
 
-def replay_delta_log(
+def _replay_actions(
     table_dir: str, version: int | None = None
-) -> tuple[list[str], dict[str, Any]]:
-    """Pure log replay, the way any Delta reader bootstraps: apply
-    add/remove actions of commits 0..version in order. Returns the
-    (url-DECODED) live paths sorted, plus the reconstructed metaData.
-    This is the verification twin of `read_snapshot` — tests pin
-    replay(log) == manifest for every version."""
+) -> tuple[dict[str, dict[str, Any]], dict[str, Any], dict[str, Any], int]:
+    """Checkpoint-aware replay, the way any Delta reader bootstraps:
+    load the newest usable checkpoint (if one exists at or before the
+    requested version), then apply the JSON commits after it in order.
+    Returns ({url-DECODED path -> latest add action}, metaData,
+    protocol, resolved_version). Missing commits in the required range
+    raise by name — a gap is corruption, never silent partial state."""
     log = _log_dir(table_dir)
     if not os.path.isdir(log):
         raise FileNotFoundError(f"no {DELTA_LOG_DIR} in {table_dir}")
     commits = sorted(
         int(n[:-5]) for n in os.listdir(log) if n.endswith(".json")
     )
-    if not commits:
+    ckpt_v = _last_checkpoint_version(table_dir)
+    if not commits and ckpt_v < 0:
         raise FileNotFoundError(f"empty {DELTA_LOG_DIR} in {table_dir}")
     if version is None:
-        version = commits[-1]
-    if version not in commits:
-        raise KeyError(f"version {version} not in exported log; have {commits}")
-    live: set[str] = set()
+        version = max(commits[-1] if commits else -1, ckpt_v)
+    if version not in commits and version != ckpt_v:
+        raise KeyError(
+            f"version {version} not in exported log; have commits"
+            f" {commits}, checkpoint at {ckpt_v if ckpt_v >= 0 else None}"
+        )
+
+    adds: dict[str, dict[str, Any]] = {}
     meta: dict[str, Any] = {}
-    for v in commits:
-        if v > version:
-            break
-        with open(_commit_path(table_dir, v)) as f:
+    proto: dict[str, Any] = {}
+    start = 0
+    if 0 <= ckpt_v <= version:
+        import pyarrow.parquet as pq
+
+        for row in pq.read_table(_checkpoint_path(table_dir, ckpt_v)).to_pylist():
+            if row.get("protocol"):
+                proto = row["protocol"]
+            elif row.get("metaData"):
+                m = dict(row["metaData"])
+                if isinstance(m.get("configuration"), list):
+                    m["configuration"] = dict(m["configuration"])
+                if isinstance(m.get("format"), dict) and isinstance(
+                    m["format"].get("options"), list
+                ):
+                    m["format"]["options"] = dict(m["format"]["options"])
+                meta = m
+            elif row.get("add"):
+                a = dict(row["add"])
+                if isinstance(a.get("partitionValues"), list):
+                    a["partitionValues"] = dict(a["partitionValues"])
+                if a.get("stats") is None:
+                    a.pop("stats", None)
+                adds[urllib.parse.unquote(a["path"])] = a
+        start = ckpt_v + 1
+    for v in range(start, version + 1):
+        p = _commit_path(table_dir, v)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"commit {v} missing from {DELTA_LOG_DIR} (replay needs"
+                f" {start}..{version}); the log is truncated past its"
+                " last checkpoint or corrupted"
+            )
+        with open(p) as f:
             for line in f:
                 if not line.strip():
                     continue
                 action = json.loads(line)
                 if "add" in action:
-                    live.add(urllib.parse.unquote(action["add"]["path"]))
+                    adds[urllib.parse.unquote(action["add"]["path"])] = action["add"]
                 elif "remove" in action:
-                    live.discard(urllib.parse.unquote(action["remove"]["path"]))
+                    adds.pop(urllib.parse.unquote(action["remove"]["path"]), None)
                 elif "metaData" in action:
                     meta = action["metaData"]
-    return sorted(live), meta
+                elif "protocol" in action:
+                    proto = action["protocol"]
+    return adds, meta, proto, version
+
+
+def replay_delta_log(
+    table_dir: str, version: int | None = None
+) -> tuple[list[str], dict[str, Any]]:
+    """Pure log replay (checkpoint bootstrap + JSON tail): the
+    (url-DECODED) live paths sorted, plus the reconstructed metaData.
+    This is the verification twin of `read_snapshot` — tests pin
+    replay(log) == manifest for every version."""
+    adds, meta, _, _ = _replay_actions(table_dir, version)
+    return sorted(adds), meta
+
+
+def write_checkpoint(table_dir: str, version: int | None = None) -> int:
+    """Write the spec checkpoint for `version` (default: latest): one
+    parquet FILE holding the full replay state (protocol / metaData /
+    every live add), plus `_last_checkpoint`. After this, JSON commits
+    at or before `version` may be deleted (log retention) and replay
+    still reconstructs every version from `version` on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    adds, meta, proto, version = _replay_actions(table_dir, version)
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+
+    schema = pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [
+                                    ("provider", pa.string()),
+                                    ("options", pa.map_(pa.string(), pa.string())),
+                                ]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows: list[dict[str, Any]] = [
+        {"protocol": proto, "metaData": None, "add": None},
+        {
+            "protocol": None,
+            "metaData": {
+                "id": meta.get("id"),
+                "format": {
+                    "provider": meta.get("format", {}).get("provider", "parquet"),
+                    "options": list(
+                        meta.get("format", {}).get("options", {}).items()
+                    ),
+                },
+                "schemaString": meta.get("schemaString"),
+                "partitionColumns": meta.get("partitionColumns", []),
+                "configuration": list(meta.get("configuration", {}).items()),
+                "createdTime": meta.get("createdTime"),
+            },
+            "add": None,
+        },
+    ]
+    for path in sorted(adds):
+        a = adds[path]
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": list(a.get("partitionValues", {}).items()),
+                    "size": a.get("size", 0),
+                    "modificationTime": a.get("modificationTime", 0),
+                    "dataChange": bool(a.get("dataChange", True)),
+                    "stats": a.get("stats"),
+                },
+            }
+        )
+    out = _checkpoint_path(table_dir, version)
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), out)
+    with open(_last_checkpoint_path(table_dir) + ".tmp", "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    os.replace(
+        _last_checkpoint_path(table_dir) + ".tmp", _last_checkpoint_path(table_dir)
+    )
+    return version
 
 
 def read_via_delta_log(

@@ -260,3 +260,77 @@ def test_sink_config_exports_log_incrementally(spark, tmp_path):
     paths, _ = replay_delta_log(d)
     assert paths == sorted(load_manifest(d)["versions"][-1]["files"])
     assert read_via_delta_log(spark, d).count() == 8
+
+
+def _append_n_versions(spark, d, n, rows_per=3, start=0):
+    for i in range(n):
+        lo = start + i * rows_per
+        _write(spark, d, range(lo, lo + rows_per))
+        commit_snapshot(d)
+
+
+def test_checkpoint_written_at_interval(spark, tmp_path):
+    from tansu_spark.lake.delta_log import (
+        _last_checkpoint_version,
+        replay_delta_log as _replay,
+    )
+
+    d = str(tmp_path / "t")
+    _append_n_versions(spark, d, 12)
+    assert export_delta_log(spark, d) == 11
+    log = os.path.join(d, "_delta_log")
+    assert _last_checkpoint_version(d) == 11
+    assert os.path.exists(
+        os.path.join(log, "00000000000000000011.checkpoint.parquet")
+    )
+    paths, meta = _replay(d)
+    assert paths == sorted(load_manifest(d)["versions"][-1]["files"])
+    assert meta["partitionColumns"] == []
+
+
+def test_checkpoint_rows_have_exactly_one_action(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "t")
+    _append_n_versions(spark, d, 11)
+    export_delta_log(spark, d)
+    rows = pq.read_table(
+        os.path.join(d, "_delta_log", "00000000000000000010.checkpoint.parquet")
+    ).to_pylist()
+    for r in rows:
+        assert sum(r[k] is not None for k in ("protocol", "metaData", "add")) == 1
+    n_adds = sum(r["add"] is not None for r in rows)
+    assert n_adds == len(load_manifest(d)["versions"][-1]["files"])
+    meta = next(r["metaData"] for r in rows if r["metaData"])
+    from pyspark.sql.types import StructType
+
+    StructType.fromJson(json.loads(meta["schemaString"]))  # parses
+
+
+def test_log_truncation_after_checkpoint(spark, tmp_path):
+    """The point of checkpoints: JSON commits at/before the checkpoint
+    can be DELETED and the table still replays — while pre-checkpoint
+    versions now fail by name, and post-truncation exports still diff
+    against the checkpoint baseline (never re-adding removed files)."""
+    d = str(tmp_path / "t")
+    _append_n_versions(spark, d, 12)
+    export_delta_log(spark, d)
+    log = os.path.join(d, "_delta_log")
+    for v in range(12):  # truncate everything the checkpoint covers
+        p = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.unlink(p)
+
+    paths, _ = replay_delta_log(d)
+    assert paths == sorted(load_manifest(d)["versions"][-1]["files"])
+    assert read_via_delta_log(spark, d).count() == 36
+    with pytest.raises((FileNotFoundError, KeyError)):
+        replay_delta_log(d, 3)
+
+    # Incremental export after truncation: baseline = checkpoint replay.
+    _write(spark, d, range(36, 40))
+    commit_snapshot(d)
+    assert export_delta_log(spark, d) == 12
+    paths, _ = replay_delta_log(d)
+    assert paths == sorted(load_manifest(d)["versions"][-1]["files"])
+    assert read_via_delta_log(spark, d).count() == 40
