@@ -334,3 +334,50 @@ def test_log_truncation_after_checkpoint(spark, tmp_path):
     paths, _ = replay_delta_log(d)
     assert paths == sorted(load_manifest(d)["versions"][-1]["files"])
     assert read_via_delta_log(spark, d).count() == 40
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ops=st.lists(
+        st.sampled_from(["append", "compact", "restore", "export"]),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_property_replay_equals_manifest_under_random_lifecycles(
+    spark, tmp_path_factory, ops
+):
+    """INVARIANT: after ANY sequence of append / compact / restore ops —
+    with exports interleaved at arbitrary points (incremental diffs
+    against whatever the log already holds) — a final export replays to
+    exactly the manifest's live set at EVERY version the log covers,
+    and the external read of the latest version is row-identical to
+    read_snapshot."""
+    d = str(tmp_path_factory.mktemp("dlprop") / "t")
+    nxt = 0
+    versions_at_export: list[int] = []
+    for op in ops:
+        if op == "append" or nxt == 0:  # first op must create data
+            _write(spark, d, range(nxt * 4, nxt * 4 + 4))
+            commit_snapshot(d)
+            nxt += 1
+        elif op == "compact":
+            compact_table(spark, d, target_bytes=1 << 40)
+        elif op == "restore":
+            v = load_manifest(d)["versions"][-1]["v"]
+            restore_version(d, max(0, v - 1))
+        elif op == "export":
+            versions_at_export.append(export_delta_log(spark, d))
+    final = export_delta_log(spark, d)
+    doc = load_manifest(d)
+    for entry in doc["versions"]:
+        paths, _ = replay_delta_log(d, entry["v"])
+        assert paths == sorted(entry["files"]), (ops, entry["v"])
+    assert _sorted_rows(read_via_delta_log(spark, d)) == _sorted_rows(
+        read_snapshot(spark, d)
+    ), ops
+    assert final == doc["versions"][-1]["v"]
