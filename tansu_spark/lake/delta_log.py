@@ -117,6 +117,8 @@ def _json_safe(v: Any) -> Any:
     import datetime
     import decimal
 
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        return None  # NaN/Inf have no strict-JSON form -> no stats
     if isinstance(v, (bool, int, float, str)):
         return v
     if isinstance(v, decimal.Decimal):
@@ -158,13 +160,19 @@ def _file_stats(path: str) -> dict[str, Any]:
                 continue
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-            if st.null_count is not None:
+            if st.null_count is None:
+                # ANY row group without a null count makes the column's
+                # total unknowable — an undercount would let readers
+                # wrongly prune IS NULL predicates, so drop it entirely
+                # (None marks it dropped for later row groups).
+                nulls[name] = None  # type: ignore[assignment]
+            elif nulls.get(name, 0) is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
     return {
         "numRecords": md.num_rows,
         "minValues": mins,
         "maxValues": maxs,
-        "nullCount": nulls,
+        "nullCount": {k: v for k, v in nulls.items() if v is not None},
     }
 
 
