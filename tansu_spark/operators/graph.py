@@ -46,10 +46,31 @@ def connected_components(
     """(node, component_id) for every node appearing in `edges`, where
     component_id is the minimum node id in the component. Deterministic;
     isolated nodes (absent from edges) are not emitted — union them in
-    as self-components if needed."""
+    as self-components if needed.
+
+    Round structure (optimization r10, guide §2.4 "remove shuffles"):
+    each round is ONE shuffle — the neighbor-min partial agg on the
+    destination id. The old union-then-groupBy form re-shuffled the
+    LABEL table alongside the messages every round and re-shuffled the
+    edge table into the join; now (a) edges are hash-partitioned on the
+    join key ONCE before the checkpoint (the distinct rides that same
+    exchange — HashPartitioning(a) satisfies the (a, b) clustering
+    requirement), so the per-round join re-uses their layout, and
+    (b) the own-label term folds in through a co-partitioned/broadcast
+    LEFT join of the slim label table with the per-node min instead of
+    a unioned re-shuffle. Convergence (labels are monotone
+    non-increasing, so changed == decreased) rides the checkpoint
+    materialization as an Observation metric — the separate count()
+    job per round is gone."""
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = e.distinct().localCheckpoint(eager=True)
+    e = (
+        e.repartition("a")
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
 
     # Round 1 fused into initialization: each node's label starts at the
     # min over its closed neighborhood (the same groupBy that would have
@@ -60,28 +81,31 @@ def connected_components(
         .select(F.col("a").alias("node"), "comp")
         .localCheckpoint(eager=True)
     )
-    comp_type = labels.schema["comp"].dataType
 
     for _ in range(max_iter):
         # Labels flow across every edge a->b; each node keeps the min of
-        # what arrives plus its own current label. The old label travels
-        # through the same union (tagged via `old`), so convergence needs
-        # no compare-join afterwards — just a scan of the materialized
-        # result.
-        msgs = e.join(labels, e["a"] == labels["node"]).select(
-            F.col("b").alias("node"),
-            F.col("comp"),
-            F.lit(None).cast(comp_type).alias("old"),
-        )
-        new_labels = (
-            msgs.unionByName(labels.select("node", "comp", F.col("comp").alias("old")))
+        # what arrives plus its own current label.
+        mins = (
+            e.join(labels, e["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "comp")
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"), F.min("old").alias("old"))
+            .agg(F.min("comp").alias("m"))
+        )
+        obs = Observation()
+        new_labels = (
+            labels.join(mins, "node", "left")
+            .select(
+                "node",
+                F.least("comp", "m").alias("comp"),
+                # NULL m (no incoming message) compares NULL -> not counted.
+                (F.col("m") < F.col("comp")).alias("_dec"),
+            )
+            .observe(obs, F.count_if(F.col("_dec")).alias("n_changed"))
+            .select("node", "comp")
             .localCheckpoint(eager=True)
         )
-        n_changed = new_labels.filter(F.col("comp") < F.col("old")).count()
-        labels = new_labels.select("node", "comp")
-        if n_changed == 0:
+        labels = new_labels
+        if int(obs.get["n_changed"]) == 0:
             break
 
     return labels.select(F.col("node").alias(node_out), F.col("comp").alias(comp_out))
@@ -89,18 +113,22 @@ def connected_components(
 
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every neighbor LARGER than u to the min of u's closed
-    neighborhood. One groupBy + one join, both hashed on node id."""
+    neighborhood.
+
+    Optimization r10 (guide §2.4): the closed-neighborhood min is a
+    window over the SAME key the old groupBy+self-join pair hashed on —
+    one Exchange (hash a) + sort instead of two Exchanges and a join.
+    Row multiset is unchanged: one output row per symmetric edge with
+    b > a, labelled with min(a, min_b over a)."""
+    from pyspark.sql import Window
+
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    mins = (
-        sym.groupBy("a")
-        .agg(F.min("b").alias("mn"))
-        .select("a", F.least("a", "mn").alias("m"))
-    )
+    w = Window.partitionBy("a")
     # No distinct here: small-star's orient step dedups immediately
     # downstream, so a dedup shuffle on this (largest) intermediate would
     # be pure overhead.
     return (
-        sym.join(mins, "a")
+        sym.withColumn("m", F.least(F.col("a"), F.min("b").over(w)))
         .where(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
     )
@@ -108,19 +136,32 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Orient each edge larger->smaller, then connect every smaller
-    neighbor (and u itself) to the min neighbor."""
+    neighbor (and u itself) to the min neighbor.
+
+    Optimization r10 (guide §2.4): orient + dedup + neighborhood-min +
+    final dedup all ride TWO hash-a Exchanges — repartition("a") lets
+    the (a, b) dropDuplicates reuse the exchange (HashPartitioning(a)
+    satisfies the (a, b) clustering requirement), the min is a window
+    over the same layout instead of a groupBy+join, and the closing
+    dedup repeats the pattern. The old form spent four Exchanges and a
+    join per invocation. Output set is unchanged (the (a, m) arm emits
+    per-edge duplicates the closing dedup collapses — same final set)."""
+    from pyspark.sql import Window
+
     ori = (
         e.where(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
-        .distinct()
+        .repartition("a")
+        .dropDuplicates(["a", "b"])
     )
-    mins = ori.groupBy("a").agg(F.min("b").alias("m"))
+    w = Window.partitionBy("a")
+    ori = ori.withColumn("m", F.min("b").over(w))
     return (
-        ori.join(mins, "a")
-        .where(F.col("b") != F.col("m"))
+        ori.where(F.col("b") != F.col("m"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
-        .unionByName(mins.select(F.col("a"), F.col("m").alias("b")))
-        .distinct()
+        .unionByName(ori.select("a", F.col("m").alias("b")))
+        .repartition("a")
+        .dropDuplicates(["a", "b"])
     )
 
 
@@ -181,7 +222,11 @@ def connected_components_star(
         m = obs.get
         return out, (int(m["n"]), int(m["h"]))
 
-    e, sig = checkpoint_with_sig(e0.where(F.col("a") != F.col("b")).distinct())
+    e, sig = checkpoint_with_sig(
+        e0.where(F.col("a") != F.col("b"))
+        .repartition("a")
+        .dropDuplicates(["a", "b"])
+    )
     for _ in range(max_iter):
         # One large/small alternation per checkpoint. Measured (r4): a
         # two-alternation-per-checkpoint variant was ~1.6x SLOWER at
