@@ -570,14 +570,26 @@ def kafka_group_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         broker = Broker(spark, f"{scratch}/store")
         broker.create_topic("ev", partitions=4)
+        # Deterministic per-partition offset order WITHOUT a global sort
+        # (optimization r10, guide §2.4): offsets only need event_id
+        # order WITHIN each Kafka partition, so hash-repartition on the
+        # partition column + sortWithinPartitions replaces the old
+        # orderBy("event_id") range sort (sampling job + full-width sort
+        # stage). Offsets come out identical: all rows of a partition
+        # land in one task, sorted by event_id, and produce's _seq
+        # window preserves that order.
         broker.produce(
             "ev",
-            ev.orderBy("event_id").select(
+            ev.select(
                 F.col("user_id").cast("string").cast("binary").alias("key"),
                 F.col("props").cast("binary").alias("value"),
                 F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
                 (F.col("event_id") % 4).cast("int").alias("partition"),
-            ),
+                "event_id",
+            )
+            .repartition(4, "partition")
+            .sortWithinPartitions("event_id")
+            .drop("event_id"),
         )
         cutoff = "2024-01-15"
         committed = broker.list_offsets("ev", cutoff)
@@ -655,11 +667,22 @@ def kafka_txn_visibility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         broker.create_topic("tx", partitions=4)
 
         def payload(pred):
-            return ev.where(pred).orderBy("event_id").select(
-                F.col("user_id").cast("string").cast("binary").alias("key"),
-                F.col("props").cast("binary").alias("value"),
-                F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
-                (F.col("event_id") % 4).cast("int").alias("partition"),
+            # Partition-local sort instead of the old global
+            # orderBy("event_id") (see kafka_group_lag_report): same
+            # per-partition event_id order, hence identical offsets,
+            # minus the range-sort sampling job and full-width sort.
+            return (
+                ev.where(pred)
+                .select(
+                    F.col("user_id").cast("string").cast("binary").alias("key"),
+                    F.col("props").cast("binary").alias("value"),
+                    F.timestamp_micros(F.expr("ts div 1000")).alias("timestamp"),
+                    (F.col("event_id") % 4).cast("int").alias("partition"),
+                    "event_id",
+                )
+                .repartition(4, "partition")
+                .sortWithinPartitions("event_id")
+                .drop("event_id")
             )
 
         broker.produce("tx", payload(F.col("event_id") % 3 != 0))
