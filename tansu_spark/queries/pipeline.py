@@ -170,11 +170,42 @@ def dedup_chain_protected_ids() -> set:
         out |= ids
     for ids in _FPS_PROTECTED.values():
         out |= ids
+    for ids in _SH_PROTECTED.values():
+        out |= ids
     return out
 
 
 _FPS_CACHE: dict = {}
 _FPS_PROTECTED: dict = {}
+
+_SH_CACHE: dict = {}
+_SH_PROTECTED: dict = {}
+
+
+def _sh_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached, checkpointed (doc_id, shingles) table — the
+    tokenize+3-gram scan is the single most re-built intermediate of the
+    dedup family (optimization r10: the chain, the prefix-filter join
+    and the sorted-neighborhood verify each materialized their own
+    identical copy — one corpus scan each). Same probe-and-rebuild
+    contract as _winnow_fps_cached: driver-side persistent-RDD registry
+    check, zero Spark jobs when healthy."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _SH_CACHE.get(key)
+    if hit is not None:
+        ids = _SH_PROTECTED.get(key, set())
+        if ids and ids <= _persistent_rdd_ids(spark):
+            return hit
+        _SH_CACHE.pop(key, None)
+        _SH_PROTECTED.pop(key, None)
+    sh = D.with_shingles(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    _SH_CACHE[key] = sh
+    _SH_PROTECTED[key] = {
+        i for i in (_checkpoint_rdd_id(sh),) if i is not None
+    }
+    return sh
 
 
 def _winnow_fps_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,15 +249,20 @@ def _dedup_chain(spark: SparkSession, sf_dir: str) -> dict:
         # it from exactly that registry.
         ids = _CHAIN_PROTECTED.get(key, set())
         if ids and ids <= _persistent_rdd_ids(spark):
+            # The shared sh table self-heals through its own cache; a
+            # chain hit hands out the CURRENT sh (rebuilt if an external
+            # unpersist dropped only that block).
+            hit["sh"] = _sh_cached(spark, sf_dir)
             return hit
         _CHAIN_CACHE.pop(key, None)
         _CHAIN_PROTECTED.pop(key, None)
     docs = _docs(spark, sf_dir)
     # sh is corpus-sized but hot across the whole text/dedup family —
-    # checkpointing it (RDD-level persist, immune to clearCache) means
-    # every consumer reads materialized shingles instead of re-running
+    # the shared checkpointed table (optimization r10: also reused by
+    # the prefix-filter and sorted-neighborhood queries) means every
+    # consumer reads materialized shingles instead of re-running
     # tokenize+n-gram over the corpus.
-    sh = D.with_shingles(docs).localCheckpoint(eager=True)
+    sh = _sh_cached(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(docs, shingled=sh).localCheckpoint(eager=True)
     verified = D.jaccard_verify(pairs, sh, threshold=0.5).localCheckpoint(
         eager=True
@@ -237,7 +273,6 @@ def _dedup_chain(spark: SparkSession, sf_dir: str) -> dict:
     _CHAIN_PROTECTED[key] = {
         i
         for i in (
-            _checkpoint_rdd_id(sh),
             _checkpoint_rdd_id(pairs),
             _checkpoint_rdd_id(verified),
             _checkpoint_rdd_id(cc),
@@ -5086,23 +5121,25 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh: no recall loss (exact), higher candidate cost on
     extremely-common-prefix corpora — which is why production systems
     ship both and this repo now does too."""
-    from tansu_spark.functions.dedup import with_shingles
-
-    docs = load(spark, sf_dir, "documents")
     # The shingle table feeds THREE consumers (df-counts/prefixes, the
     # verification joins on both pair sides); tokenize+shingle is the
-    # expensive scan, so materialize it once — exchange reuse across the
+    # expensive scan, so it is the SHARED session-checkpointed table
+    # (optimization r10 — previously this query materialized its own
+    # identical copy next to the chain's; exchange reuse across the
     # differently-keyed consumers did not survive the driver environment
-    # (r6 bench: 9.8s, ~3 shingle scans' worth).
-    sh = with_shingles(docs).localCheckpoint(eager=True)  # (doc_id, shingles)
-    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # either, r6 bench: 9.8s, ~3 shingle scans' worth).
+    sh = _sh_cached(spark, sf_dir)  # (doc_id, shingles)
+    # Per-doc shingle count comes free from the array length — the old
+    # count(*) OVER (PARTITION BY doc_id) window re-aggregated the
+    # exploded stream for a number the un-exploded row already knew.
+    e = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    )
     dfreq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
-    w_n = Window.partitionBy("doc_id")
     pref = (
         e.join(dfreq, "s")
         .withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n", F.count(F.lit(1)).over(w_n))
         .where(
             F.col("rn")
             <= F.col("n") - F.ceil(0.5 * F.col("n")).cast("long") + 1
@@ -5708,7 +5745,10 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.distinct()
-    sh = D.with_shingles(docs)
+    # Shared session shingle table (optimization r10): the two verify
+    # joins below read it as a materialized checkpoint instead of
+    # duplicating the tokenize+shingle subtree on both join sides.
+    sh = _sh_cached(spark, sf_dir)
     inter = F.size(F.array_intersect("sa.shingles", "sb.shingles"))
     union_ = F.greatest(
         F.size("sa.shingles") + F.size("sb.shingles") - inter, F.lit(1)
