@@ -4090,10 +4090,17 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction (8 bytes/row), and semi-join output carries only the
     # left columns, so the token array never crosses an Exchange
     # (pinned in test_plans.py::test_token_arrays_never_cross_an_exchange).
+    # Cached (optimization r10): stage 5's substring grain reads the
+    # SAME survivor token frame (s4 ⊆ s3 survivors), so tokenizing the
+    # corpus a third time for it is pure rework — the cache turns scan 3
+    # into a semi-join of this materialized frame. Spills to disk under
+    # pressure like every survivor-id cache here; released by bench.py's
+    # between-query sweep.
     ctok = (
         docs.select("doc_id", T.tokens("text").alias("t"))
         .join(F.broadcast(s3), "doc_id", "left_semi")
         .withColumn("n", F.size("t"))
+        .cache()
     )
     chk = ctok.withColumn(
         "ci",
@@ -4123,11 +4130,7 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- stage 5 (flag-only): substring grain (scan 3): >=48-token
     #    duplicated run == >=33 consecutive duplicated 16-token windows
-    stok = (
-        docs.select("doc_id", T.tokens("text").alias("t"))
-        .join(F.broadcast(s4), "doc_id", "left_semi")
-        .withColumn("n", F.size("t"))
-    )
+    stok = ctok.join(F.broadcast(s4), "doc_id", "left_semi")
     spos = (
         stok.filter(F.col("n") >= 16)
         .withColumn("p", F.explode(F.sequence(F.lit(0), F.col("n") - 16)))
