@@ -1012,14 +1012,23 @@ def embeddings_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame
     cov_u = prods.groupBy("i", "j").agg(
         (grid_sum(F.col("p")) / F.count(F.lit(1))).alias("c")
     )
-    # consumed by all three iterations — ReusedExchange shares the one
-    # aggregate (an eager checkpoint here was measured SLOWER: +2.6s
-    # materialization for work the reuse already saved)
+    # Consumed by all three iterations AND the final projection —
+    # materialized ONCE (optimization r10). The lazy ReusedExchange
+    # sharing the r8 note relied on left the STATIC plan with the
+    # covariance subtree replicated under every consumer: 112 embedding
+    # scans / 105 Exchanges / 70 BroadcastNestedLoopJoins (the r10 plan
+    # audit's worst entry), and the fully-lazy 3-iteration nesting paid
+    # ~0.5s of planning + broadcast latency per chain link. With the
+    # 64x64 table checkpointed and each 64-row iteration result
+    # checkpointed (3 sub-second jobs), the plan is one covariance
+    # subtree + three shallow iteration plans — measured 10.5s -> 4.3s
+    # same-session at sf0.1, bit-identical output. Still zero collects:
+    # every model artifact stays a dataflow.
     cov = cov_u.unionByName(
         cov_u.where(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "c"
         )
-    )
+    ).localCheckpoint(eager=True)
 
     v = spark.range(N_DIMS).select(
         F.col("id").cast("int").alias("j"), F.lit(0.125).alias("v")
@@ -1031,6 +1040,7 @@ def embeddings_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame
             cov.join(F.broadcast(v), "j")
             .groupBy("i")
             .agg(dec_sum(F.col("c") * F.col("v")).alias("w"))
+            .localCheckpoint(eager=True)
         )
         s_row = w.groupBy().agg(
             F.sqrt(dec_sum(F.col("w") * F.col("w"))).alias("s")
