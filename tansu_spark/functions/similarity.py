@@ -522,7 +522,19 @@ def knn_graph_incremental(
             a, c, id_col=id_col, vec_col=vec_col, round_digits=round_digits
         )
 
-    nb, bb = tag(new), tag(base)
+    # Materialize each tagged side ONCE (optimization r10): nb feeds
+    # three consumers (new-source scoring's left side, the all_b union,
+    # to_new's right side) and bb two — fully lazy, the scan+bucket
+    # subtree replicated under every cogroup (20 static corpus scans in
+    # the r10 plan audit) and re-executed per consumer at runtime. nb is
+    # batch-sized by design; bb's one materialization replaces two
+    # map-pass recomputes. Side benefit: the union sides are now
+    # distinct ExistingRDD scans, so the cogroup subtree-identity
+    # canonicalization hazard (see bucket_pair_scores) cannot arise.
+    nb, bb = (
+        tag(new).localCheckpoint(eager=True),
+        tag(base).localCheckpoint(eager=True),
+    )
     all_b = bb.unionByName(nb)
     from_new = score(nb, all_b)  # new sources: complete candidate set
     to_new = score(bb, nb)  # base sources: only their NEW candidates
