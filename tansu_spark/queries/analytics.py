@@ -2629,14 +2629,20 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "value", ts.alias("ts"))
         .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
         .withColumn("h", F.date_trunc("hour", F.col("ts")))
+        # Optimization r10 (guide §2.4): ONE hash(user_id) exchange
+        # feeds the whole query — the per-hour pick, the spine
+        # aggregate, the spine join and the ordered fill windows all
+        # reuse this layout (HashPartitioning(user_id) satisfies every
+        # downstream clustering requirement over (user_id, ...) keys),
+        # collapsing the old pick-window/groupBy/join/window chain of
+        # four exchanges.
+        .repartition("user_id")
     )
-    pick = Window.partitionBy("user_id", "h").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    hr = (
-        e.withColumn("rn", F.row_number().over(pick))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "h", "value")
+    # Deterministic per-hour pick as an aggregate: (ts, event_id) is
+    # unique, so max_by equals the old row_number()-desc window's row 1
+    # without the per-(user, h) sort pass.
+    hr = e.groupBy("user_id", "h").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("value")
     )
     spine = (
         e.groupBy("user_id")
@@ -2721,14 +2727,20 @@ def events_hourly_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "value", ts.alias("ts"))
         .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
         .withColumn("h", F.date_trunc("hour", F.col("ts")))
+        # Optimization r10 (guide §2.4): ONE hash(user_id) exchange
+        # feeds the whole query — the per-hour pick, the spine
+        # aggregate, the spine join and the ordered fill windows all
+        # reuse this layout (HashPartitioning(user_id) satisfies every
+        # downstream clustering requirement over (user_id, ...) keys),
+        # collapsing the old pick-window/groupBy/join/window chain of
+        # four exchanges.
+        .repartition("user_id")
     )
-    pick = Window.partitionBy("user_id", "h").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    hr = (
-        e.withColumn("rn", F.row_number().over(pick))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "h", "value")
+    # Deterministic per-hour pick as an aggregate: (ts, event_id) is
+    # unique, so max_by equals the old row_number()-desc window's row 1
+    # without the per-(user, h) sort pass.
+    hr = e.groupBy("user_id", "h").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("value")
     )
     spine = (
         e.groupBy("user_id")
