@@ -194,6 +194,14 @@ def seeded_books_df(
                 F.lit(0.5) * F.aggregate(F.col("sc.cvec"), F.lit(0.0), _sq)
             ).alias("bias"),
         )
+        # Materialized ONCE (optimization r10): every consumer pattern
+        # (books_model_row broadcast + the LUT join, and for IVFADC the
+        # residual pipeline feeding the seeds) otherwise replicates the
+        # whole upstream subtree under each consumption — 18 static
+        # corpus scans in sim_ivfpq_residual_topk's audit plan. The
+        # table is n_sub x n_codes rows (~128) — one sub-second job.
+        # Still zero collects.
+        .localCheckpoint(eager=True)
     )
 
 
