@@ -6120,7 +6120,18 @@ def _rake_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     and tools/stage_attribution.py (so the stage table counts the rows
     the REAL plan shuffles): ph = phrase grain, pw = word grain (scalars
     only), ws = per-(doc,word) scores, ps = per-(doc,pid) phrase scores."""
-    docs = load(spark, sf_dir, "documents")
+    # Optimization r10 (guide §2.4): every grain below is keyed by a
+    # doc_id-prefixed key — (doc, w), (doc, pid), (doc, phrase), the
+    # final per-doc window — so ONE hash(doc_id) exchange of the slim
+    # (doc_id, text) rows up front satisfies every downstream clustering
+    # requirement and the old four scalar-grain exchanges (word-score
+    # groupBy, score join, phrase groupBy, re-attach join) disappear.
+    # Shuffling raw text once costs fewer bytes than shuffling the
+    # word-grain partials four times (per-doc vocab barely compresses
+    # under partial agg because (doc, w) keys are doc-distinct).
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        "doc_id"
+    )
     stop_arr = "array({})".format(
         ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is", "that"])
     )
