@@ -487,11 +487,25 @@ def kafka_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         broker.create_topic(
             "cust", partitions=2, config={"tansu.schema.wire": "avro"}
         )
-        broker.produce("cust", encoded(F.col("event_id") % 2 == 0, AVRO_EVO_V1, False))
+        # Checkpoint the encoded batches (optimization r10): produce on a
+        # registry-backed wire topic evaluates its input twice — once for
+        # the pre-write validation count, once for the write job — which
+        # re-ran the Arrow encode kernel; materializing runs it once per
+        # generation (row order per partition preserved, so offsets are
+        # unchanged).
+        broker.produce(
+            "cust",
+            encoded(F.col("event_id") % 2 == 0, AVRO_EVO_V1, False)
+            .localCheckpoint(eager=True),
+        )
         # The migration: registry file replaced add-only (v2 = v1 + defaults).
         with open(avsc, "w") as fh:
             fh.write(envelope(AVRO_EVO_V2))
-        broker.produce("cust", encoded(F.col("event_id") % 2 != 0, AVRO_EVO_V2, True))
+        broker.produce(
+            "cust",
+            encoded(F.col("event_id") % 2 != 0, AVRO_EVO_V2, True)
+            .localCheckpoint(eager=True),
+        )
         typed = broker.typed_records("cust").select("value.*")
         out = typed.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
