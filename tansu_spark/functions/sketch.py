@@ -110,8 +110,15 @@ def kmv_merge_pairs(
     pairwise merge join touches sketch summaries, never the raw sets —
     the reason sketches exist. Output: (g_a, g_b, est_a, est_b,
     est_union, est_intersection, jaccard)."""
-    sk = kmv_sketch(df, value_col, [group_col], k).select(
-        F.col(group_col).alias("g"), "v"
+    # Materialized once (optimization r10): the sketch table (<= k longs
+    # per group) feeds the per-group summary and BOTH pair-merge sides —
+    # lazily it replicated the whole raw-data distinct+window upstream
+    # under each consumer (32 static scans in the r10 plan audit of
+    # kmv_supplier_overlap_by_brand).
+    sk = (
+        kmv_sketch(df, value_col, [group_col], k)
+        .select(F.col(group_col).alias("g"), "v")
+        .localCheckpoint(eager=True)
     )
     per = sk.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"), F.max("v").alias("uk")

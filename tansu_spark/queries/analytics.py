@@ -1088,7 +1088,13 @@ def sketch_hll_union_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tansu_spark.functions.sketch import HLL_ALPHA, HLL_M, hll_registers
 
     ev = load(spark, sf_dir, "events")
-    regs = hll_registers(ev, "user_id", ["event_type"])
+    # Materialized once (optimization r10): the register table (m rows
+    # per group) feeds the singles estimate, the type list and both
+    # pair-merge sides — lazily each consumer replicated the raw-scan
+    # register aggregation (16 static scans in the r10 plan audit).
+    regs = hll_registers(ev, "user_id", ["event_type"]).localCheckpoint(
+        eager=True
+    )
 
     def estimate(grouped: DataFrame, keys: list[str], prefix: str) -> DataFrame:
         per = grouped.groupBy(*keys).agg(
@@ -2999,10 +3005,18 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     count table is small (|parts|) and broadcasts to the pair table;
     the single-row order count rides a cross join (the histogram
     pattern)."""
+    # Optimization r10: lp feeds FOUR consumers (the order count, the
+    # per-part counts, both self-join sides) — materialized once, laid
+    # out on the self-join key: the distinct rides the hash(l_orderkey)
+    # exchange (subset of its grouping keys) and the a x b co-purchase
+    # join then reads co-partitioned checkpointed rows with no further
+    # exchange on the pair side.
     lp = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+        .localCheckpoint(eager=True)
     )
     n = lp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     cnt = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
