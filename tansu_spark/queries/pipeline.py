@@ -5952,10 +5952,15 @@ def text_rouge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = _dedup_chain(spark, sf_dir)
     pairs = ch["pairs"].select("doc_a", "doc_b")
     tok = ch["docs"].select("doc_id", T.tokens("text").alias("t"))
+    # Each n-gram count table feeds BOTH pair sides (doc_a and doc_b
+    # joins) — materialized once (optimization r10; lazily the tokenize+
+    # explode+agg upstream replicated under each side, 12 static scans
+    # in the audit).
     uni = (
         tok.select("doc_id", F.explode("t").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     big = (
         tok.select(
@@ -5971,6 +5976,7 @@ def text_rouge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     lens = tok.select(
         "doc_id",
