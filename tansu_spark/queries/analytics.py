@@ -688,8 +688,15 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr("ts div 1000").alias("us")
     )
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("us").alias("t1")
+    # v and c each feed two consumers (the next funnel stage and the
+    # stage-count aggregate) — materialized once (optimization r10;
+    # lazily each consumer replicated the whole upstream chain, 12
+    # static event scans in the audit).
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -697,6 +704,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("us") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -5020,11 +5020,15 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "modality", "ok", "dhash", "rms", "n_frames"],
             )
 
+    # The Arrow decode stage feeds six stage-count consumers; a cache()
+    # kept the runtime single-pass but left the static plan replicating
+    # the mapInPandas subtree under each consumer — checkpointed instead
+    # so every consumer plans an in-memory scan (optimization r10).
     st = d.mapInPandas(
         run,
         "doc_id bigint, modality string, ok int, dhash int,"
         " rms double, n_frames int",
-    ).cache()
+    ).localCheckpoint(eager=True)
 
     c_all = d.agg(F.count(F.lit(1)).alias("n_all"))
     c_dec = st.agg(
