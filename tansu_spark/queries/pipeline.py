@@ -5142,37 +5142,55 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
     )
+    # Dictionary-encode shingles to unique ints (EXACT: any injective
+    # map preserves intersection sizes, hence every jaccard value is
+    # bit-identical to the string form; the rejected int64-HASH variant
+    # had collision risk, this does not). The verify stage then
+    # intersects int arrays instead of re-hashing ~50-char shingle
+    # strings per candidate pair. Id assignment is partition-local
+    # (monotonically_increasing_id = partition ordinal << 33 + local
+    # offset on the hash(s)-partitioned, locally-sorted vocab) — no
+    # global sort anywhere; the vocab is checkpointed so every consumer
+    # reads ONE materialized assignment (the expression is marked
+    # nondeterministic, so an unmaterialized plan could hand different
+    # ids to the pref and svec branches).
     dfreq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ids = (
+        dfreq.sortWithinPartitions("s")
+        .withColumn("sid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    e2 = e.join(ids, "s")
+    svec = e2.groupBy("doc_id").agg(F.collect_list("sid").alias("sids"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
     pref = (
-        e.join(dfreq, "s")
-        .withColumn("rn", F.row_number().over(w_rank))
+        e2.withColumn("rn", F.row_number().over(w_rank))
         .where(
             F.col("rn")
             <= F.col("n") - F.ceil(0.5 * F.col("n")).cast("long") + 1
         )
-        .select("doc_id", "s")
+        .select("doc_id", "sid")
         # self-joined below: one materialization instead of two
         # df-count + window pipelines
         .localCheckpoint(eager=True)
     )
     cand = (
         pref.alias("a")
-        .join(pref.alias("b"), "s")
+        .join(pref.alias("b"), "sid")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    inter = F.size(F.array_intersect("sa.shingles", "sb.shingles"))
+    inter = F.size(F.array_intersect("sa.sids", "sb.sids"))
     union = F.greatest(
-        F.size("sa.shingles") + F.size("sb.shingles") - inter, F.lit(1)
+        F.size("sa.sids") + F.size("sb.sids") - inter, F.lit(1)
     )
     jac = F.round(inter / union, 6)
     return (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(svec.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(svec.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .where(jac >= 0.5)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )

@@ -346,6 +346,34 @@ def test_prefix_filter_join_is_superset_of_lsh_verified(spark, sf_dir):
     assert lsh <= exact, lsh - exact
 
 
+def test_prefix_filter_jaccard_matches_bruteforce(spark, sf_dir):
+    """The dictionary-encoded verify stage (shingle strings -> unique
+    ints, r10 optimization) must reproduce the exact string-set Jaccard:
+    compare the full query output — pairs AND rounded values — against a
+    brute-force all-pairs computation over the same shingle table."""
+    from itertools import combinations
+
+    from tansu_spark.queries import QUERIES
+    from tansu_spark.queries.pipeline import _sh_cached
+
+    sets = {
+        r["doc_id"]: set(r["shingles"])
+        for r in _sh_cached(spark, sf_dir).collect()
+    }
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = max(len(sets[a]) + len(sets[b]) - inter, 1)
+        j = round(inter / union, 6)
+        if j >= 0.5:
+            expect[(a, b)] = j
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_prefix_filter_jaccard"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
 def test_winnow_fps_cache_self_heals_and_protects(spark):
     """The winnowing fingerprint cache follows the chain contract: one
     build per (app, sf), its checkpoint id enters the protected set, an
