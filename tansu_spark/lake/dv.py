@@ -74,6 +74,25 @@ class DvTable:
         hits = self.read_with_pos().where(predicate).select(_FILE, _POS)
         hits.write.mode("append").parquet(self.dv_dir)
 
+    def delete_where_many(self, predicates) -> None:
+        """Apply several predicates as SEQUENTIAL delete generations in
+        ONE scan (optimization r10): generation i of the equivalent
+        ``delete_where`` chain records rows matching ``predicates[i]``
+        that are live after generations < i, so the union of all
+        generations is exactly ``(p1 OR ... OR pn)`` over rows live
+        BEFORE the call — no other mutation can interleave inside one
+        call, which is what makes the fusion sound. The recorded store
+        content, read results, per-file deleted fractions and
+        compaction decisions are identical to the sequential chain; the
+        N full table scans collapse to one (the OR still pushes down)."""
+        preds = list(predicates)
+        if not preds:
+            return
+        any_p = preds[0]
+        for p in preds[1:]:
+            any_p = any_p | p
+        self.delete_where(any_p)
+
     # -------------------------------------------------------------- read
     def read_with_pos(self) -> DataFrame:
         scan = self._scan_with_pos()

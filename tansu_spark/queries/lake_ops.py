@@ -457,8 +457,15 @@ def lake_delete_vectors_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         t = DvTable(spark, f"{scratch}/t")
         t.write(li.repartition(4))  # several files: per-file positions
-        t.delete_where(F.col("l_returnflag") == "R")
-        t.delete_where(F.col("l_quantity").cast("double") < 4.0)
+        # Both delete generations in ONE table scan (optimization r10;
+        # delete_where_many proves the fused store content identical to
+        # the sequential chain — see lake/dv.py and tests/test_dv.py).
+        t.delete_where_many(
+            [
+                F.col("l_returnflag") == "R",
+                F.col("l_quantity").cast("double") < 4.0,
+            ]
+        )
         out = (
             t.read()
             .groupBy(F.col("l_linestatus").alias("s"))

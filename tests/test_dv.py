@@ -50,6 +50,43 @@ def test_second_generation_deletes_only_live_rows(spark, tmp_path):
     assert got == {i for i in range(100) if i % 2 and i % 3}
 
 
+def test_delete_where_many_equals_sequential_generations(spark, tmp_path):
+    """The fused single-scan form (r10 optimization) must record exactly
+    the store content the sequential delete_where chain records —
+    including overlapping predicates, where generation 2 only sees rows
+    live after generation 1 — and read back identically."""
+    seq = DvTable(spark, str(tmp_path / "seq"))
+    seq.write(spark.range(100).select("id").repartition(2))
+    seq.delete_where(F.col("id") % 2 == 0)
+    seq.delete_where(F.col("id") % 3 == 0)  # overlaps multiples of 6
+
+    fused = DvTable(spark, str(tmp_path / "fused"))
+    fused.write(spark.range(100).select("id").repartition(2))
+    fused.delete_where_many([F.col("id") % 2 == 0, F.col("id") % 3 == 0])
+
+    assert {r["id"] for r in fused.read().collect()} == {
+        r["id"] for r in seq.read().collect()
+    } == {i for i in range(100) if i % 2 and i % 3}
+    # Store CONTENT identical: same deleted positions per file ordinal
+    # (paths differ across the two scratch tables, so compare per-file
+    # position sets keyed by file order).
+    def store(t):
+        rows = spark.read.parquet(t.dv_dir).collect()
+        by_file = {}
+        for r in rows:
+            by_file.setdefault(r["_dv_file"].rsplit("/", 1)[-1], set()).add(
+                r["_dv_pos"]
+            )
+        return sorted(by_file.values(), key=sorted)
+
+    assert store(fused) == store(seq)
+    # A later generation on the fused table still only deletes live rows.
+    fused.delete_where(F.col("id") < 10)
+    assert {r["id"] for r in fused.read().collect()} == {
+        i for i in range(10, 100) if i % 2 and i % 3
+    }
+
+
 def test_deleted_fraction_feeds_compaction_decision(spark, tmp_path):
     t = DvTable(spark, str(tmp_path / "t"))
     t.write(spark.range(400).select("id").repartition(4))
