@@ -643,7 +643,14 @@ def sim_kmeans_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cluster"),
         )
     )
-    tcent = S.lloyd_means_df(assign0)
+    # Materialize the 16-row trained-centroid table once: the serving
+    # helper consumes the model under BOTH the corpus-bucket and
+    # query-probe crossJoins, and without this the whole training
+    # subtree (corpus assignment + per-(cluster, dim) decimal means)
+    # replicates under each — no broadcast-exchange reuse fires across
+    # the two model rows (optimization r10, same discipline as the
+    # power-iteration / seeded-codebook materializations).
+    tcent = S.lloyd_means_df(assign0).localCheckpoint(eager=True)
     return S.ivf_topk_model_df(
         emb, emb.filter(F.col("vec_id") < 8), tcent, k=5, n_probe=2
     )
@@ -2451,13 +2458,25 @@ def embeddings_dbscan_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-    core = deg.where(F.col("d") >= 3).select(F.col("a").alias("node"))
+    # Materialize the small node tables once (optimization r10): `core`
+    # feeds both core-edge join sides plus the label join, and
+    # `core_lbl` feeds the border join, the border anti-join and the
+    # final role join — lazily each consumer replicated the degree
+    # aggregate / label-join subtree over the edge table (12 SMJs in
+    # the audited plan).
+    core = (
+        deg.where(F.col("d") >= 3)
+        .select(F.col("a").alias("node"))
+        .localCheckpoint(eager=True)
+    )
     ce = sym.join(
         core.select(F.col("node").alias("a")), "a"
     ).join(core.select(F.col("node").alias("b")), "b")
     cc = connected_components(ce, src="a", dst="b")
-    core_lbl = core.join(cc, "node", "left").select(
-        "node", F.coalesce("component_id", "node").alias("cluster_id")
+    core_lbl = (
+        core.join(cc, "node", "left")
+        .select("node", F.coalesce("component_id", "node").alias("cluster_id"))
+        .localCheckpoint(eager=True)
     )
     border = (
         sym.join(
