@@ -653,6 +653,11 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = d.select("doc_id", T.tokens("text").alias("t")).withColumn(
         "n", F.size("t")
     )
+    # Materialize the fingerprint table and the flagged-window table
+    # once (optimization r10, as in dedup_substring_scrub): `pos` feeds
+    # both sides of its count join and `fl` feeds the per-doc aggregate
+    # AND the islands window — lazily the tokenize + rolling-md5 subtree
+    # re-ran under each consumer (10 parquet scans static).
     pos = (
         tk.filter(F.col("n") >= 16)
         .withColumn("p", F.explode(F.sequence(F.lit(0), F.col("n") - 16)))
@@ -661,11 +666,12 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p",
             F.md5(F.concat_ws(" ", F.expr("slice(t, p + 1, 16)"))).alias("fp"),
         )
+        .localCheckpoint(eager=True)
     )
     cnt = pos.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
     fl = pos.join(cnt, "fp").select(
         "doc_id", "p", (F.col("c") > 1).cast("int").alias("dup")
-    )
+    ).localCheckpoint(eager=True)
     agg = fl.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum("dup").cast("long").alias("n_dup"),
@@ -4321,8 +4327,16 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-integer accounting; the md5 is over the space-joined kept tokens
     in original order (ties impossible: position is unique per doc)."""
     d = _docs(spark, sf_dir)
-    tk = d.select("doc_id", T.tokens("text").alias("t")).withColumn(
-        "n", F.size("t")
+    # Materialize the shared stage tables once (optimization r10): `tk`
+    # feeds the fingerprint build, the token re-explode AND the final
+    # accounting join; `pos` feeds both sides of its own count join;
+    # `cov` feeds the anti-join and the coverage aggregate — lazily the
+    # tokenize + rolling-md5 scans re-ran under each consumer (12
+    # parquet scans static).
+    tk = (
+        d.select("doc_id", T.tokens("text").alias("t"))
+        .withColumn("n", F.size("t"))
+        .localCheckpoint(eager=True)
     )
     pos = (
         tk.filter(F.col("n") >= 16)
@@ -4332,6 +4346,7 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p",
             F.md5(F.concat_ws(" ", F.expr("slice(t, p + 1, 16)"))).alias("fp"),
         )
+        .localCheckpoint(eager=True)
     )
     cnt = pos.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
     dupw = pos.join(cnt, "fp").filter(F.col("c") > 1).select("doc_id", "p")
@@ -4339,6 +4354,7 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         dupw.withColumn("i", F.explode(F.sequence(F.col("p"), F.col("p") + 15)))
         .select("doc_id", "i")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     toks = tk.select(
         "doc_id", F.posexplode("t").alias("i", "tok")
