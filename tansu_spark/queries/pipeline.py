@@ -4108,6 +4108,9 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("t"))
         .cache()
     )
+    # Cached (optimization r10): the chunk-fingerprint table feeds BOTH
+    # sides of the min-doc join below — uncached, the chunk md5 explode
+    # ran twice at runtime (same for the substring grain's spos).
     chk = ctok.withColumn(
         "ci",
         F.explode(
@@ -4118,7 +4121,7 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.expr("slice(t, ci * 48 + 1, 64)"))).alias(
             "cmd5"
         ),
-    )
+    ).cache()
     cmin = chk.groupBy("cmd5").agg(F.min("doc_id").alias("m"))
     cagg = (
         chk.join(cmin, "cmd5")
@@ -4147,6 +4150,7 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sfp"
             ),
         )
+        .cache()
     )
     scnt = spos.groupBy("sfp").agg(F.count(F.lit(1)).alias("c"))
     sdup = spos.join(scnt, "sfp").filter(F.col("c") > 1).select("doc_id", "p")
