@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tansu_spark.functions.text import fingerprint, tokens
+from tansu_spark.materialize import corpus_checkpoint
 
 # --- exact -----------------------------------------------------------------
 
@@ -308,7 +309,7 @@ def simhash64_pairs(
     in several blocks.
     """
     if materialize:
-        fps = fps.localCheckpoint(eager=True)
+        fps = fps.transform(corpus_checkpoint)
     blocks = F.array(
         *[
             F.struct(F.lit(b).alias("block"), F.col(f"w{b}").alias("word"))

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tansu_spark.functions.similarity import _py_norm, dot, norm
+from tansu_spark.materialize import corpus_checkpoint
 
 
 def _py_sumsq(v) -> float:
@@ -131,9 +132,7 @@ def train_codebooks(
     books: list[Codebook] = [
         [(cid, v[s * d : (s + 1) * d]) for cid, v in seed_rows] for s in range(n_sub)
     ]
-    sub_df = _exploded_subvecs(corpus, id_col, vec_col, n_sub, d).localCheckpoint(
-        eager=True
-    )
+    sub_df = _exploded_subvecs(corpus, id_col, vec_col, n_sub, d).transform(corpus_checkpoint)
     for _ in range(n_iter):
         # Assignment = broadcast join vs the codebook TABLE (constant
         # plan size), then ONE shuffle computes every book's means.
@@ -547,7 +546,7 @@ def ivf_pq_topk(
             ivf_assign(corpus, cents, id_col, vec_col).select(id_col, "cluster"),
             id_col,
         )
-        .localCheckpoint(eager=True)
+        .transform(corpus_checkpoint)
     )
 
     spark = corpus.sparkSession

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from tansu_spark.materialize import corpus_checkpoint
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -532,8 +533,8 @@ def knn_graph_incremental(
     # distinct ExistingRDD scans, so the cogroup subtree-identity
     # canonicalization hazard (see bucket_pair_scores) cannot arise.
     nb, bb = (
-        tag(new).localCheckpoint(eager=True),
-        tag(base).localCheckpoint(eager=True),
+        tag(new).transform(corpus_checkpoint),
+        tag(base).transform(corpus_checkpoint),
     )
     all_b = bb.unionByName(nb)
     from_new = score(nb, all_b)  # new sources: complete candidate set

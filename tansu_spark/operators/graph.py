@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from tansu_spark.materialize import corpus_checkpoint
 
 
 def connected_components(
@@ -69,7 +70,7 @@ def connected_components(
     e = (
         e.repartition("a")
         .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=True)
+        .transform(corpus_checkpoint)
     )
 
     # Round 1 fused into initialization: each node's label starts at the
@@ -79,7 +80,7 @@ def connected_components(
         e.groupBy("a")
         .agg(F.least(F.min("b"), F.col("a")).alias("comp"))
         .select(F.col("a").alias("node"), "comp")
-        .localCheckpoint(eager=True)
+        .transform(corpus_checkpoint)
     )
 
     for _ in range(max_iter):
@@ -120,7 +121,7 @@ def connected_components(
             )
             .observe(obs, F.count_if(F.col("_dec")).alias("n_changed"))
             .select("node", "comp")
-            .localCheckpoint(eager=True)
+            .transform(corpus_checkpoint)
         )
         labels = new_labels
         if int(obs.get["n_changed"]) == 0:
@@ -217,16 +218,14 @@ def connected_components_star(
     # it, and the upstream lineage is typically the expensive part (LSH
     # candidate generation) — without this checkpoint it ran twice (the
     # same rescan pitfall SCALING.md documents for bpe_train).
-    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
-        eager=True
-    )
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).transform(corpus_checkpoint)
     # Nodes can vanish from the shrinking edge set (self-loop-only or
     # absorbed singletons); remember the full node set for the final label.
     nodes = (
         e0.select(F.col("a").alias("node"))
         .unionByName(e0.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(corpus_checkpoint)
     )
     from pyspark.sql import Observation
 
@@ -236,7 +235,7 @@ def connected_components_star(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
-        ).localCheckpoint(eager=True)
+        ).transform(corpus_checkpoint)
         m = obs.get
         return out, (int(m["n"]), int(m["h"]))
 

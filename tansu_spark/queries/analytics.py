@@ -17,6 +17,7 @@ from tansu_spark.queries import query
 from tansu_spark.queries.kafka_ops import TOPIC_CTE
 from tansu_spark.queries.tpch import _ONE, _dec
 from tansu_spark.tables import load
+from tansu_spark.materialize import corpus_checkpoint
 
 
 @query(
@@ -696,7 +697,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("t1"))
-        .localCheckpoint(eager=True)
+        .transform(corpus_checkpoint)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -704,7 +705,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("us") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
-        .localCheckpoint(eager=True)
+        .transform(corpus_checkpoint)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -3024,7 +3025,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .repartition("l_orderkey")
         .dropDuplicates(["l_orderkey", "l_partkey"])
-        .localCheckpoint(eager=True)
+        .transform(corpus_checkpoint)
     )
     n = lp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     cnt = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from tansu_spark.operators import kafka as K
 from tansu_spark.queries import query
 from tansu_spark.tables import load
+from tansu_spark.materialize import corpus_checkpoint
 
 # Shared oracle prelude: the topic view of `events`.
 TOPIC_CTE = """
@@ -496,7 +497,7 @@ def kafka_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         broker.produce(
             "cust",
             encoded(F.col("event_id") % 2 == 0, AVRO_EVO_V1, False)
-            .localCheckpoint(eager=True),
+            .transform(corpus_checkpoint),
         )
         # The migration: registry file replaced add-only (v2 = v1 + defaults).
         with open(avsc, "w") as fh:
@@ -504,7 +505,7 @@ def kafka_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         broker.produce(
             "cust",
             encoded(F.col("event_id") % 2 != 0, AVRO_EVO_V2, True)
-            .localCheckpoint(eager=True),
+            .transform(corpus_checkpoint),
         )
         typed = broker.typed_records("cust").select("value.*")
         out = typed.groupBy("event_type").agg(

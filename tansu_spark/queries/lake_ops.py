@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from tansu_spark.queries import query
 from tansu_spark.queries.kafka_ops import TOPIC_CTE, events_topic
 from tansu_spark.tables import load
+from tansu_spark.materialize import corpus_checkpoint
 
 
 @query(
@@ -196,7 +197,7 @@ def lake_time_travel_first_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_chars").cast("double").alias("chars_total"),
             )
             # Materialize before the scratch dir vanishes.
-            .localCheckpoint(eager=True)
+            .transform(corpus_checkpoint)
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -277,7 +278,7 @@ def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("price_total"),
             )
-            .localCheckpoint(eager=True)
+            .transform(corpus_checkpoint)
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -338,7 +339,7 @@ def lake_merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         v1 = t.merge(chg)
-        return t.changes_between(v0, v1).localCheckpoint(eager=True)
+        return t.changes_between(v0, v1).transform(corpus_checkpoint)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -1073,7 +1074,7 @@ def lake_delta_log_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("price_total"),
             )
-            .localCheckpoint(eager=True)
+            .transform(corpus_checkpoint)
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
