@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tansu_spark.functions.text import bpe_tokens
+from tansu_spark.materialize import corpus_checkpoint
 
 # Pre-tokens are capped at 64 symbols before merge application, on BOTH
 # engines: the left-greedy fold is O(len^2) in the word length (each
@@ -82,8 +83,22 @@ def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = 5) -> Dat
     applied map-side via the fold expression. The argmax literal is
     baked into the next round's plan, so every round's lineage stays
     constant-size (no growing iterative plan)."""
-    wf = word_frequencies(docs, text_col).localCheckpoint(eager=True)
+    wf = word_frequencies(docs, text_col).transform(corpus_checkpoint)
     return _train_from_wf(docs.sparkSession, wf, n_merges)
+
+
+# Column-argument variant of _FOLD: the merge triple comes from a
+# broadcast 1-row table (_a, _b, _m) instead of baked-in literals, so a
+# round's fold can be PLANNED before the argmax result is known — the
+# mechanism behind the two-merges-per-job training below. Behavior is
+# identical: the same strings reach the same regexp_extract /
+# regexp_replace calls whether they arrive as literals or columns.
+_FOLD_COLS = """
+split(aggregate(slice(s, 2, greatest(size(s)-1, 0)), element_at(s, 1),
+  (acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = _a AND x = _b
+                   THEN regexp_replace(acc, '[^ ]+$', _m)
+                   ELSE concat(acc, ' ', x) END), ' ')
+"""
 
 
 def _train_from_wf(spark, wf: DataFrame, n_merges: int) -> DataFrame:
@@ -91,44 +106,97 @@ def _train_from_wf(spark, wf: DataFrame, n_merges: int) -> DataFrame:
     corpus is scanned exactly once (building ``wf``); without the
     upfront checkpoint the first argmax AND the first fold-materialize
     each re-ran the corpus explode+groupBy (two full scans — measured
-    as most of an 8 s training pass at sf0.1)."""
+    as most of an 8 s training pass at sf0.1).
+
+    TWO merges per collect (optimization r11, guide §1.2 serial-chain
+    cost): the classic loop is inherently serial (merge r+1's argmax
+    needs merge r), which cost one driver round-trip job per merge. The
+    even round's argmax result now feeds the odd round INSIDE one plan:
+    the best pair is a broadcast 1-row table cross-joined onto the
+    symbol table, the fold reads it as COLUMNS (_FOLD_COLS), and the
+    second argmax runs over that folded table — one collect returns both
+    rounds' (pair, cnt) rows. Pair counts and tie-breaks are computed by
+    the same expressions either way, so the learned merge list is
+    bit-identical; the only cost is the even round's pair-count subtree
+    appearing twice in the fused plan (once for its output row, once
+    under the fold), which the measured job-overhead saving exceeds on
+    the small word-frequency table."""
     syms = wf.select(
         "n",
         F.expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))").alias(
             "s"
         ),
     )
-    merges: list[tuple[int, str, str, str, int]] = []
-    for r in range(n_merges):
-        pairs = syms.filter(F.size("s") >= 2).select(
-            "n",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(s)-1),"
-                    " i -> concat(element_at(s, i), ' ', element_at(s, i+1)))"
-                )
-            ).alias("pair"),
-        )
-        best = (
-            pairs.groupBy("pair")
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.size("s") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s)-1),"
+                        " i -> concat(element_at(s, i), ' ', element_at(s, i+1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
             .agg(F.sum("n").cast("long").alias("cnt"))
+        )
+
+    def best1(df: DataFrame) -> DataFrame:
+        return (
+            pair_counts(df)
             .orderBy(F.desc("cnt"), F.asc("pair"))
             .limit(1)
-            .collect()
         )
-        if not best:
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    r = 0
+    while r < n_merges:
+        b1 = best1(syms)
+        if r + 1 < n_merges:
+            # Speculative odd round: apply the (not-yet-collected) best
+            # pair via broadcast columns, take the argmax of the folded
+            # table, return both rows in one collect.
+            m1 = b1.select(
+                F.split("pair", " ", 2).getItem(0).alias("_a"),
+                F.split("pair", " ", 2).getItem(1).alias("_b"),
+            ).withColumn("_m", F.concat("_a", "_b"))
+            folded = syms.crossJoin(F.broadcast(m1)).select(
+                "n", F.expr(_FOLD_COLS).alias("s")
+            )
+            b2 = best1(folded)
+            rows = (
+                b1.select(F.lit(r).alias("round"), "pair", "cnt")
+                .unionByName(
+                    b2.select(F.lit(r + 1).alias("round"), "pair", "cnt")
+                )
+                .orderBy("round")
+                .collect()
+            )
+        else:
+            rows = b1.select(F.lit(r).alias("round"), "pair", "cnt").collect()
+        if not rows:
             break
-        a, b = best[0]["pair"].split(" ", 1)
-        m = a + b
-        merges.append((r, a, b, m, int(best[0]["cnt"])))
-        syms = syms.select("n", F.expr(_FOLD.format(a=a, b=b, m=m)).alias("s"))
-        # Truncate lineage every few rounds, not every round: a handful of
-        # nested folds analyze fine, and skipping the per-round eager
-        # materialization job halves the round count's job overhead. Deep
-        # unchecked nesting is still avoided (k-fold expression nesting
-        # blows up analysis time at high merge counts).
-        if (r + 1) % 4 == 0:
-            syms = syms.localCheckpoint(eager=True)
+        for row in rows:
+            a, b = row["pair"].split(" ", 1)
+            m = a + b
+            merges.append((int(row["round"]), a, b, m, int(row["cnt"])))
+            syms = syms.select(
+                "n", F.expr(_FOLD.format(a=a, b=b, m=m)).alias("s")
+            )
+            # Truncate lineage every few rounds, not every round: a
+            # handful of nested folds analyze fine, and skipping the
+            # per-round eager materialization job halves the round
+            # count's job overhead. Deep unchecked nesting is still
+            # avoided (k-fold expression nesting blows up analysis time
+            # at high merge counts).
+            if len(merges) % 4 == 0:
+                syms = syms.transform(corpus_checkpoint)
+        if len(rows) < (2 if r + 1 < n_merges else 1):
+            break  # the speculative round found no pairs left to merge
+        r += len(rows)
     return spark.createDataFrame(
         merges, "round int, lhs string, rhs string, merged string, pair_count long"
     )
@@ -156,6 +224,7 @@ def bpe_encode(
     text_col: str = "text",
     n_merges: int = 5,
     merges: list[tuple[str, str, str]] | None = None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize every document under a trained BPE merge list (trains one
     with ``bpe_train`` when not given): returns (doc_id, n_pretokens,
@@ -169,12 +238,16 @@ def bpe_encode(
     The corpus pass is then explode + a broadcast join against the tiny
     (word, n_sub) dictionary + one partial-agg shuffle on doc_id.
     Measured ~6x over folding every instance at sf0.1; the gap widens
-    with corpus/vocabulary ratio."""
-    words = None
+    with corpus/vocabulary ratio.
+
+    ``words`` (optional): a precomputed distinct pre-token table with
+    column ``wd`` — callers that already hold the corpus vocabulary
+    (e.g. a session-cached word-frequency table, r11) pass it here so
+    the encode dictionary skips its own corpus explode+distinct."""
     if merges is None:
         # One corpus scan serves BOTH training and the encode dictionary:
         # the materialized word-frequency table is the vocabulary.
-        wf = word_frequencies(docs, text_col).localCheckpoint(eager=True)
+        wf = word_frequencies(docs, text_col).transform(corpus_checkpoint)
         merges = [
             (r["lhs"], r["rhs"], r["merged"])
             for r in _train_from_wf(docs.sparkSession, wf, n_merges).collect()

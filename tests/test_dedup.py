@@ -253,13 +253,15 @@ def test_dedup_chain_protected_ids_exact_and_reset_on_rebuild(spark):
     stranger_id = P._checkpoint_rdd_id(stranger)
     assert stranger_id is not None
 
-    P._CHAIN_CACHE.clear()
-    P._CHAIN_PROTECTED.clear()
-    # dedup_chain_protected_ids() also unions the winnowing fingerprint
-    # cache's ids (r8) — clear it too, or any earlier test that built
-    # winnowing fingerprints makes the exact-count assert order-dependent
-    P._FPS_CACHE.clear()
-    P._FPS_PROTECTED.clear()
+    # dedup_chain_protected_ids() unions EVERY registered session cache
+    # (winnowing fingerprints since r8, the shared k-NN graph since r11)
+    # — clear them all, or any earlier test that populated one makes the
+    # exact-count assert below order-dependent.
+    from tansu_spark.queries._session_cache import SessionCheckpointCache
+
+    for inst in SessionCheckpointCache._instances:
+        inst.cache.clear()
+        inst.protected.clear()
     P._dedup_chain(spark, sf)
     ids1 = P.dedup_chain_protected_ids()
     assert len(ids1) == 4, ids1  # sh, pairs, verified, cc — one id each

@@ -357,3 +357,40 @@ def test_duckdb_list_inner_product_is_sequential_left_fold():
             [a, a, b],
         ).fetchone()[0]
         assert red == expect
+
+
+def test_knn_graph_session_cache_equals_fresh_build_and_self_heals(spark, sf_dir):
+    """The session-shared k-NN adjacency (queries/similarity.py::
+    _knn_graph_cached, r11) must (a) hand five consumers the SAME
+    materialized table, (b) be row-identical to a fresh knn_graph_lsh
+    build, and (c) rebuild — not raise — after an external bulk
+    unpersist (the bench's between-query release relies on the protected
+    ids; a harness that ignores them must still get correct results)."""
+    from tansu_spark.queries.similarity import _knn_cache, _knn_graph_cached
+    from tansu_spark.tables import load
+
+    _knn_cache.cache.clear()
+    _knn_cache.protected.clear()
+    g1 = _knn_graph_cached(spark, sf_dir)
+    assert _knn_graph_cached(spark, sf_dir) is g1  # cache hit, same object
+
+    fresh = S.knn_graph_lsh(
+        load(spark, sf_dir, "embeddings"), k=5, n_bands=2
+    )
+    rows_cached = {tuple(r) for r in g1.collect()}
+    rows_fresh = {tuple(r) for r in fresh.collect()}
+    assert rows_cached == rows_fresh and rows_cached
+
+    # protected ids are what bench.py's release keeps alive
+    from tansu_spark.queries.pipeline import dedup_chain_protected_ids
+
+    ids = set().union(*_knn_cache.protected.values())
+    assert ids and ids <= dedup_chain_protected_ids()
+
+    # external unpersist of everything -> probe fails -> rebuild
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+    g2 = _knn_graph_cached(spark, sf_dir)
+    assert g2 is not g1
+    assert {tuple(r) for r in g2.collect()} == rows_fresh
