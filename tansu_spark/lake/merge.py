@@ -33,6 +33,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from tansu_spark.materialize import corpus_checkpoint
 
 OP_COL = "_op"
 UPSERT = "U"
@@ -105,21 +106,30 @@ class MergeTable:
         Raises ValueError when a key has several change rows and no
         ``seq_col`` resolves them — silently picking one would make the
         merge depend on partition order."""
-        latest = self._latest_changes(changes, op_col, seq_col)
+        # Stage the bucketed changeset ONCE before anything reads it
+        # (optimization r11, guide §1.2): the duplicate-key validation,
+        # the touched-bucket collect, the anti-join key side and the
+        # upsert arm all consume these rows — validating the RAW plan
+        # first re-ran the changeset lineage (3 base-table scans in the
+        # lake_merge_* queries) one extra full pass per merge.
+        staged = changes.withColumn("bucket", self._bucket()).transform(
+            corpus_checkpoint
+        )
+        latest = self._latest_changes(staged, op_col, seq_col)
+        if seq_col is not None:
+            # The seq-dedup window result feeds three consumers below —
+            # materialize it too (seq_col=None returns `staged` as-is).
+            latest = latest.transform(corpus_checkpoint)
 
         if not self._has_data():
             out = latest.where(F.col(op_col) == UPSERT).drop(op_col)
             (
-                out.withColumn("bucket", self._bucket())
-                .write.mode("overwrite")
+                out.write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(self.table_dir)
             )
             return self._commit("merge")
 
-        latest = latest.withColumn("bucket", self._bucket()).localCheckpoint(
-            eager=True
-        )
         touched = [r["bucket"] for r in latest.select("bucket").distinct().collect()]
         if not touched:
             return
@@ -133,7 +143,7 @@ class MergeTable:
         # the versioned path), so materialize it up front.
         merged = survivors.unionByName(upserts)
         if self.versioned:
-            merged = merged.localCheckpoint(eager=True)
+            merged = merged.transform(corpus_checkpoint)
             from tansu_spark.lake.snapshots import relocate_for_rewrite
 
             replaced = [
