@@ -68,6 +68,21 @@ def parallel_probe(spark) -> float:
     return round(best, 4)
 
 
+def scaling_probe(spark) -> float:
+    """Core-count-attributable CPU probe (r10 verdict ask #1): a fixed
+    3.2B-row / 64-task JVM aggregation whose per-task compute (~0.3-0.5s)
+    dwarfs the ~0.1s fixed job overhead, so its wall scales ~linearly
+    with the executor core count (unlike parallel_probe, whose 320M rows
+    are overhead-dominated and read ~flat 8-vs-32 cores). An 8-core run
+    should read ~4x the 32-core wall; the driver can attribute core-count
+    effects from this single number plus default_parallelism below."""
+    t0 = time.perf_counter()
+    spark.range(0, 3_200_000_000, 1, 64).selectExpr(
+        "sum((id % 97) * (id % 89)) as s"
+    ).collect()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     probe_s = cpu_probe()
@@ -75,6 +90,7 @@ def main() -> None:
     spark = get_spark(app_name="tansu-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     par_probe_s = parallel_probe(spark)
+    scale_probe_s = scaling_probe(spark)
 
     names = [n for n in HEADLINE if n in QUERIES]
     # Include every other registered query too — coverage at bench scale.
@@ -167,6 +183,18 @@ def main() -> None:
         "cpu_probe_s": probe_s,
         "parallel_probe_s": par_probe_s,
         "parallel_probe_tasks": 32,
+        # Scaling-evidence contract (r10 verdict ask #1): the driver re-runs
+        # the bench at a lower $SPARK_GRAFT_CPUS to measure scaling, but at
+        # sf0.1 per-query wall is overhead-bound (8-core suite 366.9s vs
+        # 32-core 369.6s in r10), so the per-query ratios cannot show the
+        # core count took effect. These three fields can: the resolved
+        # master string, the effective scheduler parallelism, and a probe
+        # whose compute dominates its overhead (~linear in cores).
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "scaling_probe_s": scale_probe_s,
+        "scaling_probe_tasks": 64,
+        "scaling_probe_rows": 3_200_000_000,
         "scan_control": "tpch_q6_forecast_revenue",
         "scan_control_s": timings.get("tpch_q6_forecast_revenue"),
         "load_avg_start": round(load_start, 2),
@@ -180,31 +208,52 @@ def main() -> None:
     # controls deviate from their quiet-window anchors so a contaminated
     # run is self-labeled instead of judged at face value.
     SCAN_CONTROL_ANCHOR_S = 0.41   # tpch_q6, unchanged since r1
-    PARALLEL_PROBE_ANCHOR_S = 0.33  # 32-task JVM agg, quiet-window r8/r9
+    # 32-task JVM agg, quiet-window r8/r9, at 32 cores (one scheduling
+    # wave). At fewer cores the same probe legitimately needs
+    # ceil(32/cores) waves; measured points: 0.33s cold at 32 cores,
+    # 0.41s cold at 8 cores (BENCH_r10_c8) -> ~0.03s per extra wave.
+    PARALLEL_PROBE_ANCHOR_S = 0.33
+    waves = -(-32 // max(1, spark.sparkContext.defaultParallelism))
+    par_anchor_s = PARALLEL_PROBE_ANCHOR_S + 0.03 * (waves - 1)
     contamination = []
     sc = calibration["scan_control_s"]
     if sc is not None and sc > 1.5 * SCAN_CONTROL_ANCHOR_S:
         contamination.append(
             f"scan_control {sc:.3f}s > 1.5x anchor {SCAN_CONTROL_ANCHOR_S}s"
         )
-    if par_probe_s > 2.0 * PARALLEL_PROBE_ANCHOR_S:
+    if par_probe_s > 2.0 * par_anchor_s:
         contamination.append(
-            f"parallel_probe {par_probe_s:.3f}s > 2x anchor {PARALLEL_PROBE_ANCHOR_S}s"
+            f"parallel_probe {par_probe_s:.3f}s > 2x anchor {par_anchor_s:.2f}s"
         )
-    # Mid-run probes gate against a WARM anchor: the 0.33s endpoint
-    # anchor is a cold-start number, but with the JVM warm the same
-    # 32-task probe runs in ~0.13-0.19s (measured across full-suite
-    # runs), so steal windows that inflate query blocks 1.5-4x can hide
-    # under the cold anchor. 2x the warm floor flags real contention
-    # while best-of-3 min absorbs one-off GC pauses.
-    MIDRUN_PARALLEL_ANCHOR_S = 0.15
-    for m in midrun_probes:
-        if m["parallel_probe_s"] > 2.0 * MIDRUN_PARALLEL_ANCHOR_S:
-            contamination.append(
-                f"midrun parallel_probe {m['parallel_probe_s']:.3f}s after"
-                f" query {m['after_n']} > 2x warm anchor"
-                f" {MIDRUN_PARALLEL_ANCHOR_S}s"
-            )
+    # Mid-run probes gate against a WARM anchor: the cold endpoint anchor
+    # (0.33s) lets steal windows that inflate query blocks 1.5-4x hide,
+    # because with the JVM warm the same 32-task probe runs in
+    # ~0.13-0.19s. r10 hard-coded the warm anchor at 0.15s — a 32-core,
+    # this-host constant that spuriously flagged the driver's legitimate
+    # 8-core run (warm floor there is ~0.24s). The anchor is now derived
+    # from THIS run's own cleanest mid-run probe (per r10 verdict ask #1 /
+    # ADVICE): a steal window inflates some probes while the clean ones
+    # set the floor, at any core count. A uniformly-contended run has no
+    # clean floor to derive — that case is what the ABSOLUTE endpoint
+    # anchors above (scan control, cold parallel probe) still catch.
+    # SPARK_GRAFT_MIDRUN_ANCHOR_S overrides the derivation for hosts where
+    # the floor is known.
+    env_anchor = os.environ.get("SPARK_GRAFT_MIDRUN_ANCHOR_S")
+    if env_anchor is not None:
+        midrun_anchor_s = float(env_anchor)
+    elif midrun_probes:
+        midrun_anchor_s = min(m["parallel_probe_s"] for m in midrun_probes)
+    else:
+        midrun_anchor_s = None
+    calibration["midrun_anchor_s"] = midrun_anchor_s
+    if midrun_anchor_s is not None:
+        for m in midrun_probes:
+            if m["parallel_probe_s"] > 2.0 * midrun_anchor_s:
+                contamination.append(
+                    f"midrun parallel_probe {m['parallel_probe_s']:.3f}s"
+                    f" after query {m['after_n']} > 2x warm anchor"
+                    f" {midrun_anchor_s:.3f}s"
+                )
 
     detail = {
         "metric": "all_queries_wall",
