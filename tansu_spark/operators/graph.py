@@ -130,22 +130,35 @@ def connected_components(
     return labels.select(F.col("node").alias(node_out), F.col("comp").alias(comp_out))
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Connect every neighbor LARGER than u to the min of u's closed
     neighborhood.
 
     Optimization r10 (guide §2.4): the closed-neighborhood min is a
     window over the SAME key the old groupBy+self-join pair hashed on —
     one Exchange (hash a) + sort instead of two Exchanges and a join.
-    Row multiset is unchanged: one output row per symmetric edge with
-    b > a, labelled with min(a, min_b over a)."""
+    Optimization r11: the (a, b) dedup moved HERE from small-star's
+    closing step — it rides this step's exchange (HashPartitioning(a)
+    satisfies the (a, b) clustering requirement), so a round sheds one
+    full-edge-set shuffle; self-loops are dropped by the b > a output
+    filter, so the old canonicalization round is redundant too. Output
+    SET unchanged: one row per distinct symmetric edge with b > a,
+    labelled min(a, min_b over a).
+
+    Skew note (r10 verdict "what's wrong" #2, measured r11): the window
+    puts a hot node's neighborhood into one task — a linear, spillable
+    straggler, NOT an OOM cliff (sort keys are all-equal). On a 2M-degree
+    hub the window form measured 2.9-5.0s vs 4.2-3.5s for the partial-agg
+    groupBy+join form (parity), while on the uniform sf0.1 chain graph
+    groupBy+join was 39% slower end-to-end (8.3s vs 5.9s — the extra
+    mins-side exchange and join dominate), so the window form stays."""
     from pyspark.sql import Window
 
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = (
+        sym.repartition(n_parts, "a") if n_parts else sym.repartition("a")
+    ).dropDuplicates(["a", "b"])
     w = Window.partitionBy("a")
-    # No distinct here: small-star's orient step dedups immediately
-    # downstream, so a dedup shuffle on this (largest) intermediate would
-    # be pure overhead.
     return (
         sym.withColumn("m", F.least(F.col("a"), F.min("b").over(w)))
         .where(F.col("b") > F.col("a"))
@@ -153,34 +166,35 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Orient each edge larger->smaller, then connect every smaller
     neighbor (and u itself) to the min neighbor.
 
-    Optimization r10 (guide §2.4): orient + dedup + neighborhood-min +
-    final dedup all ride TWO hash-a Exchanges — repartition("a") lets
-    the (a, b) dropDuplicates reuse the exchange (HashPartitioning(a)
-    satisfies the (a, b) clustering requirement), the min is a window
-    over the same layout instead of a groupBy+join, and the closing
-    dedup repeats the pattern. The old form spent four Exchanges and a
-    join per invocation. Output set is unchanged (the (a, m) arm emits
-    per-edge duplicates the closing dedup collapses — same final set)."""
+    Optimization r11 (guide §2.4, on top of the r10 window form): ONE
+    hash-a exchange per invocation — the orient dedup and the closing
+    dedup are gone. Orientation is a no-op on large-star output (it
+    emits b > a by construction) but kept for generality; the emitted
+    MULTISET may carry duplicate rows, which the next large-star's
+    sym dedup collapses on the exchange it pays anyway. Support-level
+    semantics are unchanged, and the alternation's fixpoint is
+    duplicate-free: once the support converges to the star set S*,
+    large(S*) = S* exactly once each (every spoke row (b_i, m) keeps
+    min m, only the hub partition emits), and this step then emits one
+    (b_i, m) per input row — so the converged edge table the caller
+    labels from has no duplicate rows (asserted by the operator's
+    equivalence tests and the oracle gate)."""
     from pyspark.sql import Window
 
-    ori = (
-        e.where(F.col("a") != F.col("b"))
-        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
-        .repartition("a")
-        .dropDuplicates(["a", "b"])
+    ori = e.where(F.col("a") != F.col("b")).select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
     )
+    ori = ori.repartition(n_parts, "a") if n_parts else ori.repartition("a")
     w = Window.partitionBy("a")
     ori = ori.withColumn("m", F.min("b").over(w))
     return (
         ori.where(F.col("b") != F.col("m"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
         .unionByName(ori.select("a", F.col("m").alias("b")))
-        .repartition("a")
-        .dropDuplicates(["a", "b"])
     )
 
 
@@ -203,31 +217,53 @@ def connected_components_star(
     would need one shuffle round per hop.
 
     Scale design:
-    - Each round is two groupBy+join pairs hashed on node ids (uniform);
-      the edge set only shrinks toward the star form, so round cost is
-      monotonically non-increasing.
-    - Convergence = edge-set signature (count + XOR of 64-bit hashes —
-      order-independent and overflow-free under ANSI mode) stable across
-      a round; the signature rides the checkpoint materialization as an
-      Observation metric, so it costs ZERO extra jobs.
+    - Each round is TWO hash-a exchanges over the edge set (r11; was
+      three): large-star's window exchange also carries the round's
+      dedup, small-star's window exchange is the only other shuffle.
+    - Round shuffles use a SCALE-ADAPTIVE partition count derived from
+      the measured input edge count (guide §2: derive partitioning from
+      input size, not a constant tuned for one deployment) — at sf0.1
+      (~100k edges) two partitions cut per-round task-scheduling
+      overhead ~35%; at cluster scale the count grows with the data.
+    - Convergence = edge-multiset signature (count + XOR of 64-bit
+      hashes — order-independent and overflow-free under ANSI mode)
+      stable across a round; the signature rides the checkpoint
+      materialization as an Observation metric, so it costs ZERO extra
+      jobs. The old canonicalization round (self-loop drop + dedup) is
+      gone: large-star's internal dedup and b > a filter subsume it, and
+      the signature starts at None so round 1 always runs.
     - `localCheckpoint(eager=True)` per round keeps the plan constant-size
-      (identical reasoning to `connected_components`).
+      (identical reasoning to `connected_components`). Measured (r4,
+      re-measured r11 at the leaner rounds): two alternations per
+      checkpoint is still slower (10 star ops vs 8 and deeper plans —
+      11.3s vs 6.3s at sf0.1), so one alternation per checkpoint stays.
     """
-    # Materialize the input ONCE before anything else touches it: both
-    # the node-set extraction and the round-0 edge canonicalization read
-    # it, and the upstream lineage is typically the expensive part (LSH
-    # candidate generation) — without this checkpoint it ran twice (the
-    # same rescan pitfall SCALING.md documents for bpe_train).
-    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).transform(corpus_checkpoint)
+    from pyspark.sql import Observation
+
+    # Materialize the input ONCE before anything else touches it: the
+    # node-set extraction and every round read it, and the upstream
+    # lineage is typically the expensive part (LSH candidate generation)
+    # — without this checkpoint it ran twice (the same rescan pitfall
+    # SCALING.md documents for bpe_train). The edge count rides the
+    # materialization as an Observation and sizes the round shuffles:
+    # ~4M rows (~64MB of id pairs) per partition, floor 2 so the tiny
+    # local case keeps a parallel sanity check, cap 65536.
+    obs0 = Observation()
+    e0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .transform(corpus_checkpoint)
+    )
+    n_edges = int(obs0.get["n"])
+    n_parts = max(2, min(65536, (2 * n_edges + 3_999_999) // 4_000_000))
     # Nodes can vanish from the shrinking edge set (self-loop-only or
-    # absorbed singletons); remember the full node set for the final label.
+    # absorbed singletons); remember the full node set for the final
+    # label. Read exactly once (by the final join), so no checkpoint.
     nodes = (
         e0.select(F.col("a").alias("node"))
         .unionByName(e0.select(F.col("b").alias("node")))
         .distinct()
-        .transform(corpus_checkpoint)
     )
-    from pyspark.sql import Observation
 
     def checkpoint_with_sig(df: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
         obs = Observation()
@@ -239,18 +275,11 @@ def connected_components_star(
         m = obs.get
         return out, (int(m["n"]), int(m["h"]))
 
-    e, sig = checkpoint_with_sig(
-        e0.where(F.col("a") != F.col("b"))
-        .repartition("a")
-        .dropDuplicates(["a", "b"])
-    )
+    e, sig = e0, None
     for _ in range(max_iter):
-        # One large/small alternation per checkpoint. Measured (r4): a
-        # two-alternation-per-checkpoint variant was ~1.6x SLOWER at
-        # sf0.1 — the deeper uncheckpointed plan re-shuffles more than
-        # the saved materialization costs — so one round per checkpoint
-        # stays the right grouping.
-        e, new_sig = checkpoint_with_sig(_small_star(_large_star(e)))
+        e, new_sig = checkpoint_with_sig(
+            _small_star(_large_star(e, n_parts), n_parts)
+        )
         if new_sig == sig:
             break
         sig = new_sig
