@@ -828,3 +828,50 @@ def test_produce_rows_pipelined_matches_sequential(broker):
     broker.create_topic("one", partitions=1)
     offs1 = broker.produce_rows_pipelined("one", _rows(7), batch_size=50)
     assert len(offs1) == 1 and broker.list_offsets("one", "latest") == {0: 7}
+
+
+def test_offsets_follow_within_partition_input_order_for_presorted_frame(
+    broker,
+):
+    """Pins the cross-module contract the kafka lag/txn report queries
+    rely on (ADVICE r10): for an explicitly-partitioned input frame that
+    is `repartition(n, "partition").sortWithinPartitions(sort_key)`'d,
+    per-partition offsets are assigned in that within-partition sort
+    order. The mechanism is produce's `_seq = monotonically_increasing_id`
+    ordering by (Spark partition ordinal, position), which a broker
+    refactor could silently break without this test — the queries'
+    global orderBy -> partition-local sort rewrite is only
+    offset-identical while this holds."""
+    spark = broker.spark
+    broker.create_topic("ord", partitions=4)
+    # event_ids deliberately NOT aligned with insertion order
+    df = (
+        spark.range(0, 400)
+        .select(
+            (F.col("id") * 7919 % 400).alias("event_id"),
+            (F.col("id") % 4).cast("int").alias("partition"),
+        )
+        .select(
+            F.col("event_id").cast("string").cast("binary").alias("key"),
+            F.col("event_id").cast("string").cast("binary").alias("value"),
+            "partition",
+            "event_id",
+        )
+        .repartition(4, "partition")
+        .sortWithinPartitions("event_id")
+        .drop("event_id")
+    )
+    broker.produce("ord", df)
+    for p in range(4):
+        rows = (
+            broker.fetch("ord", partition=p)
+            .select("offset", "key")
+            .collect()
+        )
+        by_offset = [
+            int(bytes(r["key"]).decode())
+            for r in sorted(rows, key=lambda r: r["offset"])
+        ]
+        # offsets must walk the partition's rows in event_id order
+        assert by_offset == sorted(by_offset), f"partition {p}"
+        assert len(by_offset) == 100
