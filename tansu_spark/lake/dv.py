@@ -47,8 +47,19 @@ class DvTable:
         self.dv_dir = os.path.join(path, "_dv")
 
     # ------------------------------------------------------------ write
-    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
-        df.write.mode(mode).parquet(self.data_dir)
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        max_records_per_file: int | None = None,
+    ) -> None:
+        """``max_records_per_file`` caps rows per parquet file WITHOUT a
+        shuffle (each write task splits its own output) — the cheap way
+        to bound file sizes for positional-delete granularity."""
+        w = df.write.mode(mode)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(self.data_dir)
 
     # ------------------------------------------------------- scan + pos
     def _scan_with_pos(self) -> DataFrame:

@@ -115,11 +115,67 @@ class MergeTable:
         staged = changes.withColumn("bucket", self._bucket()).transform(
             corpus_checkpoint
         )
-        latest = self._latest_changes(staged, op_col, seq_col)
-        if seq_col is not None:
-            # The seq-dedup window result feeds three consumers below —
-            # materialize it too (seq_col=None returns `staged` as-is).
-            latest = latest.transform(corpus_checkpoint)
+        # ONE aggregation job both validates the changeset and discovers
+        # the touched buckets (optimization r11): per-key change counts
+        # (and, with a sequence column, per-key distinct-sequence counts)
+        # roll up to a per-bucket max — `bucket` is a pure function of
+        # the key, so first() per key is exact. The old flow spent one
+        # job on validation and another on the touched-bucket distinct;
+        # the offending-key lookup moves to the (rare) error path.
+        per_key = staged.groupBy(*self.key_cols).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(F.col(seq_col)).alias("_ns")
+            if seq_col is not None
+            else F.max(F.lit(0)).alias("_ns"),
+            F.first("bucket").alias("bucket"),
+        )
+        stats = (
+            per_key.groupBy("bucket")
+            .agg(
+                F.max("_n").alias("_mx"),
+                F.max(F.col("_n") - F.col("_ns")).alias("_amb"),
+            )
+            .collect()
+        )
+        if seq_col is None:
+            if any(r["_mx"] > 1 for r in stats):
+                dup = (
+                    staged.groupBy(*self.key_cols)
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .where(F.col("_n") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                key = {k: dup[0][k] for k in self.key_cols}
+                raise ValueError(
+                    f"multiple change rows for key {key}; pass seq_col to "
+                    "order them"
+                )
+            latest = staged
+        else:
+            if any(r["_amb"] > 0 for r in stats):
+                amb = (
+                    staged.groupBy(*self.key_cols, seq_col)
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .where(F.col("_n") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                key = {k: amb[0][k] for k in self.key_cols}
+                raise ValueError(
+                    f"change rows for key {key} share "
+                    f"{seq_col}={amb[0][seq_col]}; sequence must totally "
+                    "order changes per key"
+                )
+            w = Window.partitionBy(*self.key_cols).orderBy(F.desc(seq_col))
+            latest = (
+                staged.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", seq_col)
+                # The seq-dedup window result feeds three consumers
+                # below — materialize it too.
+                .transform(corpus_checkpoint)
+            )
 
         if not self._has_data():
             out = latest.where(F.col(op_col) == UPSERT).drop(op_col)
@@ -130,7 +186,7 @@ class MergeTable:
             )
             return self._commit("merge")
 
-        touched = [r["bucket"] for r in latest.select("bucket").distinct().collect()]
+        touched = [r["bucket"] for r in stats]
         if not touched:
             return
         base = self.spark.read.parquet(self.table_dir).where(
@@ -311,37 +367,3 @@ class MergeTable:
         writer = writer.trigger(**(trigger or {"availableNow": True}))
         return writer.start()
 
-    def _latest_changes(
-        self, changes: DataFrame, op_col: str, seq_col: str | None
-    ) -> DataFrame:
-        if seq_col is None:
-            dup = (
-                changes.groupBy(*self.key_cols)
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .where(F.col("_n") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                key = {k: dup[0][k] for k in self.key_cols}
-                raise ValueError(
-                    f"multiple change rows for key {key}; pass seq_col to "
-                    "order them"
-                )
-            return changes
-        w = Window.partitionBy(*self.key_cols).orderBy(F.desc(seq_col))
-        ranked = changes.withColumn("_rn", F.row_number().over(w))
-        amb = (
-            changes.groupBy(*self.key_cols, seq_col)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if amb:
-            key = {k: amb[0][k] for k in self.key_cols}
-            raise ValueError(
-                f"change rows for key {key} share {seq_col}={amb[0][seq_col]}; "
-                "sequence must totally order changes per key"
-            )
-        return ranked.where(F.col("_rn") == 1).drop("_rn", seq_col)

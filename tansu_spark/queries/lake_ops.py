@@ -457,7 +457,13 @@ def lake_delete_vectors_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="lake_dv_")
     try:
         t = DvTable(spark, f"{scratch}/t")
-        t.write(li.repartition(4))  # several files: per-file positions
+        # Several files (per-file positions must be exercised) WITHOUT
+        # shuffling the whole table for it: maxRecordsPerFile splits
+        # each write task's output at a row cap, so the full-lineitem
+        # round-robin repartition(4) exchange is gone (optimization r11,
+        # guide §2.1 — the old plan's only Exchange). Row order within
+        # each task is the scan order, so the layout stays deterministic.
+        t.write(li, max_records_per_file=150_000)
         # Both delete generations in ONE table scan (optimization r10;
         # delete_where_many proves the fused store content identical to
         # the sequential chain — see lake/dv.py and tests/test_dv.py).
