@@ -237,6 +237,7 @@ def bucket_pair_scores(
     vec_col: str = "embedding",
     round_digits: int = 10,
     dedup: bool = True,
+    hot_bucket_cap: int = 4096,
 ) -> DataFrame:
     """(id_a, id_b, cosine): every ordered same-(band, bucket) pair with
     id_a != id_b, deduped across bands by max — the candidate scorer
@@ -306,11 +307,47 @@ def bucket_pair_scores(
                 )
             return _pairs(pdf, pdf, id_col, vec_col)
 
-        raw = (
-            tagged.select(*cols)
-            .groupBy("band", "bucket")
-            .applyInPandas(self_kernel, schema)
+        # Hot-bucket split (optimization r11, guide §2.3 / r10 verdict
+        # ask #2): adaptive_planes bounds EXPECTED bucket size (~64), but
+        # a dense similarity cluster can still hash one oversized bucket,
+        # and the cogroup kernel then holds |bucket|^2 doubles in ONE
+        # task (4096^2 = 134 MB acc is the chosen ceiling). Buckets past
+        # the cap route through the equivalent JVM expression self-join
+        # instead — same ordered-pair set, and the zip_with/aggregate
+        # fold is bit-identical to the kernel (the pinned r7 parity
+        # argument read in reverse) — where AQE's skew-join split spreads
+        # the hot bucket across tasks. Routing is per-bucket, so no pair
+        # spans the branches; the size table is bucket-grained and
+        # broadcast. With no hot buckets (every healthy corpus) the join
+        # branch is empty; the tagged table is materialized ONCE so the
+        # size aggregation and both branches read blocks instead of
+        # re-running the LSH plane folds per subtree (unmaterialized,
+        # the split measured 2.0s -> 4.4s on the sf0.1 graph build;
+        # materialized it is cost-neutral, 1.90s vs 1.98s min-of-3).
+        tagged = tagged.select(*cols).transform(corpus_checkpoint)
+        sizes = tagged.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bn")
         )
+        t2 = tagged.join(F.broadcast(sizes), ["band", "bucket"])
+        cold = t2.where(F.col("_bn") <= hot_bucket_cap).select(*cols)
+        hot = t2.where(F.col("_bn") > hot_bucket_cap).select(*cols)
+        raw_cold = (
+            cold.groupBy("band", "bucket").applyInPandas(self_kernel, schema)
+        )
+        ha = hot.select(
+            "band", "bucket", F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+        )
+        hb = hot.select(
+            "band", "bucket", F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+        )
+        raw_hot = (
+            ha.join(hb, ["band", "bucket"])
+            .where(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b", cosine("_va", "_vb").alias("cosine"))
+        )
+        raw = raw_cold.unionByName(raw_hot)
     else:
 
         def cross_kernel(_key, pdf_a, pdf_b):

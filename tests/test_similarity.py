@@ -394,3 +394,29 @@ def test_knn_graph_session_cache_equals_fresh_build_and_self_heals(spark, sf_dir
     g2 = _knn_graph_cached(spark, sf_dir)
     assert g2 is not g1
     assert {tuple(r) for r in g2.collect()} == rows_fresh
+
+
+def test_hot_bucket_split_is_bit_identical_to_kernel_path(spark, sf_dir):
+    """bucket_pair_scores' hot-bucket fallback (r11): buckets past the
+    cap route through the JVM expression self-join instead of the Arrow
+    kernel. Forcing the cap to 2 sends EVERY bucket down the join branch
+    — the full pair table must be bit-identical to the kernel-only path
+    (the r7 parity argument, exercised in reverse)."""
+    from tansu_spark.functions.similarity import knn_graph_lsh
+    from tansu_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    import tansu_spark.functions.similarity as S_
+
+    kernel = {tuple(r) for r in knn_graph_lsh(emb, k=5, n_bands=2).collect()}
+
+    orig = S_.bucket_pair_scores.__defaults__
+    # hot_bucket_cap is the last default; force everything hot
+    S_.bucket_pair_scores.__defaults__ = orig[:-1] + (2,)
+    try:
+        joined = {
+            tuple(r) for r in knn_graph_lsh(emb, k=5, n_bands=2).collect()
+        }
+    finally:
+        S_.bucket_pair_scores.__defaults__ = orig
+    assert joined == kernel and kernel
