@@ -3878,7 +3878,11 @@ _GOPHER_KEEP_SQL = (
 
 @query(
     "pipeline_curation_capstone",
-    plan=("single_row_broadcast",),
+    # No plan trait since r11: the returned frame is a driver-built
+    # 8-row table (the stage-count cross joins still run — inside the
+    # eager collect that releases the stage caches — but the DECLARED
+    # plan no longer nests a BroadcastNestedLoopJoin, and the trait
+    # registry pins live traits only; see test_plan_traits_are_exact).
     oracle=_EDGE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""",
     walk AS (SELECT a AS node, a AS lbl FROM ed
