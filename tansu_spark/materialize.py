@@ -58,6 +58,26 @@ def materialize(
     return df.localCheckpoint(eager=eager)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark, n: int):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` — for iterative
+    operators whose per-round plans execute through ``localCheckpoint``
+    (no AQE coalescing on that path, so the session's static default
+    applies to every tiny round shuffle). Callers derive ``n`` from the
+    OBSERVED input size (guide §2: scale-adaptive partitioning), so the
+    same code is right at sf0.1 and on a cluster."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def corpus_checkpoint(df: DataFrame) -> DataFrame:
     """``df.transform(corpus_checkpoint)`` — drop-in replacement for
     ``localCheckpoint(eager=True)`` at corpus-sized sites (see module

@@ -62,70 +62,90 @@ def connected_components(
     a unioned re-shuffle. Convergence (labels are monotone
     non-increasing, so changed == decreased) rides the checkpoint
     materialization as an Observation metric — the separate count()
-    job per round is gone."""
+    job per round is gone.
+
+    Round shuffles use a SCALE-ADAPTIVE partition count (r11, guide §2,
+    same reasoning as the star variant): per-round plans execute through
+    localCheckpoint, where AQE does not coalesce, so the session's
+    static shuffle default (32) applied to every tiny round shuffle —
+    pure task-scheduling overhead at sf0.1, derived from the observed
+    edge count instead (~4M id pairs per partition, floor 2)."""
     from pyspark.sql import Observation
+
+    from tansu_spark.materialize import scoped_shuffle_partitions
 
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    obs0 = Observation()
     e = (
         e.repartition("a")
         .dropDuplicates(["a", "b"])
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .transform(corpus_checkpoint)
     )
+    n_edges = int(obs0.get["n"])
+    n_parts = max(2, min(65536, (n_edges + 3_999_999) // 4_000_000))
 
-    # Round 1 fused into initialization: each node's label starts at the
-    # min over its closed neighborhood (the same groupBy that would have
-    # extracted the node set).
-    labels = (
-        e.groupBy("a")
-        .agg(F.least(F.min("b"), F.col("a")).alias("comp"))
-        .select(F.col("a").alias("node"), "comp")
-        .transform(corpus_checkpoint)
-    )
-
-    for _ in range(max_iter):
-        # Labels flow across every edge a->b; each node keeps the min of
-        # what arrives plus its own current label.
-        mins = (
-            e.join(labels, e["a"] == labels["node"])
-            .select(F.col("b").alias("node"), "comp")
-            .groupBy("node")
-            .agg(F.min("comp").alias("m"))
-        )
-        half = labels.join(mins, "node", "left").select(
-            "node",
-            F.least("comp", "m").alias("comp"),
-            # NULL m (no incoming message) compares NULL -> not counted.
-            (F.col("m") < F.col("comp")).alias("_dec"),
-        )
-        # Path-halving pointer jump (Shiloach-Vishkin style): also fold
-        # in label(label) from the ROUND-START table — one extra slim
-        # join per round, measured 15 -> 10 rounds on the sf0.1
-        # mutual-kNN graph (diameter ~15) and ~2x wall. Safe: a label is
-        # always the id of a node in the same component, so taking the
-        # least with that node's label stays inside the component and
-        # labels stay monotone non-increasing; the fixpoint (no change
-        # over a full round) still forces component-min everywhere.
-        # NOTE a deeper in-round jump chain is NOT better: re-jumping
-        # through the same stale table contracts nothing further and the
-        # un-checkpointed plan depth blows up planning time (measured
-        # 2.7s -> 22s at 3 jumps).
-        lk = labels.select(F.col("node").alias("comp"), F.col("comp").alias("_c2"))
-        obs = Observation()
-        new_labels = (
-            half.join(lk, "comp", "left")
-            .select(
-                "node",
-                F.least("comp", "_c2").alias("comp"),
-                (F.col("_dec") | (F.col("_c2") < F.col("comp"))).alias("_dec"),
-            )
-            .observe(obs, F.count_if(F.col("_dec")).alias("n_changed"))
-            .select("node", "comp")
+    with scoped_shuffle_partitions(edges.sparkSession, n_parts):
+        # Round 1 fused into initialization: each node's label starts at
+        # the min over its closed neighborhood (the same groupBy that
+        # would have extracted the node set).
+        labels = (
+            e.groupBy("a")
+            .agg(F.least(F.min("b"), F.col("a")).alias("comp"))
+            .select(F.col("a").alias("node"), "comp")
             .transform(corpus_checkpoint)
         )
-        labels = new_labels
-        if int(obs.get["n_changed"]) == 0:
-            break
+
+        for _ in range(max_iter):
+            # Labels flow across every edge a->b; each node keeps the
+            # min of what arrives plus its own current label.
+            mins = (
+                e.join(labels, e["a"] == labels["node"])
+                .select(F.col("b").alias("node"), "comp")
+                .groupBy("node")
+                .agg(F.min("comp").alias("m"))
+            )
+            half = labels.join(mins, "node", "left").select(
+                "node",
+                F.least("comp", "m").alias("comp"),
+                # NULL m (no incoming message) compares NULL -> not
+                # counted.
+                (F.col("m") < F.col("comp")).alias("_dec"),
+            )
+            # Path-halving pointer jump (Shiloach-Vishkin style): also
+            # fold in label(label) from the ROUND-START table — one
+            # extra slim join per round, measured 15 -> 10 rounds on the
+            # sf0.1 mutual-kNN graph (diameter ~15) and ~2x wall. Safe:
+            # a label is always the id of a node in the same component,
+            # so taking the least with that node's label stays inside
+            # the component and labels stay monotone non-increasing; the
+            # fixpoint (no change over a full round) still forces
+            # component-min everywhere. NOTE a deeper in-round jump
+            # chain is NOT better: re-jumping through the same stale
+            # table contracts nothing further and the un-checkpointed
+            # plan depth blows up planning time (measured 2.7s -> 22s at
+            # 3 jumps).
+            lk = labels.select(
+                F.col("node").alias("comp"), F.col("comp").alias("_c2")
+            )
+            obs = Observation()
+            new_labels = (
+                half.join(lk, "comp", "left")
+                .select(
+                    "node",
+                    F.least("comp", "_c2").alias("comp"),
+                    (
+                        F.col("_dec") | (F.col("_c2") < F.col("comp"))
+                    ).alias("_dec"),
+                )
+                .observe(obs, F.count_if(F.col("_dec")).alias("n_changed"))
+                .select("node", "comp")
+                .transform(corpus_checkpoint)
+            )
+            labels = new_labels
+            if int(obs.get["n_changed"]) == 0:
+                break
 
     return labels.select(F.col("node").alias(node_out), F.col("comp").alias(comp_out))
 
