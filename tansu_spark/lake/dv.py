@@ -92,10 +92,14 @@ class DvTable:
         that are live after generations < i, so the union of all
         generations is exactly ``(p1 OR ... OR pn)`` over rows live
         BEFORE the call — no other mutation can interleave inside one
-        call, which is what makes the fusion sound. The recorded store
-        content, read results, per-file deleted fractions and
-        compaction decisions are identical to the sequential chain; the
-        N full table scans collapse to one (the OR still pushes down)."""
+        call, which is what makes the fusion sound. The PER-FILE DELETED
+        POSITION SETS (what reads, deleted fractions and compaction
+        consume) are identical to the sequential chain; generation
+        boundaries are NOT preserved — the fused form appends one DV
+        file where the chain appends N, so a future feature reading
+        per-generation history must not assume the stores are
+        indistinguishable (ADVICE r10). The N full table scans collapse
+        to one (the OR still pushes down)."""
         preds = list(predicates)
         if not preds:
             return
